@@ -1,0 +1,380 @@
+"""Batched multi-source BFS (MS-BFS) with 512-bit packed frontier/seen state.
+
+Spark-native re-expression of [MSBFS15] Alg. 2/3 (SURVEY.md §2.9 K1/K2):
+
+* state DataFrame: (vid, s0..s7, v0..v7) — seen/visit bitsets as 8 int64
+  limbs each; bit j = BFS lane j of the 512-source batch.
+* one level = frontier-expand equi-join (J1) + bitwise-OR aggregation by
+  dst (A1).  Spark's partial+final hash aggregate of `bit_or` IS the
+  paper's aggregated-neighbor-processing (ANP) optimization.
+* masking/update (seen' = seen|agg, visit' = agg & ~seen) is pure int64
+  column arithmetic — WholeStageCodegen, no Python in the hot path.
+* per-level lane accounting (closeness r/s, frontier emptiness) is one
+  vectorized Arrow kernel (`mapInArrow`) emitting ≤513 rows per batch.
+* direction/strategy switch (K3 analog): the frontier side is broadcast
+  when small (first/last levels), shuffled-hash otherwise; the edge table
+  never re-shuffles (partitioned by src at build).
+
+Two aggregation modes, cross-checked in tests (the reference's own
+cross-variant validation strategy):
+  relational — groupBy(dst).agg(bit_or(limb)...)           [default]
+  kernel     — applyInPandas numpy bitwise_or.reduceat per dst bucket
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from linkgraph.graph import LinkGraph
+from linkgraph.operators.bitset import limb_names, limbs_to_bits, pack_sources
+from linkgraph.schemas import NLIMBS, bfs_state_schema
+
+_S = limb_names("s")
+_V = limb_names("v")
+_A = limb_names("a")
+
+# Broadcast the frontier below this many rows (direction/strategy switch).
+BROADCAST_FRONTIER_ROWS = 200_000
+
+
+@dataclass
+class MsBfsResult:
+    sources: list[int]
+    levels: int
+    r: np.ndarray  # per-lane reachable count (incl. source)
+    s: np.ndarray  # per-lane sum of distances
+    wall_sec: float
+    traversed_bit_edges: int = 0
+    distances: pd.DataFrame | None = None  # (src, vid, dist) when emitted
+    per_level_new: list[int] = field(default_factory=list)
+
+    def gteps(self) -> float:
+        return self.traversed_bit_edges / self.wall_sec / 1e9 if self.wall_sec else 0.0
+
+
+def _lane_count_kernel(nlimbs: int, nsrc: int, vids_too: bool):
+    """mapInArrow kernel over (vid, v0..v{L-1}) -> per-lane new-bit counts.
+
+    Emits (lane, cnt) for lanes 0..nsrc-1 plus a sentinel lane=-1 row whose
+    cnt is the number of rows with any new bit (frontier row count).
+    When vids_too, additionally emits (lane, vid) pairs with cnt = -(vid)-1?
+    -- no: distance pairs go through _explode_kernel instead.
+    """
+
+    def fn(batches):
+        total = np.zeros(nsrc, dtype=np.int64)
+        rows_any = 0
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            limbs = np.column_stack(
+                [
+                    batch.column(f"v{i}").to_numpy(zero_copy_only=False)
+                    for i in range(nlimbs)
+                ]
+            ).view(np.uint64)
+            any_mask = (limbs != 0).any(axis=1)
+            rows_any += int(any_mask.sum())
+            if any_mask.any():
+                total += limbs_to_bits(limbs[any_mask]).sum(axis=0)[:nsrc].astype(np.int64)
+        lanes = np.concatenate([np.arange(nsrc, dtype=np.int32), [-1]])
+        cnts = np.concatenate([total, [rows_any]])
+        yield pa.RecordBatch.from_pydict(
+            {"lane": pa.array(lanes, pa.int32()), "cnt": pa.array(cnts, pa.int64())}
+        )
+
+    return fn
+
+
+def _explode_kernel(nlimbs: int, nsrc: int):
+    """mapInArrow: (vid, v0..) -> (vid, lane) for every set visit bit."""
+
+    def fn(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            vid = batch.column("vid").to_numpy(zero_copy_only=False)
+            limbs = np.column_stack(
+                [
+                    batch.column(f"v{i}").to_numpy(zero_copy_only=False)
+                    for i in range(nlimbs)
+                ]
+            ).view(np.uint64)
+            bits = limbs_to_bits(limbs)[:, :nsrc]
+            r, lane = np.nonzero(bits)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "vid": pa.array(vid[r], pa.int64()),
+                    "lane": pa.array(lane.astype(np.int32), pa.int32()),
+                }
+            )
+
+    return fn
+
+
+def _kernel_or_agg(msgs: DataFrame, nlimbs: int, buckets: int) -> DataFrame:
+    """K1(b): numpy bitwise_or.reduceat per dst, bucketed applyInPandas."""
+    vcols = [f"v{i}" for i in range(nlimbs)]
+    out_schema = "dst long, " + ", ".join(f"a{i} long" for i in range(nlimbs))
+
+    def reduce_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        dst = pdf["dst"].to_numpy(dtype=np.int64)
+        limbs = pdf[vcols].to_numpy(dtype=np.int64).view(np.uint64)
+        order = np.argsort(dst, kind="stable")
+        dst_s, limbs_s = dst[order], limbs[order]
+        starts = np.flatnonzero(np.r_[True, dst_s[1:] != dst_s[:-1]])
+        ors = np.bitwise_or.reduceat(limbs_s, starts, axis=0).view(np.int64)
+        out = {"dst": dst_s[starts]}
+        for i in range(nlimbs):
+            out[f"a{i}"] = ors[:, i]
+        return pd.DataFrame(out)
+
+    bucketed = msgs.withColumn("bucket", F.pmod(F.hash("dst"), F.lit(buckets)))
+    return bucketed.groupBy("bucket").applyInPandas(
+        lambda _, pdf: reduce_fn(pdf.drop(columns=["bucket"])), out_schema
+    )
+
+
+def msbfs(
+    graph: LinkGraph,
+    sources: list[int],
+    mode: str = "relational",
+    emit_distances: bool = False,
+    checkpoint_every: int = 1,
+    snapshot_every: int = 8,
+    max_levels: int | None = None,
+    track_teps: bool = False,
+    checkpoint_mgr=None,
+    resume: bool = False,
+    verbose: bool = False,
+) -> MsBfsResult:
+    """Run one ≤512-source batch to completion; returns lane accounting
+    (r, s for closeness) and optionally full (src, vid, dist) distances.
+
+    At scale, distances are not materialized n×512 (the reference streams
+    them through a visitor); closeness needs only the r/s accumulators.
+    """
+    spark = graph.spark
+    nsrc = len(sources)
+    if nsrc == 0:
+        raise ValueError("no sources")
+    nlimbs = NLIMBS
+    schema = bfs_state_schema(nlimbs)
+
+    t0 = time.time()
+    level = 0
+    r = np.zeros(nsrc, dtype=np.int64)
+    s = np.zeros(nsrc, dtype=np.int64)
+    traversed = 0
+    dist_frames: list[pd.DataFrame] = []
+    per_level_new: list[int] = []
+    state = None
+
+    if resume and checkpoint_mgr is not None:
+        snap = checkpoint_mgr.latest()
+        if snap is not None:
+            state = checkpoint_mgr.read_state(snap).persist(StorageLevel.MEMORY_AND_DISK)
+            m = snap["metrics"]
+            level = int(m["level"])
+            r = np.asarray(m["r"], dtype=np.int64)
+            s = np.asarray(m["s"], dtype=np.int64)
+            traversed = int(m.get("traversed", 0))
+            per_level_new = list(m.get("per_level_new", []))
+            if emit_distances and m.get("distances") is not None:
+                dist_frames = [pd.DataFrame(m["distances"])]
+
+    if state is None:
+        state = spark.createDataFrame(pack_sources(sources, nlimbs), schema=schema)
+        state = state.persist(StorageLevel.MEMORY_AND_DISK)
+
+    count_kernel = _lane_count_kernel(nlimbs, nsrc, False)
+    count_schema = "lane int, cnt long"
+    explode_kernel = _explode_kernel(nlimbs, nsrc)
+    frontier_rows = None  # unknown until first accounting pass
+    prev_state = None  # kept cached until the new state is materialized
+
+    while True:
+        t_lvl = time.time()
+        # -- lane accounting on the current visit bits (drives materialization)
+        counts = (
+            state.select("vid", *_V)
+            .mapInArrow(count_kernel, count_schema)
+            .groupBy("lane")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+        if prev_state is not None:
+            prev_state.unpersist()
+            prev_state = None
+        by_lane = {row["lane"]: row["cnt"] for row in counts}
+        frontier_rows = int(by_lane.pop(-1, 0))
+        new_total = int(sum(by_lane.values()))
+        per_level_new.append(new_total)
+        if new_total:
+            lane_arr = np.zeros(nsrc, dtype=np.int64)
+            for lane, cnt in by_lane.items():
+                lane_arr[lane] = cnt
+            r += lane_arr
+            s += lane_arr * level
+        if emit_distances and new_total:
+            pdf = (
+                state.select("vid", *_V)
+                .mapInArrow(explode_kernel, "vid long, lane int")
+                .toPandas()
+            )
+            pdf["dist"] = np.int32(level)
+            dist_frames.append(pdf)
+
+        if new_total == 0 or (max_levels is not None and level >= max_levels):
+            break
+
+        if checkpoint_mgr is not None and level and level % snapshot_every == 0:
+            # durable snapshot: resumable mid-traversal with lineage+metrics
+            metrics = {
+                "level": level,
+                "r": r.tolist(),
+                "s": s.tolist(),
+                "traversed": traversed,
+                "per_level_new": per_level_new,
+            }
+            if emit_distances:
+                d = pd.concat(dist_frames, ignore_index=True)
+                metrics["distances"] = {c: d[c].tolist() for c in d.columns}
+            reloaded = checkpoint_mgr.write_state(state, level, metrics)
+            state.unpersist()
+            state = reloaded.persist(StorageLevel.MEMORY_AND_DISK)
+        elif level and level % checkpoint_every == 0:
+            # cut lineage so per-level plan analysis stays O(1)
+            cut = state.localCheckpoint(eager=True)
+            state.unpersist()
+            state = cut
+
+        if track_teps:
+            # exact (edge,lane) expansions this level: sum over frontier of
+            # deg(v) * popcount(visit(v)) — computed on the small frontier side.
+            pc = "+".join(f"bit_count(v{i})" for i in range(nlimbs))
+            row = (
+                state.where(" or ".join(f"v{i} != 0" for i in range(nlimbs)))
+                .join(graph.degrees(), "vid")
+                .agg(F.sum(F.expr(f"deg * ({pc})")).alias("t"))
+                .first()
+            )
+            traversed += int(row["t"] or 0)
+
+        # -- expand: frontier ⋈ edges, OR-aggregate by dst (ANP)
+        frontier = state.where(
+            " or ".join(f"v{i} != 0" for i in range(nlimbs))
+        ).select(F.col("vid").alias("src"), *_V)
+        if frontier_rows and frontier_rows <= BROADCAST_FRONTIER_ROWS:
+            frontier = F.broadcast(frontier)
+        msgs = graph.edges.join(frontier, "src").select("dst", *_V)
+        if mode == "kernel":
+            buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            agg = _kernel_or_agg(msgs, nlimbs, buckets)
+        else:
+            agg = msgs.groupBy("dst").agg(
+                *[F.bit_or(f"v{i}").alias(f"a{i}") for i in range(nlimbs)]
+            )
+
+        # -- mask & update (codegen'd int64 math; no UDF)
+        # `vid`/`dst` are unique names across the two sides — resolve by name
+        # (agg descends from state, so df["col"] refs would be self-join-ambiguous)
+        joined = state.join(agg, F.col("vid") == F.col("dst"), "full_outer")
+        sel = [F.coalesce(F.col("vid"), F.col("dst")).alias("vid")]
+        for i in range(nlimbs):
+            sel.append(
+                F.expr(f"coalesce(s{i}, 0L) | coalesce(a{i}, 0L)").alias(f"s{i}")
+            )
+        for i in range(nlimbs):
+            sel.append(
+                F.expr(f"coalesce(a{i}, 0L) & ~coalesce(s{i}, 0L)").alias(f"v{i}")
+            )
+        new_state = joined.select(*sel).persist(StorageLevel.MEMORY_AND_DISK)
+        # old state stays cached until new state materializes (next accounting)
+        prev_state, state = state, new_state
+        level += 1
+        if verbose:
+            print(
+                f"[msbfs] level {level - 1}: new={new_total} frontier_rows={frontier_rows} "
+                f"{time.time() - t_lvl:.2f}s",
+                flush=True,
+            )
+
+    wall = time.time() - t0
+    distances = None
+    if emit_distances:
+        distances = (
+            pd.concat(dist_frames, ignore_index=True)
+            if dist_frames
+            else pd.DataFrame({"vid": [], "lane": [], "dist": []})
+        )
+        src_arr = np.asarray(sources, dtype=np.int64)
+        distances["src"] = src_arr[distances["lane"].to_numpy(dtype=np.int64)]
+        distances = distances[["src", "vid", "dist"]].astype(
+            {"src": np.int64, "vid": np.int64, "dist": np.int32}
+        )
+    state.unpersist()
+    return MsBfsResult(
+        sources=list(sources),
+        levels=level,
+        r=r,
+        s=s,
+        wall_sec=wall,
+        traversed_bit_edges=traversed,
+        distances=distances,
+        per_level_new=per_level_new,
+    )
+
+
+def closeness(graph: LinkGraph, res: MsBfsResult, n: int | None = None) -> DataFrame:
+    """LDBC/SIGMOD-contest closeness c(v) = (r-1)^2 / ((n-1)*s), 0 when s=0.
+
+    r counts the source itself; n = |V| of the graph.
+    """
+    n = n or graph.num_vertices()
+    pdf = pd.DataFrame(
+        {
+            "src": np.asarray(res.sources, dtype=np.int64),
+            "r": res.r.astype(np.int64),
+            "s": res.s.astype(np.int64),
+        }
+    )
+    pdf["c"] = np.where(
+        (pdf["s"] > 0) & (n > 1),
+        (pdf["r"] - 1.0) ** 2 / ((n - 1.0) * pdf["s"]),
+        0.0,
+    )
+    return graph.spark.createDataFrame(pdf, schema="src long, r long, s long, c double")
+
+
+def batched_closeness(
+    graph: LinkGraph,
+    sources: list[int] | None = None,
+    batch_width: int = 512,
+    mode: str = "relational",
+    track_teps: bool = False,
+) -> tuple[DataFrame, list[MsBfsResult]]:
+    """K4 source-batch scheduler: degree-descending seed order, chunked into
+    ≤512-lane batches (hubs share frontiers → better bit utilization)."""
+    if sources is None:
+        sources = graph.top_degree_vids(graph.num_vertices())
+    results = []
+    frames = []
+    n = graph.num_vertices()
+    for i in range(0, len(sources), batch_width):
+        batch = sources[i : i + batch_width]
+        res = msbfs(graph, batch, mode=mode, track_teps=track_teps)
+        results.append(res)
+        frames.append(closeness(graph, res, n=n))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.union(f)
+    return out, results

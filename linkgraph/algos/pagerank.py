@@ -1,0 +1,89 @@
+"""PageRank — pure-relational power iteration (SURVEY.md A4/K6).
+
+Each iteration: contribs = ranks ⋈ edges (co-partitioned on src; only the
+rank side shuffles) → sum by dst → damping + dangling-mass redistribution.
+Convergence: max |Δrank| < tol (BASELINE tol 1e-6).  Lineage cut every
+iteration via localCheckpoint; durable snapshots via CheckpointManager.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from linkgraph.graph import LinkGraph
+
+
+def pagerank(
+    graph: LinkGraph,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    checkpoint_mgr=None,
+    snapshot_every: int = 10,
+    resume: bool = False,
+    verbose: bool = False,
+) -> DataFrame:
+    """Returns (vid, pr).  Ranks sum to 1 (dangling mass redistributed)."""
+    spark = graph.spark
+    vertices = graph.vertices().persist(StorageLevel.MEMORY_AND_DISK)
+    n = vertices.count()
+    deg = graph.degrees()  # out-degree; cached
+
+    it0 = 0
+    ranks = None
+    if resume and checkpoint_mgr is not None:
+        snap = checkpoint_mgr.latest()
+        if snap is not None:
+            ranks = checkpoint_mgr.read_state(snap)
+            it0 = int(snap["metrics"]["iteration"])
+
+    if ranks is None:
+        ranks = vertices.select("vid", F.lit(1.0 / n).alias("pr"))
+    ranks = ranks.localCheckpoint(eager=True)
+
+    for it in range(it0, max_iter):
+        # dangling vertices have no out-edges: in a symmetric graph none,
+        # but handle generally (one tiny agg over the anti-join).
+        with_deg = ranks.join(deg, "vid", "left")
+        dangling = (
+            with_deg.where(F.col("deg").isNull()).agg(F.sum("pr").alias("m")).first()["m"]
+            or 0.0
+        )
+        contribs = (
+            graph.edges.join(
+                with_deg.where(F.col("deg").isNotNull()).select(
+                    F.col("vid").alias("src"), (F.col("pr") / F.col("deg")).alias("w")
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.sum("w").alias("acc"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        new_ranks = (
+            vertices.join(contribs, vertices["vid"] == contribs["dst"], "left")
+            .select(
+                F.col("vid"),
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("acc"), F.lit(0.0))).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        delta = (
+            new_ranks.alias("n")
+            .join(ranks.alias("o"), "vid")
+            .agg(F.max(F.abs(F.col("n.pr") - F.col("o.pr"))).alias("d"))
+            .first()["d"]
+        )
+        ranks = new_ranks
+        if verbose:
+            print(f"[pagerank] iter {it}: delta={delta:.3e}", flush=True)
+        if checkpoint_mgr is not None and (it + 1) % snapshot_every == 0:
+            ranks = checkpoint_mgr.write_state(
+                ranks, it + 1, {"iteration": it + 1, "delta": float(delta)}
+            ).localCheckpoint(eager=True)
+        if delta < tol:
+            break
+    vertices.unpersist()
+    return ranks

@@ -1,0 +1,58 @@
+"""Triangle counting (SURVEY.md J5/A7) — non-iterative, 3-stage relational plan.
+
+Orient edges src<dst (each undirected edge once), build 2-paths, close with
+a semi-join against the oriented edge table.  Each triangle a<b<c is counted
+exactly once.  At scale: degree-ordered orientation (orient from lower- to
+higher-degree endpoint) bounds 2-path blowup on hubs — implemented via the
+`by_degree` flag; both orientations count identically (tested).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
+
+
+def _oriented(graph: LinkGraph, by_degree: bool) -> DataFrame:
+    e = graph.edges.where(F.col("src") < F.col("dst"))
+    if not by_degree:
+        return e
+    # orient each undirected edge from lower-degree to higher-degree endpoint
+    # (ties by vid) — the classic wedge-count reduction for skewed graphs.
+    deg = graph.degrees()
+    ds = deg.select(F.col("vid").alias("src"), F.col("deg").alias("sdeg"))
+    dd = deg.select(F.col("vid").alias("dst"), F.col("deg").alias("ddeg"))
+    w = e.join(ds, "src").join(dd, "dst")
+    keep = (F.col("sdeg") < F.col("ddeg")) | (
+        (F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst"))
+    )
+    fwd = w.where(keep).select("src", "dst")
+    rev = w.where(~keep).select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return fwd.union(rev)
+
+
+def triangle_paths(graph: LinkGraph, by_degree: bool = False) -> DataFrame:
+    """(a, b, c) triples forming triangles; unique per triangle."""
+    e = _oriented(graph, by_degree)
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    paths = e1.join(e2, "b")
+    closing = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    return paths.join(closing, ["a", "c"], "left_semi")
+
+
+def triangle_count(graph: LinkGraph, by_degree: bool = False) -> int:
+    return triangle_paths(graph, by_degree).count()
+
+
+def triangles_per_vertex(graph: LinkGraph, by_degree: bool = False) -> DataFrame:
+    """(vid, tri) for vertices in ≥1 triangle (explode 3 corners)."""
+    t = triangle_paths(graph, by_degree)
+    corners = (
+        t.select(F.col("a").alias("vid"))
+        .union(t.select(F.col("b").alias("vid")))
+        .union(t.select(F.col("c").alias("vid")))
+    )
+    return corners.groupBy("vid").agg(F.count("*").alias("tri"))

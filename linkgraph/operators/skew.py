@@ -1,0 +1,66 @@
+"""Salted skew join for hub vertices (SURVEY.md J2; north_star "salted skew
+handling for hub conversations").
+
+The frontier-expand join shuffles msg rows to the reducer owning `src`; a
+hub vertex with 10^7 out-edges lands them all on one task.  Fix: split each
+hub's edges across S salt buckets (salt = hash(dst) % S, precomputed once on
+the edge table), replicate the hub's frontier row into all S buckets, and
+join on (src, salt).  Results are identical to the unsalted join (tested);
+only the physical row distribution changes.  AQE skew-join is kept on as a
+runtime backstop for moderate skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from linkgraph.graph import LinkGraph
+
+
+class SaltedEdges:
+    """Edge table pre-salted for hub sources.
+
+    hubs: vertices with out-degree > hub_threshold get salt = hash(dst) % s;
+    non-hubs keep salt 0.  Frontiers are expanded with `explode(salts)` only
+    for hub rows, so replication cost is bounded by |hub ∩ frontier| * s.
+    """
+
+    def __init__(self, graph: LinkGraph, hub_threshold: int, s: int = 8):
+        self.s = s
+        deg = graph.degrees()
+        hubs = deg.where(F.col("deg") > hub_threshold).select(
+            F.col("vid").alias("src"), F.lit(True).alias("is_hub")
+        )
+        self.hubs = hubs.persist(StorageLevel.MEMORY_AND_DISK)
+        e = graph.edges.join(F.broadcast(hubs), "src", "left")
+        self.edges = e.select(
+            "src",
+            "dst",
+            F.when(
+                F.col("is_hub").isNotNull(), F.pmod(F.xxhash64("dst"), F.lit(s))
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("salt"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def expand_frontier(self, frontier: DataFrame) -> DataFrame:
+        """frontier has a `src` column; returns it with a `salt` column,
+        hub rows replicated into all s buckets."""
+        f = frontier.join(F.broadcast(self.hubs), "src", "left")
+        salts = F.when(
+            F.col("is_hub").isNotNull(),
+            F.sequence(F.lit(0), F.lit(self.s - 1)),
+        ).otherwise(F.array(F.lit(0)))
+        return f.withColumn("salt", F.explode(salts).cast("int")).drop("is_hub")
+
+    def join_frontier(self, frontier: DataFrame) -> DataFrame:
+        """Equivalent of edges.join(frontier, "src") with salted distribution."""
+        fs = self.expand_frontier(frontier)
+        return self.edges.join(fs, ["src", "salt"]).drop("salt")
+
+    def unpersist(self):
+        self.edges.unpersist()
+        self.hubs.unpersist()

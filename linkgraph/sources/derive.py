@@ -1,0 +1,142 @@
+"""Edge derivation from transcripts and from the driver testdata tables.
+
+SURVEY.md §2.1 S7/S8: conv—conv edges via shared tool/actor; turn-adjacency
+edges under stable turn ordering (turn_idx, ts, row_number tie-break).
+
+Scale notes (100 TB posture):
+* Shared-key self-joins are quadratic per key — hub keys are capped/salted
+  BEFORE the join (`hub_cap`), and AQE skew-join is on as backstop.
+* `text` is never selected into any graph path — Catalyst column pruning
+  keeps the heavy column out of every shuffle, which is what preserves the
+  per-turn text-equality invariant for free (audited in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def stable_turn_order(transcripts: DataFrame) -> DataFrame:
+    """Stable total order of turns within a conversation (BASELINE input_hint).
+
+    Ordering key: (turn_idx, ts) with a row_number tie-break — deterministic
+    even if turn_idx collides.
+    """
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("turn_idx").asc(), F.col("ts").asc_nulls_last()
+    )
+    return transcripts.withColumn("turn_rank", F.row_number().over(w))
+
+
+def turn_adjacency_edges(transcripts: DataFrame) -> DataFrame:
+    """S8: (conv:turn) -> (conv:turn+1) chain under stable ordering.
+
+    Vertices are turn nodes encoded as struct(conv_id, turn_idx); callers
+    relabel to dense vids via LinkGraph.  Window + lead — single shuffle on
+    conv_id, no self-join.
+    """
+    ordered = stable_turn_order(transcripts)
+    w = Window.partitionBy("conv_id").orderBy("turn_rank")
+    return (
+        ordered.withColumn("next_turn_idx", F.lead("turn_idx").over(w))
+        .where(F.col("next_turn_idx").isNotNull())
+        .select(
+            F.col("conv_id"),
+            F.col("turn_idx").alias("src_turn"),
+            F.col("next_turn_idx").alias("dst_turn"),
+        )
+    )
+
+
+def shared_key_conv_edges(
+    transcripts: DataFrame,
+    key: str = "tool",
+    hub_cap: int | None = None,
+) -> DataFrame:
+    """S7: conv—conv edge when two conversations share a non-null `key`
+    (tool or actor/role).  Canonical orientation src < dst, distinct.
+
+    hub_cap: keys touching more than this many conversations are dropped
+    before the self-join (a tool shared by 10^5 convs ⇒ 10^10 pairs at
+    10^12-turn scale — hub tools carry no signal and quadratic cost).
+    The cap is part of the operator's documented semantics, applied
+    identically in oracles.
+    """
+    ck = (
+        transcripts.where(F.col(key).isNotNull())
+        .select(F.col("conv_id"), F.col(key).alias("k"))
+        .distinct()
+    )
+    if hub_cap is not None:
+        deg = ck.groupBy("k").agg(F.count("*").alias("n_convs"))
+        ck = ck.join(F.broadcast(deg.where(F.col("n_convs") <= hub_cap)), "k", "left_semi")
+    a, b = ck.alias("a"), ck.alias("b")
+    return (
+        a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.conv_id") < F.col("b.conv_id")))
+        .select(F.col("a.conv_id").alias("src_conv"), F.col("b.conv_id").alias("dst_conv"))
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------- testdata graphs
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """g_copurchase: part—part edges for parts in the same order (FIXTURES.md A).
+
+    Shared-key self-join (S7 analog) on l_orderkey; symmetric directed output.
+    """
+    pk = lineitem.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = pk.alias("a"), pk.alias("b")
+    return (
+        a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.p") != F.col("b.p")))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+    )
+
+
+def cust_supp_edges(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """g_cust_supp: bipartite customer—supplier edges via orders⋈lineitem.
+
+    Vertex encoding shared with the DuckDB oracle: customer -> 2*key,
+    supplier -> 2*key+1.  Symmetric directed output.
+    """
+    pairs = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    fwd = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    rev = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    return fwd.union(rev)
+
+
+def events_user_edges(events: DataFrame) -> DataFrame:
+    """g_events_user: user—user edges sharing an event_type (skewed S7 analog)."""
+    uk = events.select(F.col("event_type").alias("k"), F.col("user_id").alias("u")).distinct()
+    a, b = uk.alias("a"), uk.alias("b")
+    return (
+        a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.u") != F.col("b.u")))
+        .select(F.col("a.u").alias("src"), F.col("b.u").alias("dst"))
+        .distinct()
+    )
+
+
+def events_adjacency(events: DataFrame) -> DataFrame:
+    """g_events_adj: per-user consecutive event_type transitions (S8 analog).
+
+    Stable ordering (ts, event_id); output (src_type, dst_type, cnt).
+    """
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        events.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("src_type"), F.col("next_type").alias("dst_type")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
