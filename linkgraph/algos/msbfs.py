@@ -178,12 +178,14 @@ def msbfs(
     per_level_new: list[int] = []
     state = None
 
+    skip_account = False  # snapshot level was already accounted pre-snapshot
     if resume and checkpoint_mgr is not None:
         snap = checkpoint_mgr.latest()
         if snap is not None:
             state = checkpoint_mgr.read_state(snap).persist(StorageLevel.MEMORY_AND_DISK)
             m = snap["metrics"]
             level = int(m["level"])
+            skip_account = True
             r = np.asarray(m["r"], dtype=np.int64)
             s = np.asarray(m["s"], dtype=np.int64)
             traversed = int(m.get("traversed", 0))
@@ -203,35 +205,41 @@ def msbfs(
 
     while True:
         t_lvl = time.time()
-        # -- lane accounting on the current visit bits (drives materialization)
-        counts = (
-            state.select("vid", *_V)
-            .mapInArrow(count_kernel, count_schema)
-            .groupBy("lane")
-            .agg(F.sum("cnt").alias("cnt"))
-            .collect()
-        )
+        if skip_account:
+            # resumed: this level's bits were accounted before the snapshot
+            skip_account = False
+            new_total = per_level_new[level] if level < len(per_level_new) else 1
+            frontier_rows = None
+        else:
+            # -- lane accounting on current visit bits (drives materialization)
+            counts = (
+                state.select("vid", *_V)
+                .mapInArrow(count_kernel, count_schema)
+                .groupBy("lane")
+                .agg(F.sum("cnt").alias("cnt"))
+                .collect()
+            )
+            by_lane = {row["lane"]: row["cnt"] for row in counts}
+            frontier_rows = int(by_lane.pop(-1, 0))
+            new_total = int(sum(by_lane.values()))
+            per_level_new.append(new_total)
+            if new_total:
+                lane_arr = np.zeros(nsrc, dtype=np.int64)
+                for lane, cnt in by_lane.items():
+                    lane_arr[lane] = cnt
+                r += lane_arr
+                s += lane_arr * level
+            if emit_distances and new_total:
+                pdf = (
+                    state.select("vid", *_V)
+                    .mapInArrow(explode_kernel, "vid long, lane int")
+                    .toPandas()
+                )
+                pdf["dist"] = np.int32(level)
+                dist_frames.append(pdf)
         if prev_state is not None:
             prev_state.unpersist()
             prev_state = None
-        by_lane = {row["lane"]: row["cnt"] for row in counts}
-        frontier_rows = int(by_lane.pop(-1, 0))
-        new_total = int(sum(by_lane.values()))
-        per_level_new.append(new_total)
-        if new_total:
-            lane_arr = np.zeros(nsrc, dtype=np.int64)
-            for lane, cnt in by_lane.items():
-                lane_arr[lane] = cnt
-            r += lane_arr
-            s += lane_arr * level
-        if emit_distances and new_total:
-            pdf = (
-                state.select("vid", *_V)
-                .mapInArrow(explode_kernel, "vid long, lane int")
-                .toPandas()
-            )
-            pdf["dist"] = np.int32(level)
-            dist_frames.append(pdf)
 
         if new_total == 0 or (max_levels is not None and level >= max_levels):
             break

@@ -1,0 +1,482 @@
+"""Driver-contract queries and their DuckDB oracle SQL (SURVEY.md §5.4).
+
+Every operator from SURVEY.md §2 that is SQL-expressible gets a
+(queries()[name], oracle_sql()[name]) pair evaluated by the driver at
+sf=0.01; non-SQL-expressible ops (PageRank, LPA, MinHash/SimHash — hash
+functions differ across engines) get rows-only checks here plus exact
+numpy oracles in tests/.
+
+Column names and value rounding are mirrored exactly between the Spark
+query and the SQL string (the driver hash-compares values).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
+from linkgraph.sources import derive
+from linkgraph.tableio import read_testdata
+
+BFS_MAX_LEVELS = 8  # shared bound between msbfs and the recursive-CTE oracle
+
+
+# --------------------------------------------------------------------- helpers
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_testdata(spark, sf_dir, name)
+
+
+def copurchase_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
+    return LinkGraph(derive.copurchase_edges(_t(spark, sf_dir, "lineitem")))
+
+
+def user_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
+    return LinkGraph(derive.events_user_edges(_t(spark, sf_dir, "events")))
+
+
+_COPURCHASE_E = """
+pk AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+e AS (SELECT DISTINCT a.p AS src, b.p AS dst FROM pk a JOIN pk b
+      ON a.k = b.k AND a.p <> b.p)
+"""
+
+_USER_E = """
+uk AS (SELECT DISTINCT event_type AS k, user_id AS u FROM events),
+e AS (SELECT DISTINCT a.u AS src, b.u AS dst FROM uk a JOIN uk b
+      ON a.k = b.k AND a.u <> b.u)
+"""
+
+
+# ------------------------------------------------------------- graph operators
+def q_degree_topk(spark, sf_dir):
+    g = copurchase_graph(spark, sf_dir)
+    return (
+        g.degrees()
+        .orderBy(F.col("deg").desc(), F.col("vid").asc())
+        .limit(20)
+        .select("vid", F.col("deg").cast("long").alias("deg"))
+    )
+
+
+SQL_DEGREE_TOPK = f"""
+WITH {_COPURCHASE_E}
+SELECT src AS vid, CAST(COUNT(*) AS BIGINT) AS deg
+FROM e GROUP BY src ORDER BY deg DESC, vid ASC LIMIT 20
+"""
+
+
+def q_edges_shared_key(spark, sf_dir):
+    """S7 shared-key self-join derivation — full directed edge list."""
+    return derive.copurchase_edges(_t(spark, sf_dir, "lineitem")).select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+
+
+SQL_EDGES_SHARED_KEY = f"""
+WITH {_COPURCHASE_E}
+SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM e
+"""
+
+
+def q_edges_events_user(spark, sf_dir):
+    """S7 on the deliberately-skewed events table (hub event_types)."""
+    return derive.events_user_edges(_t(spark, sf_dir, "events")).select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+
+
+SQL_EDGES_EVENTS_USER = f"""
+WITH {_USER_E}
+SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM e
+"""
+
+
+def q_turn_adjacency(spark, sf_dir):
+    """S8 stable-ordered adjacency derivation (window + lead)."""
+    return derive.events_adjacency(_t(spark, sf_dir, "events")).select(
+        "src_type", "dst_type", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
+SQL_TURN_ADJACENCY = """
+WITH o AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+           AS next_type
+  FROM events)
+SELECT event_type AS src_type, next_type AS dst_type, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM o WHERE next_type IS NOT NULL GROUP BY event_type, next_type
+"""
+
+
+def _bfs_sources_sql() -> str:
+    return "SELECT DISTINCT l_partkey AS s FROM lineitem ORDER BY s ASC LIMIT 8"
+
+
+def q_bfs_distances(spark, sf_dir):
+    """Batched MS-BFS distances from the 8 lowest part keys (bounded levels)."""
+    from linkgraph.algos.msbfs import msbfs
+
+    g = copurchase_graph(spark, sf_dir)
+    srcs = [
+        r[0]
+        for r in _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("s"))
+        .distinct()
+        .orderBy("s")
+        .limit(8)
+        .collect()
+    ]
+    res = msbfs(g, srcs, emit_distances=True, max_levels=BFS_MAX_LEVELS)
+    return spark.createDataFrame(res.distances, schema="src long, vid long, dist int")
+
+
+SQL_BFS_DISTANCES = f"""
+WITH RECURSIVE {_COPURCHASE_E},
+srcs AS ({_bfs_sources_sql()}),
+bfs(src, v, dist) AS (
+  SELECT s, s, 0 FROM srcs
+  UNION
+  SELECT bfs.src, e.dst, bfs.dist + 1 FROM bfs JOIN e ON e.src = bfs.v
+  WHERE bfs.dist < {BFS_MAX_LEVELS})
+SELECT CAST(src AS BIGINT) AS src, CAST(v AS BIGINT) AS vid,
+       CAST(MIN(dist) AS INT) AS dist
+FROM bfs GROUP BY src, v
+"""
+
+
+def q_closeness(spark, sf_dir):
+    """Top-degree 64-source batch closeness (the reference's flagship app)."""
+    from linkgraph.algos.msbfs import closeness, msbfs
+
+    g = copurchase_graph(spark, sf_dir)
+    srcs = g.top_degree_vids(64)
+    res = msbfs(g, srcs, max_levels=BFS_MAX_LEVELS + 4)
+    return closeness(g, res).select(
+        "src", "r", "s", F.round("c", 6).alias("c")
+    )
+
+
+SQL_CLOSENESS = f"""
+WITH RECURSIVE {_COPURCHASE_E},
+deg AS (SELECT src AS vid, COUNT(*) AS d FROM e GROUP BY src),
+n AS (SELECT COUNT(*) AS n FROM deg),
+srcs AS (SELECT vid AS s FROM deg ORDER BY d DESC, vid ASC LIMIT 64),
+bfs(src, v, dist) AS (
+  SELECT s, s, 0 FROM srcs
+  UNION
+  SELECT bfs.src, e.dst, bfs.dist + 1 FROM bfs JOIN e ON e.src = bfs.v
+  WHERE bfs.dist < {BFS_MAX_LEVELS + 4}),
+md AS (SELECT src, v, MIN(dist) AS dist FROM bfs GROUP BY src, v),
+rs AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS r, CAST(SUM(dist) AS BIGINT) AS s
+       FROM md GROUP BY src)
+SELECT rs.src AS src, rs.r AS r, rs.s AS s,
+       ROUND(CASE WHEN rs.s > 0 AND n.n > 1
+             THEN (rs.r - 1.0) * (rs.r - 1.0) / ((n.n - 1.0) * rs.s)
+             ELSE 0.0 END, 6) AS c
+FROM rs, n
+"""
+
+
+def q_connected_components(spark, sf_dir):
+    from linkgraph.algos.components import connected_components
+
+    g = user_graph(spark, sf_dir)
+    return connected_components(g).select(
+        F.col("vid").cast("long").alias("vid"), F.col("comp").cast("long").alias("comp")
+    )
+
+
+SQL_CONNECTED_COMPONENTS = f"""
+WITH RECURSIVE {_USER_E},
+verts AS (SELECT DISTINCT src AS v FROM e),
+reach(v, u) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT reach.v, e.dst FROM reach JOIN e ON e.src = reach.u)
+SELECT CAST(v AS BIGINT) AS vid, CAST(MIN(u) AS BIGINT) AS comp
+FROM reach GROUP BY v
+"""
+
+
+def q_triangle_count(spark, sf_dir):
+    from linkgraph.algos.triangles import triangle_count
+
+    g = user_graph(spark, sf_dir)
+    return spark.createDataFrame(
+        [(triangle_count(g, by_degree=True),)], "n_triangles long"
+    )
+
+
+SQL_TRIANGLE_COUNT = f"""
+WITH {_USER_E},
+o AS (SELECT src AS a, dst AS b FROM e WHERE src < dst)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM o e1 JOIN o e2 ON e1.b = e2.a JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+def q_triangles_per_vertex(spark, sf_dir):
+    from linkgraph.algos.triangles import triangles_per_vertex
+
+    g = user_graph(spark, sf_dir)
+    return triangles_per_vertex(g).select(
+        F.col("vid").cast("long").alias("vid"), F.col("tri").cast("long").alias("tri")
+    )
+
+
+SQL_TRIANGLES_PER_VERTEX = f"""
+WITH {_USER_E},
+o AS (SELECT src AS a, dst AS b FROM e WHERE src < dst),
+t AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+      FROM o e1 JOIN o e2 ON e1.b = e2.a JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (SELECT a AS vid FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t)
+SELECT CAST(vid AS BIGINT) AS vid, CAST(COUNT(*) AS BIGINT) AS tri
+FROM corners GROUP BY vid
+"""
+
+
+def q_pagerank_topk(spark, sf_dir):
+    """Rows-only check (float iteration not cleanly SQL-expressible);
+    exact numpy oracle in tests/test_algos.py."""
+    from linkgraph.algos.pagerank import pagerank
+
+    g = user_graph(spark, sf_dir)
+    pr = pagerank(g, tol=1e-6, max_iter=30)
+    return pr.orderBy(F.col("pr").desc(), F.col("vid").asc()).limit(20).select(
+        "vid", F.round("pr", 6).alias("pr")
+    )
+
+
+def q_label_propagation(spark, sf_dir):
+    """Rows-only check; determinism + community oracle in tests."""
+    from linkgraph.algos.labelprop import label_propagation
+
+    g = user_graph(spark, sf_dir)
+    return label_propagation(g, max_iter=5).select("vid", "label")
+
+
+# --------------------------------------------------------------- training-data
+def q_dedup_exact(spark, sf_dir):
+    from linkgraph.textops.dedup import exact_duplicates
+
+    return exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS n_dups,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id
+FROM documents GROUP BY md5(text)
+"""
+
+_SQL_TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+_SQL_STOP = "['the','a','an','and','or','of','to','in','is','it']"
+
+
+def q_text_stats(spark, sf_dir):
+    from linkgraph.textops.textstats import text_stats
+
+    return text_stats(_t(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_STATS = f"""
+WITH tok AS (
+  SELECT doc_id, text, {_SQL_TOKENS} AS ts FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(LENGTH(text) AS BIGINT) AS n_chars,
+         CAST(len(ts) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(list_sum(list_transform(ts, x -> LENGTH(x))), 0) AS DOUBLE) AS tok_chars,
+         CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) AS n_punct,
+         CAST(len(list_filter(ts, x -> list_contains({_SQL_STOP}, x))) AS DOUBLE) AS n_stop
+  FROM tok)
+SELECT doc_id, n_chars, n_tokens,
+  ROUND(CASE WHEN n_tokens > 0 THEN tok_chars / n_tokens ELSE 0.0 END, 4) AS avg_token_len,
+  ROUND(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END, 4) AS punct_ratio,
+  ROUND(CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END, 4) AS stopword_ratio,
+  ROUND(
+    (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END)
+    + (CASE WHEN n_tokens > 0 AND tok_chars / n_tokens >= 3.0 AND tok_chars / n_tokens <= 12.0
+            THEN 0.3 ELSE 0.0 END)
+    + (CASE WHEN n_chars = 0 OR n_punct / n_chars <= 0.2 THEN 0.3 ELSE 0.0 END), 4) AS quality
+FROM m
+"""
+
+
+def q_language_id(spark, sf_dir):
+    from linkgraph.textops.textstats import language_id
+
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+SQL_LANGUAGE_ID = f"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents),
+m AS (SELECT doc_id, len(ts) AS nt,
+             len(list_filter(ts, x -> list_contains({_SQL_STOP}, x))) AS en
+      FROM tok)
+SELECT doc_id,
+  ROUND(CASE WHEN nt > 0 THEN CAST(en AS DOUBLE) / nt ELSE 0.0 END, 4) AS en_ratio,
+  CASE WHEN nt > 0 AND CAST(en AS DOUBLE) / nt >= 0.05 THEN 'en' ELSE 'other' END AS lang_pred
+FROM m
+"""
+
+
+def q_token_totals(spark, sf_dir):
+    from linkgraph.textops.textstats import token_count_total
+
+    return token_count_total(_t(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_TOTALS = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS total_tokens,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+FROM documents
+"""
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram (word) Jaccard near-dup pairs, df-capped candidates."""
+    from linkgraph.textops.dedup import word_jaccard_pairs
+
+    return word_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.3, max_df=50
+    ).select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        "jac",
+    )
+
+
+SQL_JACCARD_PAIRS = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS w FROM documents),
+capped AS (
+  SELECT doc_id, w FROM tok
+  WHERE w IN (SELECT w FROM tok GROUP BY w HAVING COUNT(*) <= 50)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM capped GROUP BY doc_id),
+inter AS (
+  SELECT t1.doc_id AS a, t2.doc_id AS b, COUNT(*) AS i
+  FROM capped t1 JOIN capped t2 ON t1.w = t2.w AND t1.doc_id < t2.doc_id
+  GROUP BY t1.doc_id, t2.doc_id)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jac
+FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.3
+"""
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from linkgraph.textops.simsearch import cosine_topk
+
+    return cosine_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id = 0),
+d AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id <> 0)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       ROUND(list_dot_product(v, qv) /
+             (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS sim
+FROM d, q ORDER BY sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """Rows-only (xxhash64 differs across engines); recall oracle in tests."""
+    from linkgraph.textops.dedup import minhash_near_duplicates
+
+    return minhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), threshold=0.3, num_hashes=64, bands=16
+    )
+
+
+def q_simhash(spark, sf_dir):
+    """Rows-only; determinism + hamming-locality oracle in tests."""
+    from linkgraph.textops.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark, sf_dir):
+    """Rows-only; determinism oracle in tests."""
+    from linkgraph.textops.textstats import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_text_integrity(spark, sf_dir):
+    """Per-row sha256 audit of the text column (end-to-end text equality)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"), F.sha2(F.col("text"), 256).alias("sha"))
+    )
+
+
+SQL_TEXT_INTEGRITY = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, sha256(text) AS sha FROM documents
+"""
+
+
+QUERIES = {
+    "degree_topk": q_degree_topk,
+    "edges_shared_key": q_edges_shared_key,
+    "edges_events_user": q_edges_events_user,
+    "turn_adjacency": q_turn_adjacency,
+    "bfs_distances": q_bfs_distances,
+    "closeness": q_closeness,
+    "connected_components": q_connected_components,
+    "triangle_count": q_triangle_count,
+    "triangles_per_vertex": q_triangles_per_vertex,
+    "pagerank_topk": q_pagerank_topk,
+    "label_propagation": q_label_propagation,
+    "dedup_exact": q_dedup_exact,
+    "text_stats": q_text_stats,
+    "language_id": q_language_id,
+    "token_totals": q_token_totals,
+    "jaccard_pairs": q_jaccard_pairs,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "fingerprint": q_fingerprint,
+    "text_integrity": q_text_integrity,
+}
+
+ORACLES = {
+    "degree_topk": SQL_DEGREE_TOPK,
+    "edges_shared_key": SQL_EDGES_SHARED_KEY,
+    "edges_events_user": SQL_EDGES_EVENTS_USER,
+    "turn_adjacency": SQL_TURN_ADJACENCY,
+    "bfs_distances": SQL_BFS_DISTANCES,
+    "closeness": SQL_CLOSENESS,
+    "connected_components": SQL_CONNECTED_COMPONENTS,
+    "triangle_count": SQL_TRIANGLE_COUNT,
+    "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "text_stats": SQL_TEXT_STATS,
+    "language_id": SQL_LANGUAGE_ID,
+    "token_totals": SQL_TOKEN_TOTALS,
+    "jaccard_pairs": SQL_JACCARD_PAIRS,
+    "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "text_integrity": SQL_TEXT_INTEGRITY,
+}
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """MS-BFS batched closeness top-10 on the co-purchase link graph."""
+    from linkgraph.algos.msbfs import closeness, msbfs
+
+    g = copurchase_graph(spark, sf_dir)
+    srcs = g.top_degree_vids(min(64, g.num_vertices()))
+    res = msbfs(g, srcs)
+    return (
+        closeness(g, res)
+        .orderBy(F.col("c").desc(), F.col("src").asc())
+        .limit(10)
+        .select("src", "r", "s", F.round("c", 6).alias("c"))
+    )

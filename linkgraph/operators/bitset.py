@@ -42,7 +42,11 @@ def pack_sources(sources: list[int], nlimbs: int = NLIMBS) -> pd.DataFrame:
 
 def limbs_to_bits(limbs: np.ndarray) -> np.ndarray:
     """(rows, nlimbs) uint64 -> (rows, nlimbs*64) uint8 bit matrix."""
-    u8 = limbs.astype(np.uint64).view(np.uint8).reshape(limbs.shape[0], -1)
+    u8 = (
+        np.ascontiguousarray(limbs, dtype=np.uint64)
+        .view(np.uint8)
+        .reshape(limbs.shape[0], -1)
+    )
     return np.unpackbits(u8, axis=1, bitorder="little")
 
 

@@ -54,7 +54,12 @@ class SaltedEdges:
             F.col("is_hub").isNotNull(),
             F.sequence(F.lit(0), F.lit(self.s - 1)),
         ).otherwise(F.array(F.lit(0)))
-        return f.withColumn("salt", F.explode(salts).cast("int")).drop("is_hub")
+        return (
+            f.withColumn("salts", salts)
+            .withColumn("salt", F.explode("salts"))
+            .withColumn("salt", F.col("salt").cast("int"))
+            .drop("is_hub", "salts")
+        )
 
     def join_frontier(self, frontier: DataFrame) -> DataFrame:
         """Equivalent of edges.join(frontier, "src") with salted distribution."""

@@ -1,0 +1,147 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k (JVM-side zip_with/aggregate — the exactness
+baseline and the DuckDB-oracle path) and an LSH-bucketed approximate
+variant (random-hyperplane signatures) as the scale path: at 100 TB the
+bucketed join touches only colliding candidates instead of n·q pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors of one stored vector by cosine similarity.
+
+    (vec_id, sim) — ties broken by vec_id; Spark plans TakeOrderedAndProject
+    (distributed heap), no full sort.  Vectors upcast to double so the
+    reduction matches the float64 oracle.
+    """
+    emb = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    q = emb.where(F.col("vec_id") == query_id).select(F.col("v").alias("qv"))
+    sims = emb.where(F.col("vec_id") != query_id).crossJoin(F.broadcast(q))
+    return (
+        sims.select(
+            "vec_id",
+            F.round(_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv"))), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def brute_force_knn(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs exact knn for a (small, broadcastable) query set.
+
+    (query_id, vec_id, sim, rank≤k).  The corpus side streams; only the
+    query side is broadcast — the correct asymmetric shape at scale.
+    """
+    from pyspark.sql import Window
+
+    emb = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    pairs = emb.crossJoin(F.broadcast(qs)).where(F.col("vec_id") != F.col("query_id"))
+    sims = pairs.select(
+        "query_id",
+        "vec_id",
+        (_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def hyperplane_lsh_buckets(
+    embeddings: DataFrame,
+    num_planes: int = 16,
+    dim: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane signature: bucket = sign-bit pattern of `num_planes`
+    projections (deterministic seed).  Arrow-batched numpy matmul kernel.
+
+    Returns (vec_id, bucket:int).  Cosine-close vectors collide with
+    probability (1 - theta/pi)^planes.
+    """
+    import pyarrow as pa
+
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, num_planes)).astype(np.float64)
+
+    def kernel(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            mat = np.asarray(batch.column(1).to_pylist(), dtype=np.float64)
+            proj = mat @ planes  # (rows, planes)
+            bits = (proj > 0).astype(np.int64)
+            bucket = (bits * (1 << np.arange(num_planes, dtype=np.int64))).sum(axis=1)
+            yield pa.RecordBatch.from_pydict(
+                {"vec_id": pa.array(ids, pa.int64()), "bucket": pa.array(bucket, pa.int64())}
+            )
+
+    src = embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    return src.mapInArrow(kernel, "vec_id long, bucket long")
+
+
+def lsh_knn(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    num_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine within the query's LSH bucket only."""
+    buckets = hyperplane_lsh_buckets(embeddings, num_planes, id_col=id_col, vec_col=vec_col)
+    qb = buckets.where(F.col("vec_id") == query_id).select(F.col("bucket"))
+    cand = buckets.join(F.broadcast(qb), "bucket", "left_semi").select("vec_id")
+    sub = embeddings.join(
+        cand.withColumnRenamed("vec_id", id_col), id_col, "left_semi"
+    )
+    # query vector must be present in the subset (same bucket by definition)
+    return cosine_topk(sub, query_id, k, id_col=id_col, vec_col=vec_col)

@@ -1,0 +1,116 @@
+"""MS-BFS correctness: hand oracles, scipy shortest-path oracle,
+cross-variant agreement (the reference's own validation strategy),
+batch ≡ independent single-source runs, traversal invariants."""
+
+import numpy as np
+import pytest
+
+from linkgraph.algos.msbfs import batched_closeness, closeness, msbfs
+from linkgraph.fixtures import edges_df, er_edges, grid_edges, two_cliques_edges
+from linkgraph.graph import LinkGraph
+
+
+@pytest.fixture(scope="module")
+def grid(spark):
+    return LinkGraph.from_undirected(edges_df(spark, grid_edges()), num_partitions=8)
+
+
+@pytest.fixture(scope="module")
+def er(spark):
+    return LinkGraph.from_undirected(edges_df(spark, er_edges(120, 0.04)), num_partitions=8)
+
+
+def test_grid_distances_manhattan(grid):
+    res = msbfs(grid, [0, 63], emit_distances=True)
+    d = res.distances
+    exp0 = {r * 8 + c: r + c for r in range(8) for c in range(8)}
+    got0 = d[d.src == 0].set_index("vid")["dist"].to_dict()
+    assert got0 == exp0
+    got63 = d[d.src == 63].set_index("vid")["dist"].to_dict()
+    assert got63 == {v: 14 - dist for v, dist in exp0.items()}
+    assert res.r[0] == 64 and res.s[0] == sum(exp0.values())
+
+
+def _bfs_oracle(pairs, src):
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    dist = {src: 0}
+    q = collections.deque([src])
+    while q:
+        v = q.popleft()
+        for u in adj[v]:
+            if u not in dist:
+                dist[u] = dist[v] + 1
+                q.append(u)
+    return dist
+
+
+def test_er_distances_vs_oracle(er):
+    pairs = er_edges(120, 0.04)
+    srcs = [0, 1, 5, 17, 63]
+    res = msbfs(er, srcs, emit_distances=True)
+    d = res.distances
+    for s in srcs:
+        got = d[d.src == s].set_index("vid")["dist"].to_dict()
+        assert got == _bfs_oracle(pairs, s), f"source {s}"
+
+
+def test_cross_variant_agreement(er):
+    """Relational bit_or aggregation ≡ numpy kernel aggregation, bit-exact."""
+    srcs = [0, 1, 5, 17, 63]
+    a = msbfs(er, srcs, emit_distances=True, mode="relational")
+    b = msbfs(er, srcs, emit_distances=True, mode="kernel")
+    da = a.distances.sort_values(["src", "vid"]).reset_index(drop=True)
+    db = b.distances.sort_values(["src", "vid"]).reset_index(drop=True)
+    assert da.equals(db)
+    assert np.array_equal(a.r, b.r) and np.array_equal(a.s, b.s)
+
+
+def test_batch_equals_single_source(grid):
+    """512-lane batched run ≡ independent single-source runs."""
+    srcs = [0, 9, 36]
+    batch = msbfs(grid, srcs, emit_distances=True)
+    for j, s in enumerate(srcs):
+        solo = msbfs(grid, [s], emit_distances=True)
+        got = batch.distances[batch.distances.src == s].set_index("vid")["dist"].to_dict()
+        exp = solo.distances.set_index("vid")["dist"].to_dict()
+        assert got == exp
+        assert batch.r[j] == solo.r[0] and batch.s[j] == solo.s[0]
+
+
+def test_closeness_two_cliques(spark):
+    g = LinkGraph.from_undirected(edges_df(spark, two_cliques_edges(10)), num_partitions=8)
+    n = g.num_vertices()
+    assert n == 20
+    res = msbfs(g, [0, 5, 10])
+    df = closeness(g, res).toPandas().set_index("src")
+    # vertex 0 (bridge endpoint): dist 1 to 9 clique mates + vertex 10; dist 2 to other 9
+    assert df.loc[0, "r"] == 20 and df.loc[0, "s"] == 10 + 2 * 9
+    # vertex 5 (inner clique): 1 to 9 mates, 2 to bridge-far-end 10, 3 to its 9 mates
+    assert df.loc[5, "s"] == 9 + 2 + 3 * 9
+    c0 = (20 - 1) ** 2 / ((20 - 1) * 28)
+    assert abs(df.loc[0, "c"] - c0) < 1e-9
+
+
+def test_batched_closeness_all_sources(grid):
+    df, results = batched_closeness(grid, sources=list(range(64)), batch_width=32)
+    assert len(results) == 2  # two 32-lane batches
+    pdf = df.toPandas()
+    assert len(pdf) == 64
+    # grid is vertex-transitive along diagonal: center vertices have highest c
+    best = pdf.sort_values(["c", "src"], ascending=[False, True]).iloc[0]
+    assert best["src"] in (27, 28, 35, 36)
+
+
+def test_monotone_seen_invariant(grid):
+    """per-level new counts are the BFS level profile — strictly the frontier
+    sizes of a fresh traversal (seen monotonicity ⇒ no vertex recounted)."""
+    res = msbfs(grid, [0])
+    assert sum(res.per_level_new) == 64  # each vertex counted exactly once
+    assert res.per_level_new[0] == 1
+    assert all(x > 0 for x in res.per_level_new[:-1])

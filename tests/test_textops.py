@@ -1,0 +1,148 @@
+"""Training-data ops: dedup (exact / MinHash-LSH / SimHash / Jaccard),
+similarity search, text stats, fingerprints, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.textops.dedup import (
+    exact_duplicates,
+    lsh_candidate_pairs,
+    minhash_near_duplicates,
+    simhash,
+    simhash_near_duplicates,
+    word_jaccard_pairs,
+)
+from linkgraph.textops.simsearch import brute_force_knn, cosine_topk, lsh_knn
+from linkgraph.textops.textstats import fingerprint, language_id, text_stats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",  # near-dup of 0
+        "completely different content about spark engines and shuffles",
+        "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+        "numerical linear algebra with distributed matrices",
+        "zzz qqq xxx www",  # no overlap, non-english
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(base)), "text": base})
+    ).cache()
+
+
+def test_exact_duplicates(docs):
+    groups = exact_duplicates(docs).collect()
+    dup = [g for g in groups if g["n_dups"] > 1]
+    assert len(dup) == 1 and dup[0]["n_dups"] == 2 and dup[0]["keep_id"] == 0
+
+
+def test_word_jaccard_finds_near_dup(docs):
+    pairs = {(r["a"], r["b"]): r["jac"] for r in word_jaccard_pairs(docs, 0.5).collect()}
+    assert pairs[(0, 3)] == 1.0  # exact dup
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.7
+
+
+def test_lsh_candidates_superset_of_true_pairs(docs):
+    true = {(r["a"], r["b"]) for r in word_jaccard_pairs(docs, 0.7).collect()}
+    cand = {(r["a"], r["b"]) for r in lsh_candidate_pairs(docs, 64, 32).collect()}
+    assert true <= cand  # 32 bands of r=2: recall@0.7 ≈ 1-(1-.49)^32 ≈ 1
+    verified = {(r["a"], r["b"]) for r in minhash_near_duplicates(docs, 0.7, 64, 32).collect()}
+    assert verified == true
+
+
+def test_simhash_locality(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    ham01 = bin((sh[0] ^ sh[1]) & 0xFFFFFFFFFFFFFFFF).count("1")
+    ham02 = bin((sh[0] ^ sh[2]) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert sh[0] == sh[3]  # identical docs → identical simhash
+    assert ham01 < ham02  # near-dup closer than unrelated
+    near = {(r["a"], r["b"]) for r in simhash_near_duplicates(docs, max_hamming=ham01).collect()}
+    assert (0, 3) in near and (0, 1) in near
+
+
+def test_fingerprint_deterministic(docs):
+    a = {r["doc_id"]: r["fp"] for r in fingerprint(docs).collect()}
+    b = {r["doc_id"]: r["fp"] for r in fingerprint(docs).collect()}
+    assert a == b
+    assert a[0] == a[3]  # identical text → identical fingerprint
+    assert a[0] != a[2]
+
+
+def test_language_id(docs):
+    lang = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    assert lang[0] == "en" and lang[5] == "other"
+
+
+def test_text_stats_shape(docs):
+    df = text_stats(docs).toPandas().set_index("doc_id")
+    assert (df["n_tokens"] > 0).all()
+    assert df.loc[0, "n_tokens"] == 9
+    assert 0 <= df["quality"].min() and df["quality"].max() <= 1.0
+
+
+# ------------------------------------------------------------------ simsearch
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((60, 16)).astype(np.float32)
+    vecs[7] = vecs[0] + 0.01 * rng.standard_normal(16).astype(np.float32)  # near 0
+    return spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(60), "embedding": [v.tolist() for v in vecs]})
+    ).cache()
+
+
+def test_cosine_topk_matches_numpy(emb):
+    pdf = emb.toPandas()
+    V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    q = V[0]
+    sims = V @ q / (np.linalg.norm(V, axis=1) * np.linalg.norm(q))
+    order = sorted((-s, i) for i, s in enumerate(sims) if i != 0)[:10]
+    exp = [i for _, i in order]
+    got = [r["vec_id"] for r in cosine_topk(emb, 0, 10).collect()]
+    assert got == exp
+    assert got[0] == 7
+
+
+def test_brute_force_knn_multi_query(emb):
+    qs = emb.where(F.col("vec_id") < 3)
+    res = brute_force_knn(emb, qs, k=5).toPandas()
+    assert set(res["query_id"]) == {0, 1, 2}
+    assert (res.groupby("query_id").size() == 5).all()
+    top0 = res[(res.query_id == 0) & (res["rank"] == 1)]["vec_id"].iloc[0]
+    assert top0 == 7
+
+
+def test_lsh_knn_finds_planted_neighbor(emb):
+    got = [r["vec_id"] for r in lsh_knn(emb, 0, k=5, num_planes=8).collect()]
+    assert got and got[0] == 7  # planted near-dup survives bucketing
+
+
+# ----------------------------------------------------------------- multimodal
+def test_multimodal_plumbing(spark):
+    from linkgraph.textops.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        fake_feature,
+        frame_sample_plan,
+    )
+
+    rows = [
+        (1, "image", b"\x00\x01\x02\x03" * 10, "image/fake", 2, 2, None),
+        (2, "video", b"\xff" * 64, "video/fake", 8, 8, 3000),
+        (3, "audio", None, "audio/fake", None, None, 1500),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_features(media, dim=8).toPandas().set_index("media_id")
+    assert feats.loc[1, "n_bytes"] == 40
+    assert len(feats.loc[1, "feature"]) == 8
+    assert np.allclose(feats.loc[1, "feature"], fake_feature(rows[0][2], 8))
+    assert feats.loc[3, "n_bytes"] == 0
+
+    plan = frame_sample_plan(media, every_ms=1000).toPandas()
+    assert set(plan[plan.media_id == 2]["ts_ms"]) == {0, 1000, 2000, 3000}
+
+    with pytest.raises(Exception):
+        extract_features(media, use_real_decode=True).collect()
