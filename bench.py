@@ -1,0 +1,134 @@
+"""Benchmark harness (driver contract): runs the headline graph + text
+queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "gteps": ..., ...}
+
+Graphs (BASELINE.md): (1) co-purchase graph derived from sf lineitem,
+(2) Zipf hub-tool graph from synthetic transcripts (seed=42, M scaled to
+the sf).  GTEPS counts (edge, lane) expansions of the 512-lane MS-BFS
+batch per second, the paper's many-source TEPS notion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import functions as F
+
+    from linkgraph.algos.components import connected_components
+    from linkgraph.algos.msbfs import closeness, msbfs
+    from linkgraph.algos.pagerank import pagerank
+    from linkgraph.algos.triangles import triangle_count
+    from linkgraph.entry_queries import copurchase_graph
+    from linkgraph.fixtures import transcripts_df
+    from linkgraph.graph import LinkGraph
+    from linkgraph.session import get_spark
+    from linkgraph.sources.derive import shared_key_conv_edges
+    from linkgraph.tableio import read_testdata
+    from linkgraph.textops.dedup import minhash_near_duplicates
+
+    spark = get_spark(master=f"local[{cpus}]", app_name="linkgraph-bench")
+    timings: dict[str, float] = {}
+    extras: dict[str, object] = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.time()
+                return self
+
+            def __exit__(self, *a):
+                timings[name] = round(time.time() - self.t0, 3)
+                print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
+
+        return _T()
+
+    # ---- graph 1: co-purchase from sf lineitem
+    with timed("build_copurchase"):
+        g1 = copurchase_graph(spark, sf_dir)
+        nv1, ne1 = g1.num_vertices(), g1.num_edges()
+    extras["copurchase"] = {"V": nv1, "E_directed": ne1}
+
+    with timed("msbfs512_closeness_copurchase"):
+        srcs = g1.top_degree_vids(min(512, nv1))
+        res = msbfs(g1, srcs, track_teps=True)
+        top = (
+            closeness(g1, res)
+            .orderBy(F.col("c").desc(), F.col("src").asc())
+            .limit(10)
+            .collect()
+        )
+    extras["msbfs_copurchase"] = {
+        "levels": res.levels,
+        "bit_edge_traversals": res.traversed_bit_edges,
+        "gteps": round(res.gteps(), 4),
+    }
+
+    with timed("pagerank10_copurchase"):
+        pagerank(g1, tol=0.0, max_iter=10, assume_no_dangling=True).count()
+
+    with timed("cc_copurchase"):
+        connected_components(g1).agg(F.countDistinct("comp")).collect()
+
+    with timed("triangles_copurchase"):
+        extras["triangles_copurchase"] = triangle_count(g1, by_degree=True)
+
+    g1.unpersist()
+
+    # ---- graph 2: Zipf hub-tool transcript graph (skew stress, salted path)
+    n_convs = {"0.001": 2000, "0.01": 8000, "0.1": 20000}.get(sf, 20000)
+    with timed("build_zipf_graph"):
+        t = transcripts_df(spark, n_convs=n_convs)
+        pairs = shared_key_conv_edges(t, key="tool", hub_cap=500)
+        g2, _ = LinkGraph.from_string_vertices(pairs, "src_conv", "dst_conv")
+        nv2, ne2 = g2.num_vertices(), g2.num_edges()
+    extras["zipf"] = {"V": nv2, "E_directed": ne2, "n_convs": n_convs}
+
+    with timed("msbfs512_zipf"):
+        res2 = msbfs(g2, g2.top_degree_vids(min(512, nv2)), track_teps=True)
+    extras["msbfs_zipf"] = {
+        "levels": res2.levels,
+        "bit_edge_traversals": res2.traversed_bit_edges,
+        "gteps": round(res2.gteps(), 4),
+    }
+
+    with timed("pagerank10_zipf"):
+        pagerank(g2, tol=0.0, max_iter=10, assume_no_dangling=True).count()
+    g2.unpersist()
+
+    # ---- training-data op on the documents table
+    with timed("minhash_dedup_documents"):
+        minhash_near_duplicates(
+            read_testdata(spark, sf_dir, "documents"), threshold=0.5
+        ).count()
+
+    spark.stop()
+
+    out = {
+        "metric": "headline graph+text suite wall time (512-lane MS-BFS GTEPS in extras)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "gteps": extras["msbfs_copurchase"]["gteps"],
+        "extras": extras,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -24,8 +24,14 @@ def pagerank(
     snapshot_every: int = 10,
     resume: bool = False,
     verbose: bool = False,
+    assume_no_dangling: bool = False,
 ) -> DataFrame:
-    """Returns (vid, pr).  Ranks sum to 1 (dangling mass redistributed)."""
+    """Returns (vid, pr).  Ranks sum to 1 (dangling mass redistributed).
+
+    assume_no_dangling skips the per-iteration dangling-mass action — safe
+    on symmetric edge tables (every vertex has out-edges by construction).
+    tol <= 0 runs exactly max_iter iterations and skips the per-iteration
+    delta action (fixed-budget benchmark mode)."""
     spark = graph.spark
     vertices = graph.vertices().persist(StorageLevel.MEMORY_AND_DISK)
     n = vertices.count()
@@ -47,10 +53,13 @@ def pagerank(
         # dangling vertices have no out-edges: in a symmetric graph none,
         # but handle generally (one tiny agg over the anti-join).
         with_deg = ranks.join(deg, "vid", "left")
-        dangling = (
-            with_deg.where(F.col("deg").isNull()).agg(F.sum("pr").alias("m")).first()["m"]
-            or 0.0
-        )
+        if assume_no_dangling:
+            dangling = 0.0
+        else:
+            dangling = (
+                with_deg.where(F.col("deg").isNull()).agg(F.sum("pr").alias("m")).first()["m"]
+                or 0.0
+            )
         contribs = (
             graph.edges.join(
                 with_deg.where(F.col("deg").isNotNull()).select(
@@ -70,20 +79,23 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
-        delta = (
-            new_ranks.alias("n")
-            .join(ranks.alias("o"), "vid")
-            .agg(F.max(F.abs(F.col("n.pr") - F.col("o.pr"))).alias("d"))
-            .first()["d"]
-        )
+        delta = None
+        if tol > 0:
+            delta = (
+                new_ranks.alias("n")
+                .join(ranks.alias("o"), "vid")
+                .agg(F.max(F.abs(F.col("n.pr") - F.col("o.pr"))).alias("d"))
+                .first()["d"]
+            )
         ranks = new_ranks
         if verbose:
-            print(f"[pagerank] iter {it}: delta={delta:.3e}", flush=True)
+            print(f"[pagerank] iter {it}: delta={delta}", flush=True)
         if checkpoint_mgr is not None and (it + 1) % snapshot_every == 0:
             ranks = checkpoint_mgr.write_state(
-                ranks, it + 1, {"iteration": it + 1, "delta": float(delta)}
+                ranks, it + 1,
+                {"iteration": it + 1, "delta": float(delta) if delta is not None else -1.0},
             ).localCheckpoint(eager=True)
-        if delta < tol:
+        if delta is not None and delta < tol:
             break
     vertices.unpersist()
     return ranks

@@ -53,11 +53,10 @@ def make_transcripts(n_convs: int = 200) -> pd.DataFrame:
         f"turn {t} of {c}: {_sha12(c, t)}"
         for c, t in zip(conv_ids.tolist(), turn_idx.tolist())
     ]
-    base = _dt.datetime(2026, 1, 1, tzinfo=_dt.timezone.utc)
-    ts = [
-        base + _dt.timedelta(seconds=int(c) * 60 + int(t))
-        for c, t in zip(conv_rep.tolist(), turn_idx.tolist())
-    ]
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    ts = pd.Series(
+        base + (conv_rep.astype("int64") * 60 + turn_idx.astype("int64")) * np.timedelta64(1_000_000, "us")
+    )
     return pd.DataFrame(
         {
             "conv_id": conv_ids,

@@ -18,14 +18,23 @@ class LinkGraph:
     def __init__(self, edges: DataFrame, num_partitions: int | None = None, persist: bool = True):
         """edges: directed (src:long, dst:long); use from_undirected for
         symmetric closure.  Partitioned by src so frontier-expand joins are
-        co-located (SURVEY.md J1)."""
+        co-located (SURVEY.md J1).
+
+        The materialized edge table uses localCheckpoint, not plain persist:
+        derivation plans can embed LocalRelations / deep self-join trees, and
+        every downstream action re-canonicalizes the full logical plan even
+        on a cache hit — O(seconds) of pure driver time per iteration.
+        Checkpointing truncates the plan to a cached-RDD scan.  (On a
+        cluster, a real checkpoint / Iceberg table write gives the same
+        truncation plus fault tolerance — see checkpoint.CheckpointManager.)
+        """
         spark = edges.sparkSession
         p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
         self.edges = (
             edges.repartition(p, "src").sortWithinPartitions("src", "dst")
         )
         if persist:
-            self.edges = self.edges.persist(StorageLevel.MEMORY_AND_DISK)
+            self.edges = self.edges.localCheckpoint(eager=False)
         self._degrees = None
         self._num_vertices = None
         self._num_edges = None
@@ -46,6 +55,9 @@ class LinkGraph:
         Degree-descending order (O1): hubs get small vids, improving batch
         bit-sharing and co-location.  Returns (graph, vertices-dict DF).
         """
+        # pairs is typically an expensive derivation (self-join distinct);
+        # it is consumed 3x below (degree count, two relabel joins) — persist.
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
         occ = pairs.select(F.col(src_col).alias("name")).union(
             pairs.select(F.col(dst_col).alias("name"))
         )
@@ -60,7 +72,10 @@ class LinkGraph:
             .join(v.withColumnRenamed("name", dst_col).withColumnRenamed("vid", "dst"), dst_col)
             .select("src", "dst")
         )
-        return cls.from_undirected(relabeled, **kw), vertices.select("vid", "name")
+        g = cls.from_undirected(relabeled, **kw)
+        g.edges.count()  # materialize before releasing the pairs cache
+        pairs.unpersist()
+        return g, vertices.select("vid", "name")
 
     # ---------------------------------------------------------------- accessors
     @property
@@ -103,6 +118,9 @@ class LinkGraph:
         return [r["vid"] for r in rows]
 
     def unpersist(self):
-        self.edges.unpersist()
+        try:
+            self.edges.unpersist()
+        except Exception:
+            pass  # localCheckpoint blocks are freed by the ContextCleaner
         if self._degrees is not None:
             self._degrees.unpersist()
