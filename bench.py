@@ -110,9 +110,15 @@ def main():
     g2.unpersist()
 
     # ---- training-data op on the documents table
+    # sf0.1 documents are a 31-word-vocabulary synthetic corpus: ~66% of all
+    # pairs are true near-dups, so LSH is tuned for high similarity
+    # (r=8 bands=8, verify at 0.8) — the verified-pair count stays O(true dups).
     with timed("minhash_dedup_documents"):
-        minhash_near_duplicates(
-            read_testdata(spark, sf_dir, "documents"), threshold=0.5
+        extras["minhash_pairs"] = minhash_near_duplicates(
+            read_testdata(spark, sf_dir, "documents"),
+            threshold=0.8,
+            num_hashes=64,
+            bands=8,
         ).count()
 
     spark.stop()

@@ -1,0 +1,101 @@
+"""spark-submit entrypoint for cluster runs (north_rule deployment path).
+
+    zip -r linkgraph.zip linkgraph
+    spark-submit --py-files linkgraph.zip jobs/run_linkgraph.py \
+        --input db.transcripts --algo msbfs --sources 512 \
+        --checkpoint s3://bucket/chk/run1 --output db.closeness
+
+On a cluster the session comes from spark-submit confs (no master set
+here); locally it falls back to local[*].  The input may be an Iceberg
+identifier or a parquet path (tableio abstraction).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="iceberg ident or parquet path (transcripts)")
+    p.add_argument("--algo", required=True,
+                   choices=["msbfs", "closeness", "pagerank", "cc", "lpa", "triangles", "degree"])
+    p.add_argument("--edge-key", default="tool", help="shared-key column for conv-conv edges")
+    p.add_argument("--hub-cap", type=int, default=100_000)
+    p.add_argument("--sources", type=int, default=512, help="MS-BFS batch lanes")
+    p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--max-iter", type=int, default=100)
+    p.add_argument("--checkpoint", default=None, help="checkpoint root (resume supported)")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--output", default=None, help="iceberg ident or parquet path")
+    p.add_argument("--partitions", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from linkgraph.checkpoint import CheckpointManager
+    from linkgraph.graph import LinkGraph
+    from linkgraph.session import get_spark
+    from linkgraph.sources.derive import shared_key_conv_edges
+    from linkgraph.tableio import read_table, write_table
+
+    spark = get_spark(app_name=f"linkgraph-{args.algo}")
+    t0 = time.time()
+
+    transcripts = read_table(spark, args.input)
+    pairs = shared_key_conv_edges(transcripts, key=args.edge_key, hub_cap=args.hub_cap)
+    graph, vertices = LinkGraph.from_string_vertices(
+        pairs, "src_conv", "dst_conv", num_partitions=args.partitions
+    )
+    mgr = CheckpointManager(spark, args.checkpoint) if args.checkpoint else None
+
+    if args.algo in ("msbfs", "closeness"):
+        from linkgraph.algos.msbfs import closeness, msbfs
+
+        srcs = graph.top_degree_vids(args.sources)
+        res = msbfs(graph, srcs, track_teps=True, checkpoint_mgr=mgr, resume=args.resume)
+        out = closeness(graph, res)
+        metrics = {"levels": res.levels, "gteps": res.gteps(),
+                   "bit_edge_traversals": res.traversed_bit_edges}
+    elif args.algo == "pagerank":
+        from linkgraph.algos.pagerank import pagerank
+
+        out = pagerank(graph, tol=args.tol, max_iter=args.max_iter,
+                       checkpoint_mgr=mgr, resume=args.resume)
+        metrics = {}
+    elif args.algo == "cc":
+        from linkgraph.algos.components import connected_components
+
+        out = connected_components(graph, max_iter=args.max_iter,
+                                   checkpoint_mgr=mgr, resume=args.resume)
+        metrics = {}
+    elif args.algo == "lpa":
+        from linkgraph.algos.labelprop import label_propagation
+
+        out = label_propagation(graph, max_iter=min(args.max_iter, 20))
+        metrics = {}
+    elif args.algo == "triangles":
+        from linkgraph.algos.triangles import triangles_per_vertex
+
+        out = triangles_per_vertex(graph, by_degree=True)
+        metrics = {}
+    else:  # degree
+        out = graph.degrees()
+        metrics = {}
+
+    if args.output:
+        write_table(out, args.output)
+        n = None
+    else:
+        n = out.count()
+
+    print(json.dumps({
+        "algo": args.algo, "wall_sec": round(time.time() - t0, 2),
+        "V": graph.num_vertices(), "E_directed": graph.num_edges(),
+        "rows_out": n, **metrics,
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -60,18 +60,19 @@ class MsBfsResult:
         return self.traversed_bit_edges / self.wall_sec / 1e9 if self.wall_sec else 0.0
 
 
-def _lane_count_kernel(nlimbs: int, nsrc: int, vids_too: bool):
-    """mapInArrow kernel over (vid, v0..v{L-1}) -> per-lane new-bit counts.
-
-    Emits (lane, cnt) for lanes 0..nsrc-1 plus a sentinel lane=-1 row whose
-    cnt is the number of rows with any new bit (frontier row count).
-    When vids_too, additionally emits (lane, vid) pairs with cnt = -(vid)-1?
-    -- no: distance pairs go through _explode_kernel instead.
+def _lane_count_kernel(nlimbs: int, nsrc: int, with_deg: bool = False):
+    """mapInArrow kernel over (vid[, deg], v0..v{L-1}) -> per-lane new-bit
+    counts.  Emits (lane, cnt) for lanes 0..nsrc-1 plus sentinel rows:
+    lane=-1: number of rows with any new bit (frontier row count);
+    lane=-2 (when with_deg): Σ deg(v)·popcount(v) over frontier rows — the
+    exact (edge, lane) expansion count of the NEXT level (TEPS accounting),
+    folded into the same job instead of a separate action.
     """
 
     def fn(batches):
         total = np.zeros(nsrc, dtype=np.int64)
         rows_any = 0
+        traversals = 0
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -84,11 +85,27 @@ def _lane_count_kernel(nlimbs: int, nsrc: int, vids_too: bool):
             any_mask = (limbs != 0).any(axis=1)
             rows_any += int(any_mask.sum())
             if any_mask.any():
-                total += limbs_to_bits(limbs[any_mask]).sum(axis=0)[:nsrc].astype(np.int64)
-        lanes = np.concatenate([np.arange(nsrc, dtype=np.int32), [-1]])
-        cnts = np.concatenate([total, [rows_any]])
+                bits = limbs_to_bits(limbs[any_mask])
+                total += bits.sum(axis=0)[:nsrc].astype(np.int64)
+                if with_deg:
+                    deg = (
+                        batch.column("deg")
+                        .to_numpy(zero_copy_only=False)[any_mask]
+                        .astype(np.int64)
+                    )
+                    traversals += int(
+                        (deg * bits.sum(axis=1).astype(np.int64)).sum()
+                    )
+        lanes = [np.arange(nsrc, dtype=np.int32), [-1]]
+        cnts = [total, [rows_any]]
+        if with_deg:
+            lanes.append([-2])
+            cnts.append([traversals])
         yield pa.RecordBatch.from_pydict(
-            {"lane": pa.array(lanes, pa.int32()), "cnt": pa.array(cnts, pa.int64())}
+            {
+                "lane": pa.array(np.concatenate(lanes).astype(np.int32), pa.int32()),
+                "cnt": pa.array(np.concatenate(cnts).astype(np.int64), pa.int64()),
+            }
         )
 
     return fn
@@ -197,7 +214,7 @@ def msbfs(
         state = spark.createDataFrame(pack_sources(sources, nlimbs), schema=schema)
         state = state.persist(StorageLevel.MEMORY_AND_DISK)
 
-    count_kernel = _lane_count_kernel(nlimbs, nsrc, False)
+    count_kernel = _lane_count_kernel(nlimbs, nsrc, with_deg=track_teps)
     count_schema = "lane int, cnt long"
     explode_kernel = _explode_kernel(nlimbs, nsrc)
     frontier_rows = None  # unknown until first accounting pass
@@ -212,15 +229,23 @@ def msbfs(
             frontier_rows = None
         else:
             # -- lane accounting on current visit bits (drives materialization)
+            acct_src = state
+            if track_teps:
+                acct_src = state.join(F.broadcast(graph.degrees()), "vid", "left").withColumn(
+                    "deg", F.coalesce(F.col("deg"), F.lit(0))
+                )
+                counts_in = acct_src.select("vid", "deg", *_V)
+            else:
+                counts_in = state.select("vid", *_V)
             counts = (
-                state.select("vid", *_V)
-                .mapInArrow(count_kernel, count_schema)
+                counts_in.mapInArrow(count_kernel, count_schema)
                 .groupBy("lane")
                 .agg(F.sum("cnt").alias("cnt"))
                 .collect()
             )
             by_lane = {row["lane"]: row["cnt"] for row in counts}
             frontier_rows = int(by_lane.pop(-1, 0))
+            traversed += int(by_lane.pop(-2, 0))
             new_total = int(sum(by_lane.values()))
             per_level_new.append(new_total)
             if new_total:
@@ -264,18 +289,6 @@ def msbfs(
             cut = state.localCheckpoint(eager=True)
             state.unpersist()
             state = cut
-
-        if track_teps:
-            # exact (edge,lane) expansions this level: sum over frontier of
-            # deg(v) * popcount(visit(v)) — computed on the small frontier side.
-            pc = "+".join(f"bit_count(v{i})" for i in range(nlimbs))
-            row = (
-                state.where(" or ".join(f"v{i} != 0" for i in range(nlimbs)))
-                .join(graph.degrees(), "vid")
-                .agg(F.sum(F.expr(f"deg * ({pc})")).alias("t"))
-                .first()
-            )
-            traversed += int(row["t"] or 0)
 
         # -- expand: frontier ⋈ edges, OR-aggregate by dst (ANP)
         frontier = state.where(
