@@ -1,0 +1,63 @@
+"""One scaling-protocol run: read the pre-built bench graph, run the two
+headline iterative kernels, print one JSON line with throughputs.
+
+Env: SPARK_GRAFT_CPUS (master=local[N]), BENCH_GRAPH (edges parquet dir).
+Identical confs at every parallelism level (BASELINE.md protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    graph_dir = os.environ.get(
+        "BENCH_GRAPH", os.path.join(REPO, "BENCH", "data", "zipf_100000")
+    )
+
+    from linkgraph.algos.msbfs import msbfs
+    from linkgraph.algos.pagerank import pagerank
+    from linkgraph.graph import LinkGraph
+    from linkgraph.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", app_name=f"scaling-{cpus}")
+    edges = spark.read.parquet(os.path.join(graph_dir, "edges"))
+    g = LinkGraph(edges)
+    E = g.num_edges()
+    V = g.num_vertices()
+
+    t0 = time.time()
+    res = msbfs(g, g.top_degree_vids(512), track_teps=True)
+    msbfs_sec = time.time() - t0
+
+    t0 = time.time()
+    pagerank(g, tol=0.0, max_iter=10, assume_no_dangling=True).count()
+    pr_sec = time.time() - t0
+
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "V": V,
+                "E_directed": E,
+                "msbfs_sec": round(msbfs_sec, 2),
+                "msbfs_levels": res.levels,
+                "bit_edge_traversals": res.traversed_bit_edges,
+                "msbfs_teps": round(res.traversed_bit_edges / msbfs_sec, 1),
+                "pagerank10_sec": round(pr_sec, 2),
+                "pagerank_edge_iters_per_sec": round(10 * E / pr_sec, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

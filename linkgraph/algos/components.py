@@ -1,10 +1,12 @@
 """Connected components — min-label propagation to fixpoint (SURVEY.md A5).
 
 comp(v) initialized to vid; each round v takes min(comp(v), min over
-neighbors comp(u)).  Exact at convergence (changed-count == 0).  Rounds are
-bounded by graph diameter; for long-diameter graphs the classic
-large-star/small-star doubling would cut rounds to O(log n) — noted as the
-scale path, the frontier-join shape is identical.
+neighbors comp(u)), followed by a pointer-doubling shortcut
+comp(v) <- min(comp(v), comp(comp(v))) (path compression, the same
+contraction idea as large-star/small-star).  Shortcutting cuts rounds from
+O(diameter) to O(log diameter) — the property that matters at 10^12-turn
+scale where turn-adjacency chains have diameter in the tens of thousands.
+Exact at convergence (changed-count == 0).
 """
 
 from __future__ import annotations
@@ -22,6 +24,7 @@ def connected_components(
     snapshot_every: int = 10,
     resume: bool = False,
     verbose: bool = False,
+    shortcut: bool = True,
 ) -> DataFrame:
     """Returns (vid, comp) with comp = min vid reachable. Exact."""
     it0 = 0
@@ -45,14 +48,23 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("c").alias("nc"))
         )
-        new_comp = (
-            comp.join(nbr_min, comp["vid"] == nbr_min["dst"], "left")
-            .select(
-                F.col("vid"),
-                F.least(F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))).alias("comp"),
-            )
-            .localCheckpoint(eager=True)
+        new_comp = comp.join(nbr_min, comp["vid"] == nbr_min["dst"], "left").select(
+            F.col("vid"),
+            F.least(F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))).alias("comp"),
         )
+        if shortcut:
+            # pointer doubling: comp(v) <- min(comp(v), comp(comp(v))).
+            # comp values are vids, so the label table doubles as the
+            # parent mapping; one extra equi-join per round buys O(log d)
+            # total rounds instead of O(d).
+            mapping = new_comp.select(
+                F.col("vid").alias("comp"), F.col("comp").alias("cc")
+            )
+            new_comp = new_comp.join(mapping, "comp", "left").select(
+                F.col("vid"),
+                F.least(F.col("comp"), F.coalesce(F.col("cc"), F.col("comp"))).alias("comp"),
+            )
+        new_comp = new_comp.localCheckpoint(eager=True)
         changed = (
             new_comp.alias("n")
             .join(comp.alias("o"), "vid")

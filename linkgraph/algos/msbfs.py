@@ -263,7 +263,10 @@ def msbfs(
                 pdf["dist"] = np.int32(level)
                 dist_frames.append(pdf)
         if prev_state is not None:
-            prev_state.unpersist()
+            try:
+                prev_state.unpersist()
+            except Exception:
+                pass  # localCheckpoint blocks are released by the ContextCleaner
             prev_state = None
 
         if new_total == 0 or (max_levels is not None and level >= max_levels):
@@ -284,11 +287,6 @@ def msbfs(
             reloaded = checkpoint_mgr.write_state(state, level, metrics)
             state.unpersist()
             state = reloaded.persist(StorageLevel.MEMORY_AND_DISK)
-        elif level and level % checkpoint_every == 0:
-            # cut lineage so per-level plan analysis stays O(1)
-            cut = state.localCheckpoint(eager=True)
-            state.unpersist()
-            state = cut
 
         # -- expand: frontier ⋈ edges, OR-aggregate by dst (ANP)
         frontier = state.where(
@@ -318,8 +316,11 @@ def msbfs(
             sel.append(
                 F.expr(f"coalesce(a{i}, 0L) & ~coalesce(s{i}, 0L)").alias(f"v{i}")
             )
-        new_state = joined.select(*sel).persist(StorageLevel.MEMORY_AND_DISK)
-        # old state stays cached until new state materializes (next accounting)
+        # lazy localCheckpoint: the next level's accounting job is the ONE
+        # job that materializes this state — it stores the blocks AND cuts
+        # the lineage, so each level costs exactly one Spark job.
+        new_state = joined.select(*sel).localCheckpoint(eager=False)
+        # old state blocks stay until the new state materializes (next loop)
         prev_state, state = state, new_state
         level += 1
         if verbose:

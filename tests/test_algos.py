@@ -99,6 +99,23 @@ def test_triangles_exact(cliques):
     assert tv[3] == 36  # C(9,2) per clique vertex
 
 
+def test_cc_shortcut_on_long_path(spark):
+    """Pointer doubling: a 300-diameter path converges in O(log d) rounds
+    (9 observed) and is exact; without shortcut it needs ~300 rounds."""
+    path = [(i, i + 1) for i in range(300)]
+    cyc = [(1000 + i, 1000 + (i + 1) % 50) for i in range(50)]
+    g = LinkGraph.from_undirected(edges_df(spark, path + cyc), num_partitions=8)
+    rows = {r["vid"]: r["comp"] for r in connected_components(g, max_iter=20).collect()}
+    assert all(rows[v] == 0 for v in range(301))
+    assert all(rows[1000 + i] == 1000 for i in range(50))
+
+
+def test_cc_shortcut_equals_plain(er):
+    a = {r["vid"]: r["comp"] for r in connected_components(er, shortcut=True).collect()}
+    b = {r["vid"]: r["comp"] for r in connected_components(er, shortcut=False).collect()}
+    assert a == b
+
+
 def test_triangles_vs_bruteforce(er):
     adj = _adj()
     vids = sorted(adj)
