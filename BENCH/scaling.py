@@ -23,7 +23,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_once(cpus: int, graph_dir: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), BENCH_GRAPH=graph_dir)
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        BENCH_GRAPH=graph_dir,
+        # identical heap at both levels; local-mode driver heap backs all tasks
+        LINKGRAPH_DRIVER_MEM=os.environ.get("LINKGRAPH_DRIVER_MEM", "48g"),
+    )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "BENCH", "scaling_job.py")],
         env=env,

@@ -41,14 +41,19 @@ def connected_components(
     for it in range(it0, max_iter):
         # candidate labels from neighbors (edges partitioned by src: only the
         # small label table shuffles), then min with own label
+        # label side is |V| rows with unknown stats after checkpointing —
+        # broadcast explicitly (see pagerank.py for the SMJ fallback trap)
         nbr_min = (
             graph.edges.join(
-                comp.select(F.col("vid").alias("src"), F.col("comp").alias("c")), "src"
+                F.broadcast(
+                    comp.select(F.col("vid").alias("src"), F.col("comp").alias("c"))
+                ),
+                "src",
             )
             .groupBy("dst")
             .agg(F.min("c").alias("nc"))
         )
-        new_comp = comp.join(nbr_min, comp["vid"] == nbr_min["dst"], "left").select(
+        new_comp = comp.join(F.broadcast(nbr_min), comp["vid"] == nbr_min["dst"], "left").select(
             F.col("vid"),
             F.least(F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))).alias("comp"),
         )

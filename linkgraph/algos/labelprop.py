@@ -25,7 +25,10 @@ def label_propagation(
     for it in range(max_iter):
         votes = (
             graph.edges.join(
-                labels.select(F.col("vid").alias("src"), F.col("label").alias("l")), "src"
+                F.broadcast(
+                    labels.select(F.col("vid").alias("src"), F.col("label").alias("l"))
+                ),
+                "src",
             )
             .groupBy("dst", "l")
             .agg(F.count("*").alias("n"))

@@ -9,6 +9,9 @@ the Spark equivalent of "CSR resident in memory".
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -20,21 +23,51 @@ class LinkGraph:
         symmetric closure.  Partitioned by src so frontier-expand joins are
         co-located (SURVEY.md J1).
 
-        The materialized edge table uses localCheckpoint, not plain persist:
-        derivation plans can embed LocalRelations / deep self-join trees, and
-        every downstream action re-canonicalizes the full logical plan even
-        on a cache hit — O(seconds) of pure driver time per iteration.
-        Checkpointing truncates the plan to a cached-RDD scan.  (On a
-        cluster, a real checkpoint / Iceberg table write gives the same
-        truncation plus fault tolerance — see checkpoint.CheckpointManager.)
+        Materialization = parquet round-trip + persist, for two measured
+        reasons: (1) derivation plans can embed LocalRelations / deep
+        self-join trees, and every downstream action re-canonicalizes the
+        full logical plan even on a cache hit — O(seconds) of driver time
+        per iteration; the round-trip truncates the plan to a parquet scan.
+        (2) localCheckpoint (the obvious alternative) yields `Scan
+        ExistingRDD`, which deserializes row objects OUTSIDE whole-stage
+        codegen — measured 4-8x slower per scan than the columnar cache and
+        anti-scaling with cores.  On a cluster the same role is played by
+        writing the edge table to Iceberg/parquet storage once and reading
+        it back (bucketed by src), which is exactly what this emulates.
         """
         spark = edges.sparkSession
         p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-        self.edges = (
-            edges.repartition(p, "src").sortWithinPartitions("src", "dst")
-        )
+        shaped = edges.repartition(p, "src").sortWithinPartitions("src", "dst")
+        self._store = None
         if persist:
-            self.edges = self.edges.localCheckpoint(eager=False)
+            # round-trip only when the input is a real derivation; a bare
+            # file scan already has a tiny canonical plan
+            try:
+                plan = edges._jdf.queryExecution().analyzed().toString()
+            except Exception:
+                plan = "Join"  # be conservative: round-trip
+            complex_plan = any(
+                k in plan for k in ("Join", "Aggregate", "Window", "LocalRelation", "Union")
+            )
+            if complex_plan:
+                import tempfile
+                import uuid
+
+                self._store = os.path.join(
+                    tempfile.gettempdir(), f"linkgraph_edges_{uuid.uuid4().hex}"
+                )
+                shaped.write.parquet(self._store)
+                # NO .persist(): measured on a 102M-edge table, vectorized
+                # parquet scans (OS page cache) run within ~20% of the
+                # in-memory columnar cache, while cache population costs
+                # minutes — it never amortizes for iterative jobs.
+                self.edges = spark.read.parquet(self._store)
+            else:
+                # already a bare file scan (e.g. a pre-shaped edge table
+                # written by an earlier LinkGraph) — use it as-is
+                self.edges = edges
+        else:
+            self.edges = shaped
         self._degrees = None
         self._num_vertices = None
         self._num_edges = None
@@ -121,6 +154,8 @@ class LinkGraph:
         try:
             self.edges.unpersist()
         except Exception:
-            pass  # localCheckpoint blocks are freed by the ContextCleaner
+            pass
         if self._degrees is not None:
             self._degrees.unpersist()
+        if self._store and os.path.isdir(self._store):
+            shutil.rmtree(self._store, ignore_errors=True)

@@ -42,6 +42,17 @@ def get_spark(
         "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
         "spark.driver.memory": os.environ.get("LINKGRAPH_DRIVER_MEM", "8g"),
         "spark.ui.enabled": "false",
+        # Iterative drivers create hundreds of short-lived DataFrames,
+        # broadcasts and checkpoint RDDs; the ContextCleaner's async
+        # removes contend with running tasks on the BlockManager (measured
+        # 3-6x per-iteration slowdown once cleanup storms start).  This
+        # engine's jobs are bounded-lifetime spark-submit batches — all
+        # files/blocks are reclaimed at application exit — so reference
+        # tracking is off by default (LINKGRAPH_REF_TRACKING=true to
+        # re-enable for long-running services).
+        "spark.cleaner.referenceTracking": os.environ.get(
+            "LINKGRAPH_REF_TRACKING", "false"
+        ),
     }
     if extra_conf:
         confs.update(extra_conf)
