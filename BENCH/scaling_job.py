@@ -29,7 +29,7 @@ def main():
 
     spark = get_spark(master=f"local[{cpus}]", app_name=f"scaling-{cpus}")
     edges = spark.read.parquet(os.path.join(graph_dir, "edges"))
-    g = LinkGraph(edges)
+    g = LinkGraph(edges, symmetric=True)  # make_graph.py writes the symmetric closure
     E = g.num_edges()
     V = g.num_vertices()
 
@@ -38,7 +38,7 @@ def main():
     msbfs_sec = time.time() - t0
 
     t0 = time.time()
-    pagerank(g, tol=0.0, max_iter=10, assume_no_dangling=True).count()
+    pagerank(g, tol=0.0, max_iter=10).count()
     pr_sec = time.time() - t0
 
     print(

@@ -78,7 +78,7 @@ def main():
     }
 
     with timed("pagerank10_copurchase"):
-        pagerank(g1, tol=0.0, max_iter=10, assume_no_dangling=True).count()
+        pagerank(g1, tol=0.0, max_iter=10).count()
 
     with timed("cc_copurchase"):
         connected_components(g1).agg(F.countDistinct("comp")).collect()
@@ -106,7 +106,7 @@ def main():
     }
 
     with timed("pagerank10_zipf"):
-        pagerank(g2, tol=0.0, max_iter=10, assume_no_dangling=True).count()
+        pagerank(g2, tol=0.0, max_iter=10).count()
     g2.unpersist()
 
     # ---- training-data op on the documents table

@@ -7,9 +7,17 @@ contraction idea as large-star/small-star).  Shortcutting cuts rounds from
 O(diameter) to O(log diameter) — the property that matters at 10^12-turn
 scale where turn-adjacency chains have diameter in the tens of thousands.
 Exact at convergence (changed-count == 0).
+
+Scale shape: labels flow through LinkGraph.expand (byte-gated broadcast /
+salted or plain shuffle join — never an unconditional |V|-row broadcast);
+the previous label is carried in the state so the changed-count is a
+column aggregate over the freshly checkpointed state, not an extra join.
+One heavy Spark job per round.
 """
 
 from __future__ import annotations
+
+import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -26,7 +34,12 @@ def connected_components(
     verbose: bool = False,
     shortcut: bool = True,
 ) -> DataFrame:
-    """Returns (vid, comp) with comp = min vid reachable. Exact."""
+    """Returns (vid, comp) with comp = min vid reachable (undirected
+    semantics: run on a symmetric edge table — from_undirected — or the
+    result is min-label *forward* reachability, not components).
+
+    Exact at convergence; warns if max_iter exhausts first."""
+    n = graph.num_vertices()
     it0 = 0
     comp = None
     if resume and checkpoint_mgr is not None:
@@ -38,51 +51,71 @@ def connected_components(
         comp = graph.vertices().select("vid", F.col("vid").alias("comp"))
     comp = comp.localCheckpoint(eager=True)
 
+    changed = None
+    prev = None
     for it in range(it0, max_iter):
-        # candidate labels from neighbors (edges partitioned by src: only the
-        # small label table shuffles), then min with own label
-        # label side is |V| rows with unknown stats after checkpointing —
-        # broadcast explicitly (see pagerank.py for the SMJ fallback trap)
-        nbr_min = (
-            graph.edges.join(
-                F.broadcast(
-                    comp.select(F.col("vid").alias("src"), F.col("comp").alias("c"))
-                ),
-                "src",
-            )
-            .groupBy("dst")
-            .agg(F.min("c").alias("nc"))
+        labels = comp.select(F.col("vid").alias("src"), F.col("comp").alias("c"))
+        nbr_min = graph.expand(labels, est_rows=n).groupBy("dst").agg(
+            F.min("c").alias("nc")
         )
-        new_comp = comp.join(F.broadcast(nbr_min), comp["vid"] == nbr_min["dst"], "left").select(
-            F.col("vid"),
-            F.least(F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))).alias("comp"),
+        new_comp = (
+            comp.alias("st")
+            .join(nbr_min.alias("nb"), F.col("st.vid") == F.col("nb.dst"), "left")
+            .select(
+                F.col("st.vid").alias("vid"),
+                F.least(
+                    F.col("st.comp"), F.coalesce(F.col("nb.nc"), F.col("st.comp"))
+                ).alias("comp"),
+                F.col("st.comp").alias("pc"),
+            )
         )
         if shortcut:
             # pointer doubling: comp(v) <- min(comp(v), comp(comp(v))).
             # comp values are vids, so the label table doubles as the
             # parent mapping; one extra equi-join per round buys O(log d)
             # total rounds instead of O(d).
-            mapping = new_comp.select(
+            mapping = comp.select(
                 F.col("vid").alias("comp"), F.col("comp").alias("cc")
             )
-            new_comp = new_comp.join(mapping, "comp", "left").select(
-                F.col("vid"),
-                F.least(F.col("comp"), F.coalesce(F.col("cc"), F.col("comp"))).alias("comp"),
+            new_comp = (
+                new_comp.alias("nc2")
+                .join(mapping.alias("mp"), "comp", "left")
+                .select(
+                    F.col("nc2.vid").alias("vid"),
+                    F.least(
+                        F.col("comp"), F.coalesce(F.col("mp.cc"), F.col("comp"))
+                    ).alias("comp"),
+                    F.col("nc2.pc").alias("pc"),
+                )
             )
-        new_comp = new_comp.localCheckpoint(eager=True)
-        changed = (
-            new_comp.alias("n")
-            .join(comp.alias("o"), "vid")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
+        new_comp = new_comp.localCheckpoint(eager=False)
+        # the changed-count action is what materializes the checkpoint —
+        # one Spark job per round
+        changed = int(
+            new_comp.agg(
+                F.sum(F.when(F.col("comp") != F.col("pc"), 1).otherwise(0)).alias("n")
+            ).first()["n"]
+            or 0
         )
-        comp = new_comp
+        if prev is not None:
+            try:
+                prev.unpersist()
+            except Exception:
+                pass
+        prev, comp = comp, new_comp
         if verbose:
             print(f"[cc] iter {it}: changed={changed}", flush=True)
         if checkpoint_mgr is not None and (it + 1) % snapshot_every == 0:
             comp = checkpoint_mgr.write_state(
-                comp, it + 1, {"iteration": it + 1, "changed": int(changed)}
+                comp.select("vid", "comp"), it + 1,
+                {"iteration": it + 1, "changed": int(changed)},
             ).localCheckpoint(eager=True)
         if changed == 0:
             break
-    return comp
+    if changed:
+        warnings.warn(
+            f"connected_components: max_iter={max_iter} exhausted with "
+            f"{changed} labels still changing — result is NOT converged",
+            stacklevel=2,
+        )
+    return comp.select("vid", "comp")

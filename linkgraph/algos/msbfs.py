@@ -23,6 +23,7 @@ cross-variant validation strategy):
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -41,9 +42,6 @@ _S = limb_names("s")
 _V = limb_names("v")
 _A = limb_names("a")
 
-# Broadcast the frontier below this many rows (direction/strategy switch).
-BROADCAST_FRONTIER_ROWS = 200_000
-
 
 @dataclass
 class MsBfsResult:
@@ -53,11 +51,24 @@ class MsBfsResult:
     s: np.ndarray  # per-lane sum of distances
     wall_sec: float
     traversed_bit_edges: int = 0
-    distances: pd.DataFrame | None = None  # (src, vid, dist) when emitted
+    distances_df: DataFrame | None = None  # distributed (src, vid, dist)
     per_level_new: list[int] = field(default_factory=list)
+    _distances_pdf: pd.DataFrame | None = None
 
     def gteps(self) -> float:
         return self.traversed_bit_edges / self.wall_sec / 1e9 if self.wall_sec else 0.0
+
+    @property
+    def distances(self) -> pd.DataFrame | None:
+        """Driver-side copy of the distances — for tests / small graphs
+        only.  At scale consume `distances_df` (a distributed DataFrame
+        backed by per-level parquet appends); n×512 distances through the
+        driver is terabytes."""
+        if self._distances_pdf is None and self.distances_df is not None:
+            self._distances_pdf = self.distances_df.toPandas().astype(
+                {"src": np.int64, "vid": np.int64, "dist": np.int32}
+            )
+        return self._distances_pdf
 
 
 def _lane_count_kernel(nlimbs: int, nsrc: int, with_deg: bool = False):
@@ -165,6 +176,7 @@ def msbfs(
     sources: list[int],
     mode: str = "relational",
     emit_distances: bool = False,
+    distances_path: str | None = None,
     checkpoint_every: int = 1,
     snapshot_every: int = 8,
     max_levels: int | None = None,
@@ -172,6 +184,8 @@ def msbfs(
     checkpoint_mgr=None,
     resume: bool = False,
     verbose: bool = False,
+    bottom_up: bool = True,
+    bottom_up_threshold: float = 0.4,
 ) -> MsBfsResult:
     """Run one ≤512-source batch to completion; returns lane accounting
     (r, s for closeness) and optionally full (src, vid, dist) distances.
@@ -191,9 +205,15 @@ def msbfs(
     r = np.zeros(nsrc, dtype=np.int64)
     s = np.zeros(nsrc, dtype=np.int64)
     traversed = 0
-    dist_frames: list[pd.DataFrame] = []
     per_level_new: list[int] = []
     state = None
+    if emit_distances and distances_path is None:
+        import tempfile
+        import uuid
+
+        distances_path = os.path.join(
+            tempfile.gettempdir(), f"msbfs_dist_{uuid.uuid4().hex}"
+        )
 
     skip_account = False  # snapshot level was already accounted pre-snapshot
     if resume and checkpoint_mgr is not None:
@@ -207,8 +227,9 @@ def msbfs(
             s = np.asarray(m["s"], dtype=np.int64)
             traversed = int(m.get("traversed", 0))
             per_level_new = list(m.get("per_level_new", []))
-            if emit_distances and m.get("distances") is not None:
-                dist_frames = [pd.DataFrame(m["distances"])]
+            if emit_distances and m.get("distances_path"):
+                # distances live as distributed parquet; resume reuses the dir
+                distances_path = m["distances_path"]
 
     if state is None:
         state = spark.createDataFrame(pack_sources(sources, nlimbs), schema=schema)
@@ -219,6 +240,14 @@ def msbfs(
     explode_kernel = _explode_kernel(nlimbs, nsrc)
     frontier_rows = None  # unknown until first accounting pass
     prev_state = None  # kept cached until the new state is materialized
+
+    # K3 pull-filter constants: per-limb "all nsrc lanes seen" masks as
+    # signed int64 SQL literals (limb i covers lanes [64i, 64i+64))
+    n_vertices = graph.num_vertices() if bottom_up else 0
+    full_masks = []
+    for i in range(nlimbs):
+        bits = min(64, max(0, nsrc - 64 * i))
+        full_masks.append(-1 if bits == 64 else (1 << bits) - 1)
 
     while True:
         t_lvl = time.time()
@@ -255,13 +284,15 @@ def msbfs(
                 r += lane_arr
                 s += lane_arr * level
             if emit_distances and new_total:
-                pdf = (
+                # distributed per-level delta append — never through the
+                # driver (n×512 distances at scale is terabytes)
+                (
                     state.select("vid", *_V)
                     .mapInArrow(explode_kernel, "vid long, lane int")
-                    .toPandas()
+                    .withColumn("dist", F.lit(level).cast("int"))
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(distances_path, f"level={level}"))
                 )
-                pdf["dist"] = np.int32(level)
-                dist_frames.append(pdf)
         if prev_state is not None:
             try:
                 prev_state.unpersist()
@@ -282,19 +313,43 @@ def msbfs(
                 "per_level_new": per_level_new,
             }
             if emit_distances:
-                d = pd.concat(dist_frames, ignore_index=True)
-                metrics["distances"] = {c: d[c].tolist() for c in d.columns}
+                # manifest records the distance-delta location, not the data
+                metrics["distances_path"] = distances_path
             reloaded = checkpoint_mgr.write_state(state, level, metrics)
             state.unpersist()
             state = reloaded.persist(StorageLevel.MEMORY_AND_DISK)
 
-        # -- expand: frontier ⋈ edges, OR-aggregate by dst (ANP)
+        # -- expand: frontier ⋈ edges, OR-aggregate by dst (ANP).
+        # Strategy dispatch (broadcast / salted / shuffle) via graph.expand.
         frontier = state.where(
             " or ".join(f"v{i} != 0" for i in range(nlimbs))
         ).select(F.col("vid").alias("src"), *_V)
-        if frontier_rows and frontier_rows <= BROADCAST_FRONTIER_ROWS:
-            frontier = F.broadcast(frontier)
-        msgs = graph.edges.join(frontier, "src").select("dst", *_V)
+        msgs = graph.expand(frontier, est_rows=frontier_rows).select("dst", *_V)
+
+        # -- K3 direction switch, pull-shaped: on late dense levels most
+        # destinations are already fully seen across all lanes, so their
+        # messages would be aggregated and then masked to zero.  Drop
+        # messages whose destination is CLOSED (every lane seen) with a
+        # left-anti join (J3) — the relational analog of Beamer's bottom-up
+        # "only scan unseen vertices".  Vertices not yet in the state table
+        # have empty seen sets and correctly pass the anti-join.  Gated on
+        # observed lane saturation so early sparse levels skip the extra
+        # join; the anti-join keys on dst, the same key as the downstream
+        # aggregation, so the shuffle-path exchange is reused.
+        if bottom_up and n_vertices and nsrc:
+            saturation = sum(per_level_new) / float(n_vertices * nsrc)
+            if saturation >= bottom_up_threshold:
+                closed_dst = state.where(
+                    " and ".join(
+                        f"s{i} = {m}L" for i, m in enumerate(full_masks[: (nsrc + 63) // 64])
+                    )
+                ).select(F.col("vid").alias("dst"))
+                from linkgraph.graph import broadcast_threshold
+
+                thresh = broadcast_threshold(spark)
+                if 0 < thresh and n_vertices * 24 < thresh:
+                    closed_dst = F.broadcast(closed_dst)
+                msgs = msgs.join(closed_dst, "dst", "left_anti")
         if mode == "kernel":
             buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
             agg = _kernel_or_agg(msgs, nlimbs, buckets)
@@ -331,17 +386,15 @@ def msbfs(
             )
 
     wall = time.time() - t0
-    distances = None
+    distances_df = None
     if emit_distances:
-        distances = (
-            pd.concat(dist_frames, ignore_index=True)
-            if dist_frames
-            else pd.DataFrame({"vid": [], "lane": [], "dist": []})
+        lane_map = spark.createDataFrame(
+            [(i, int(v)) for i, v in enumerate(sources)], "lane int, src long"
         )
-        src_arr = np.asarray(sources, dtype=np.int64)
-        distances["src"] = src_arr[distances["lane"].to_numpy(dtype=np.int64)]
-        distances = distances[["src", "vid", "dist"]].astype(
-            {"src": np.int64, "vid": np.int64, "dist": np.int32}
+        raw = spark.read.option("recursiveFileLookup", "true").parquet(distances_path)
+        distances_df = (
+            raw.join(F.broadcast(lane_map), "lane")
+            .select("src", "vid", F.col("dist").cast("int").alias("dist"))
         )
     state.unpersist()
     return MsBfsResult(
@@ -351,7 +404,7 @@ def msbfs(
         s=s,
         wall_sec=wall,
         traversed_bit_edges=traversed,
-        distances=distances,
+        distances_df=distances_df,
         per_level_new=per_level_new,
     )
 

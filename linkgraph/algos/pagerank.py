@@ -1,16 +1,30 @@
 """PageRank — pure-relational power iteration (SURVEY.md A4/K6).
 
-Each iteration: contribs = ranks ⋈ edges (co-partitioned on src; only the
-rank side shuffles) → sum by dst → damping + dangling-mass redistribution.
+Scale-shaped iteration (one heavy Spark job per iteration):
+
+* state (vid, deg, pr) carries the out-degree so no per-iteration join
+  against the degree table is needed;
+* messages (src, pr/deg) flow through LinkGraph.expand — broadcast only
+  when the estimated byte size clears autoBroadcastJoinThreshold, salted
+  or plain shuffle join otherwise (never an unconditional |V|-row
+  broadcast: at 10^9 vertices that OOMs every executor);
+* the state ⋈ contribs update join is left to Catalyst/AQE: contribs is a
+  runtime-statted shuffle stage, so AQE picks BHJ when it is small and the
+  scale-correct SMJ/SHJ when it is not;
+* Δrank and the dangling mass for the NEXT iteration are folded into one
+  aggregate over the freshly checkpointed state — no separate join or
+  anti-join action per iteration.  The dangling vertex set is static
+  (deg == 0), so its mass at iteration t is just sum(pr_t) over it.
+
 Convergence: max |Δrank| < tol (BASELINE tol 1e-6).  Lineage cut every
-iteration via localCheckpoint; durable snapshots via CheckpointManager.
+iteration via lazy localCheckpoint (materialized by the stats job);
+durable snapshots via CheckpointManager.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from linkgraph.graph import LinkGraph
 
@@ -24,81 +38,102 @@ def pagerank(
     snapshot_every: int = 10,
     resume: bool = False,
     verbose: bool = False,
-    assume_no_dangling: bool = False,
 ) -> DataFrame:
     """Returns (vid, pr).  Ranks sum to 1 (dangling mass redistributed).
 
-    assume_no_dangling skips the per-iteration dangling-mass action — safe
-    on symmetric edge tables (every vertex has out-edges by construction).
-    tol <= 0 runs exactly max_iter iterations and skips the per-iteration
-    delta action (fixed-budget benchmark mode)."""
+    tol <= 0 runs exactly max_iter iterations (fixed-budget benchmark
+    mode; the per-iteration stats job still runs — it is the action that
+    materializes the checkpoint and costs ~nothing next to the expand)."""
     spark = graph.spark
-    vertices = graph.vertices().persist(StorageLevel.MEMORY_AND_DISK)
-    n = vertices.count()
-    deg = graph.degrees()  # out-degree; cached
+    n = graph.num_vertices()
 
     it0 = 0
-    ranks = None
+    state = None
+    dangling_mass = None
     if resume and checkpoint_mgr is not None:
         snap = checkpoint_mgr.latest()
         if snap is not None:
-            ranks = checkpoint_mgr.read_state(snap)
+            state = checkpoint_mgr.read_state(snap)
             it0 = int(snap["metrics"]["iteration"])
+            dangling_mass = float(snap["metrics"].get("dangling_mass", 0.0))
 
-    if ranks is None:
-        ranks = vertices.select("vid", F.lit(1.0 / n).alias("pr"))
-    ranks = ranks.localCheckpoint(eager=True)
-
-    for it in range(it0, max_iter):
-        # dangling vertices have no out-edges: in a symmetric graph none,
-        # but handle generally (one tiny agg over the anti-join).
-        with_deg = ranks.join(deg, "vid", "left")
-        if assume_no_dangling:
-            dangling = 0.0
+    if state is None:
+        # (vid, deg, pr); deg null -> 0 marks the static dangling set
+        if graph.symmetric:
+            # every vertex has out-edges: the degree table IS the state seed
+            state = graph.degrees().select(
+                "vid", F.col("deg").cast("long").alias("deg"), F.lit(1.0 / n).alias("pr")
+            )
         else:
-            dangling = (
-                with_deg.where(F.col("deg").isNull()).agg(F.sum("pr").alias("m")).first()["m"]
+            state = (
+                graph.vertices()
+                .join(graph.degrees(), "vid", "left")
+                .select(
+                    "vid",
+                    F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("deg"),
+                    F.lit(1.0 / n).alias("pr"),
+                )
+            )
+    state = state.localCheckpoint(eager=True)
+    if dangling_mass is None:
+        if graph.symmetric:
+            dangling_mass = 0.0  # every vertex has out-edges by construction
+        else:
+            dangling_mass = (
+                state.where(F.col("deg") == 0).agg(F.sum("pr").alias("m")).first()["m"]
                 or 0.0
             )
-        # rank side is |V| rows — broadcast it explicitly: its plan is a
-        # checkpointed RDD with unknown stats, and without the hint Spark
-        # falls back to SMJ, re-sorting the whole edge table every iteration
-        # (measured 10x per-iteration cost).  At billions of vertices use
-        # co-partitioned SHJ instead (edges are pre-partitioned by src).
-        rank_msgs = with_deg.where(F.col("deg").isNotNull()).select(
+
+    prev = None
+    delta = None
+    for it in range(it0, max_iter):
+        msgs = state.where(F.col("deg") > 0).select(
             F.col("vid").alias("src"), (F.col("pr") / F.col("deg")).alias("w")
         )
-        if n <= 100_000_000:
-            rank_msgs = F.broadcast(rank_msgs)
-        contribs = (
-            graph.edges.join(rank_msgs, "src").groupBy("dst").agg(F.sum("w").alias("acc"))
+        contribs = graph.expand(msgs, est_rows=n).groupBy("dst").agg(
+            F.sum("w").alias("acc")
         )
-        base = (1.0 - damping) / n + damping * dangling / n
-        new_ranks = (
-            vertices.join(F.broadcast(contribs), vertices["vid"] == contribs["dst"], "left")
+        base = (1.0 - damping) / n + damping * dangling_mass / n
+        new_state = (
+            state.alias("st")
+            .join(contribs.alias("cb"), F.col("st.vid") == F.col("cb.dst"), "left")
             .select(
-                F.col("vid"),
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("acc"), F.lit(0.0))).alias("pr"),
+                F.col("st.vid").alias("vid"),
+                F.col("st.deg").alias("deg"),
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("cb.acc"), F.lit(0.0))
+                ).alias("pr"),
+                F.col("st.pr").alias("pr_old"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        delta = None
-        if tol > 0:
-            delta = (
-                new_ranks.alias("n")
-                .join(ranks.alias("o"), "vid")
-                .agg(F.max(F.abs(F.col("n.pr") - F.col("o.pr"))).alias("d"))
-                .first()["d"]
-            )
-        ranks = new_ranks
+        # ONE job materializes the new state and returns delta + next
+        # iteration's dangling mass (sum of new pr over the static deg==0 set)
+        stats = new_state.agg(
+            F.max(F.abs(F.col("pr") - F.col("pr_old"))).alias("delta"),
+            F.sum(F.when(F.col("deg") == 0, F.col("pr"))).alias("dm"),
+        ).first()
+        delta = float(stats["delta"])
+        dangling_mass = float(stats["dm"] or 0.0)
+        if prev is not None:
+            try:
+                prev.unpersist()
+            except Exception:
+                pass
+        prev, state = state, new_state
         if verbose:
             print(f"[pagerank] iter {it}: delta={delta}", flush=True)
         if checkpoint_mgr is not None and (it + 1) % snapshot_every == 0:
-            ranks = checkpoint_mgr.write_state(
-                ranks, it + 1,
-                {"iteration": it + 1, "delta": float(delta) if delta is not None else -1.0},
+            state = checkpoint_mgr.write_state(
+                state.select("vid", "deg", "pr"),
+                it + 1,
+                {
+                    "iteration": it + 1,
+                    "delta": delta,
+                    "dangling_mass": dangling_mass,
+                },
             ).localCheckpoint(eager=True)
-        if delta is not None and delta < tol:
+        if tol > 0 and delta < tol:
             break
-    vertices.unpersist()
-    return ranks
+    return state.select("vid", "pr")

@@ -131,7 +131,11 @@ def q_bfs_distances(spark, sf_dir):
         .collect()
     ]
     res = msbfs(g, srcs, emit_distances=True, max_levels=BFS_MAX_LEVELS)
-    return spark.createDataFrame(res.distances, schema="src long, vid long, dist int")
+    return res.distances_df.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("vid").cast("long").alias("vid"),
+        F.col("dist").cast("int").alias("dist"),
+    )
 
 
 SQL_BFS_DISTANCES = f"""
@@ -257,6 +261,56 @@ def q_label_propagation(spark, sf_dir):
 
     g = user_graph(spark, sf_dir)
     return label_propagation(g, max_iter=5).select("vid", "label")
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """J3/U2 set-difference surface: left-anti join as the except operator."""
+    from linkgraph.operators.setops import except_keys
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return except_keys(cust, orders, "c_custkey").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.col("c_name").alias("c_name"),
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_event_props_hourly(spark, sf_dir):
+    """§2.8 JSON + time-window surface: parse events.props with from_json,
+    roll up to hourly tumbling windows (window(ts, '1 hour'))."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        F.window("ts", "1 hour").alias("w"),
+        F.from_json(F.col("props"), "k INT")["k"].alias("k"),
+    )
+    return (
+        parsed.groupBy(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+    )
+
+
+SQL_EVENT_PROPS_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+FROM events GROUP BY 1
+"""
 
 
 # --------------------------------------------------------------- training-data
@@ -435,6 +489,8 @@ QUERIES = {
     "triangles_per_vertex": q_triangles_per_vertex,
     "pagerank_topk": q_pagerank_topk,
     "label_propagation": q_label_propagation,
+    "customers_without_orders": q_customers_without_orders,
+    "event_props_hourly": q_event_props_hourly,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "language_id": q_language_id,
@@ -457,6 +513,8 @@ ORACLES = {
     "connected_components": SQL_CONNECTED_COMPONENTS,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
+    "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+    "event_props_hourly": SQL_EVENT_PROPS_HOURLY,
     "dedup_exact": SQL_DEDUP_EXACT,
     "text_stats": SQL_TEXT_STATS,
     "language_id": SQL_LANGUAGE_ID,

@@ -17,11 +17,51 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
+_SIZE_SUFFIX = {
+    "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def parse_bytes(size: str | int) -> int:
+    """Parse Spark byte-size conf strings ('10485760b', '32MB', '10m', '-1')."""
+    if isinstance(size, int):
+        return size
+    s = str(size).strip().lower()
+    for suf in sorted(_SIZE_SUFFIX, key=len, reverse=True):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)]) * _SIZE_SUFFIX[suf])
+    return int(s)
+
+
+def broadcast_threshold(spark) -> int:
+    """Session autoBroadcastJoinThreshold in bytes (-1 = disabled)."""
+    return parse_bytes(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m"))
+
+
 class LinkGraph:
-    def __init__(self, edges: DataFrame, num_partitions: int | None = None, persist: bool = True):
+    def __init__(
+        self,
+        edges: DataFrame,
+        num_partitions: int | None = None,
+        persist: bool = True,
+        materialize: bool | None = None,
+        symmetric: bool = False,
+    ):
         """edges: directed (src:long, dst:long); use from_undirected for
         symmetric closure.  Partitioned by src so frontier-expand joins are
         co-located (SURVEY.md J1).
+
+        materialize: True forces the parquet round-trip, False skips it,
+        None (default) decides from the logical plan shape.
+
+        symmetric: declares that the edge table is its own transpose (set by
+        from_undirected).  Iterative kernels (PageRank/CC/LPA) use this to
+        know whether sink-only vertices can exist — on a directed table,
+        vertices() unions both endpoints so sinks are not dropped.
 
         Materialization = parquet round-trip + persist, for two measured
         reasons: (1) derivation plans can embed LocalRelations / deep
@@ -38,18 +78,24 @@ class LinkGraph:
         spark = edges.sparkSession
         p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
         shaped = edges.repartition(p, "src").sortWithinPartitions("src", "dst")
+        self.symmetric = symmetric
+        self._salted = None
         self._store = None
         if persist:
-            # round-trip only when the input is a real derivation; a bare
-            # file scan already has a tiny canonical plan
-            try:
-                plan = edges._jdf.queryExecution().analyzed().toString()
-            except Exception:
-                plan = "Join"  # be conservative: round-trip
-            complex_plan = any(
-                k in plan for k in ("Join", "Aggregate", "Window", "LocalRelation", "Union")
-            )
-            if complex_plan:
+            if materialize is None:
+                # round-trip only when the input is a real derivation; a bare
+                # file scan already has a tiny canonical plan.  Plan-string
+                # introspection is a heuristic fallback — callers that know
+                # should pass materialize= explicitly.
+                try:
+                    plan = edges._jdf.queryExecution().analyzed().toString()
+                except Exception:
+                    plan = "Join"  # be conservative: round-trip
+                materialize = any(
+                    k in plan
+                    for k in ("Join", "Aggregate", "Window", "LocalRelation", "Union")
+                )
+            if materialize:
                 import tempfile
                 import uuid
 
@@ -79,6 +125,7 @@ class LinkGraph:
         sym = pairs.select("src", "dst").union(
             pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
+        kw.setdefault("symmetric", True)
         return cls(sym.where(F.col("src") != F.col("dst")).distinct(), **kw)
 
     @classmethod
@@ -116,7 +163,53 @@ class LinkGraph:
         return self.edges.sparkSession
 
     def vertices(self) -> DataFrame:
-        return self.edges.select(F.col("src").alias("vid")).distinct()
+        """All vertex ids.  On a symmetric table every vertex has out-edges,
+        so the cached degree table doubles as the vertex set (no extra
+        distinct job); on a directed table the dst side is unioned in so
+        sink-only vertices are not silently dropped (they are PageRank's
+        dangling set and must appear in CC/LPA output)."""
+        if self.symmetric:
+            return self.degrees().select("vid")
+        src = self.edges.select(F.col("src").alias("vid"))
+        return src.union(self.edges.select(F.col("dst").alias("vid"))).distinct()
+
+    # ------------------------------------------------- join-strategy dispatch
+    def enable_salting(self, hub_threshold: int | None = None, s: int = 8):
+        """Pre-salt hub sources for the shuffle-join path (SURVEY.md J2).
+
+        hub_threshold defaults to the p99.99 out-degree (approxQuantile —
+        a sketch scan, not an exact sort, per SURVEY A8).  No-op if no
+        vertex exceeds it."""
+        from linkgraph.operators.skew import SaltedEdges
+
+        if hub_threshold is None:
+            q = self.degrees().approxQuantile("deg", [0.9999], 0.001)[0]
+            hub_threshold = max(int(q), 1)
+        self._salted = SaltedEdges(self, hub_threshold, s=s)
+        return self._salted
+
+    def expand(self, msgs: DataFrame, est_rows: int | None = None) -> DataFrame:
+        """The frontier-expand join (J1): edges ⋈ msgs on src, with the
+        physical strategy picked by estimated message-table size:
+
+        * small (est bytes < autoBroadcastJoinThreshold): broadcast msgs —
+          map-side join, the edge table never shuffles;
+        * large + salting enabled: salted shuffle join (J2) so hub sources
+          spread over S reducers;
+        * large otherwise: plain shuffle join, AQE skew-join as backstop.
+
+        msgs must carry a `src` column; every other column passes through.
+        """
+        spark = self.spark
+        if est_rows is not None:
+            thresh = broadcast_threshold(spark)
+            ncols = len(msgs.columns)
+            est_bytes = est_rows * (16 + 12 * ncols)
+            if 0 < thresh and est_bytes < thresh:
+                return self.edges.join(F.broadcast(msgs), "src")
+        if self._salted is not None:
+            return self._salted.join_frontier(msgs)
+        return self.edges.join(msgs, "src")
 
     def degrees(self) -> DataFrame:
         """Out-degree per vertex (== degree for symmetric graphs); cached —

@@ -30,6 +30,16 @@ def get_spark(
     if master:
         builder = builder.master(master)
     sp = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    mem = os.environ.get("LINKGRAPH_DRIVER_MEM", "16g")
+    # Pre-size the heap (-Xms == -Xmx) and cap GC worker threads: G1 heap
+    # expansion under 32-thread allocation pressure stalls the world
+    # repeatedly (measured: a 2.5s scan stage degrading to 43s after an
+    # iterative kernel churned the heap; multi-second young pauses in the
+    # GC log).  A fixed heap + bounded ParallelGCThreads removes it
+    # entirely (43s -> 1.7s).  On a real cluster the same applies to
+    # spark.executor.extraJavaOptions.
+    gc_threads = os.environ.get("LINKGRAPH_GC_THREADS", "16")
+    java_opts = f"-Xms{mem} -XX:ParallelGCThreads={gc_threads}"
     confs = {
         "spark.sql.shuffle.partitions": str(sp),
         "spark.sql.adaptive.enabled": "true",
@@ -40,18 +50,20 @@ def get_spark(
         # Graph state rows are tiny (a vid + 16 int64 limbs); favor broadcast
         # of small frontiers but keep the default threshold modest.
         "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
-        "spark.driver.memory": os.environ.get("LINKGRAPH_DRIVER_MEM", "8g"),
+        "spark.driver.memory": mem,
+        # local mode: all tasks run in the driver JVM.  On a cluster, apply
+        # the same -Xms/-XX:ParallelGCThreads recipe to
+        # spark.executor.extraJavaOptions sized to executor memory.
+        "spark.driver.extraJavaOptions": java_opts,
         "spark.ui.enabled": "false",
-        # Iterative drivers create hundreds of short-lived DataFrames,
-        # broadcasts and checkpoint RDDs; the ContextCleaner's async
-        # removes contend with running tasks on the BlockManager (measured
-        # 3-6x per-iteration slowdown once cleanup storms start).  This
-        # engine's jobs are bounded-lifetime spark-submit batches — all
-        # files/blocks are reclaimed at application exit — so reference
-        # tracking is off by default (LINKGRAPH_REF_TRACKING=true to
-        # re-enable for long-running services).
+        # ContextCleaner stays ON by default: long-running or multi-tenant
+        # deployments must not leak shuffle files / broadcast blocks.  The
+        # bench harness sets LINKGRAPH_REF_TRACKING=false for bounded
+        # spark-submit batch runs, where async cleanup storms contend with
+        # running tasks (measured 3-6x per-iteration slowdown) and all
+        # blocks are reclaimed at application exit anyway.
         "spark.cleaner.referenceTracking": os.environ.get(
-            "LINKGRAPH_REF_TRACKING", "false"
+            "LINKGRAPH_REF_TRACKING", "true"
         ),
     }
     if extra_conf:

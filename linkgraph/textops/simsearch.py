@@ -113,7 +113,15 @@ def hyperplane_lsh_buckets(
             if batch.num_rows == 0:
                 continue
             ids = batch.column(0).to_numpy(zero_copy_only=False)
-            mat = np.asarray(batch.column(1).to_pylist(), dtype=np.float64)
+            col = batch.column(1)
+            # zero-copy: flatten the list<double> values buffer and reshape
+            # (.flatten() respects array slicing offsets; .to_pylist() would
+            # row-convert every vector through Python objects)
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            if flat.size == batch.num_rows * dim:
+                mat = flat.reshape(batch.num_rows, dim)
+            else:  # ragged rows (malformed input) — slow path
+                mat = np.asarray(col.to_pylist(), dtype=np.float64)
             proj = mat @ planes  # (rows, planes)
             bits = (proj > 0).astype(np.int64)
             bucket = (bits * (1 << np.arange(num_planes, dtype=np.int64))).sum(axis=1)
@@ -133,12 +141,31 @@ def lsh_knn(
     query_id: int,
     k: int = 10,
     num_planes: int = 12,
+    multi_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: exact cosine within the query's LSH bucket only."""
+    """Approximate top-k: exact cosine within the query's LSH bucket(s).
+
+    multi_probe=1 additionally probes every bucket at Hamming distance 1
+    from the query's signature (flip each of the `num_planes` sign bits) —
+    near neighbors that fall just across one hyperplane are recovered,
+    which is the dominant recall loss of single-bucket LSH at scale.
+    """
     buckets = hyperplane_lsh_buckets(embeddings, num_planes, id_col=id_col, vec_col=vec_col)
     qb = buckets.where(F.col("vec_id") == query_id).select(F.col("bucket"))
+    if multi_probe >= 1:
+        qb = qb.select(
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                        for i in range(num_planes)
+                    ],
+                )
+            ).alias("bucket")
+        ).distinct()
     cand = buckets.join(F.broadcast(qb), "bucket", "left_semi").select("vec_id")
     sub = embeddings.join(
         cand.withColumnRenamed("vec_id", id_col), id_col, "left_semi"

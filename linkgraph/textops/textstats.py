@@ -81,10 +81,24 @@ def token_count_total(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def fingerprint(docs: DataFrame, text_col: str = "text", window: int = 16) -> DataFrame:
     """Winnowing-style document fingerprint: min rolling polynomial hash over
-    `window`-byte windows (doc_id, fp).  Arrow numpy kernel — vectorized
-    per batch, no per-row Python."""
-    B = np.uint64(1000003)
-    MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+    `window`-byte windows (doc_id, fp).
+
+    Arrow numpy kernel, fully vectorized ACROSS the batch: the utf-8 bytes
+    of every document in the Arrow batch are processed as one flat buffer
+    (zero-copy from the StringArray data buffer).  The rolling hash
+    h(a) = Σ b[k]·B^(a+w-1-k) over window [a, a+w) is computed globally via
+    the modular-inverse prefix form
+
+        P[j] = Σ_{k<j} b[k]·B^(-k)   (mod 2^64, B odd ⇒ invertible)
+        h(a) = (P[a+w] - P[a]) · B^(a+w-1)
+
+    so there are no per-byte or per-document Python loops; per-document
+    minima come from one np.minimum.reduceat over the valid window starts.
+    Values are bit-identical to the textbook per-document rolling hash.
+    """
+    B_INT = 1000003
+    B = np.uint64(B_INT)
+    INV_B = np.uint64(pow(B_INT, -1, 1 << 64))
 
     def kernel(batches):
         np.seterr(over="ignore")  # uint64 wraparound is the hash semantics
@@ -92,29 +106,50 @@ def fingerprint(docs: DataFrame, text_col: str = "text", window: int = 16) -> Da
             if batch.num_rows == 0:
                 continue
             ids = batch.column(0).to_numpy(zero_copy_only=False)
-            texts = batch.column(1).to_pylist()
-            fps = np.zeros(len(texts), dtype=np.uint64)
-            for i, s in enumerate(texts):  # per-doc; inner loop vectorized
-                b = np.frombuffer((s or "").encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-                if b.size == 0:
-                    continue
-                if b.size < window:
-                    h = np.uint64(0)
-                    for x in b:
-                        h = (h * B + x) & MASK
-                    fps[i] = h
-                    continue
-                # rolling hash via cumulative powers (vectorized)
-                n = b.size
-                pw = np.ones(n, dtype=np.uint64)
-                for j in range(1, n):
-                    pw[j] = (pw[j - 1] * B) & MASK
-                pref = np.zeros(n + 1, dtype=np.uint64)
-                for j in range(n):
-                    pref[j + 1] = (pref[j] * B + b[j]) & MASK
-                starts = np.arange(0, n - window + 1)
-                hs = (pref[starts + window] - pref[starts] * pw[window]) & MASK
-                fps[i] = hs.min()
+            col = batch.column(1)
+            if col.null_count:
+                col = col.fill_null("")
+            col = col.cast(pa.large_string())
+            # zero-copy views of the Arrow offsets + utf-8 data buffers
+            offsets = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+                col.offset : col.offset + len(col) + 1
+            ]
+            data = np.frombuffer(col.buffers()[2], dtype=np.uint8).astype(np.uint64)
+            fps = np.zeros(len(col), dtype=np.uint64)
+            ntot = data.size
+            if ntot:
+                # global powers B^k and B^-k (cumprod wraps mod 2^64)
+                pw = np.empty(ntot, dtype=np.uint64)
+                ipw = np.empty(ntot, dtype=np.uint64)
+                pw[0] = 1
+                ipw[0] = 1
+                if ntot > 1:
+                    np.cumprod(np.full(ntot - 1, B, dtype=np.uint64), out=pw[1:])
+                    np.cumprod(np.full(ntot - 1, INV_B, dtype=np.uint64), out=ipw[1:])
+                pref = np.zeros(ntot + 1, dtype=np.uint64)
+                np.cumsum(data * ipw, out=pref[1:])
+
+                starts_off = offsets[:-1]
+                ends_off = offsets[1:]
+                lens = ends_off - starts_off
+                # effective window per doc: min(window, len) — short docs
+                # hash their full byte string (same textbook formula)
+                w_eff = np.minimum(lens, window)
+                nonempty = lens > 0
+                n_win = np.where(nonempty, lens - w_eff + 1, 0)
+                # all valid global window-start positions, grouped by doc:
+                # repeat each doc's start offset, add 0..n_win-1
+                doc_idx = np.repeat(np.arange(len(col)), n_win)
+                local = np.arange(n_win.sum(), dtype=np.int64) - np.repeat(
+                    np.cumsum(n_win) - n_win, n_win
+                )
+                a = starts_off[doc_idx] + local
+                e = a + w_eff[doc_idx]
+                h = (pref[e] - pref[a]) * pw[e - 1]
+                if h.size:
+                    bounds = np.cumsum(n_win) - n_win
+                    mins = np.minimum.reduceat(h, bounds[nonempty])
+                    fps[nonempty] = mins
             yield pa.RecordBatch.from_pydict(
                 {
                     "doc_id": pa.array(ids, pa.int64()),
