@@ -41,6 +41,14 @@ class _HadoopFS:
         self._jvm = sc._jvm
         self._Path = self._jvm.org.apache.hadoop.fs.Path
         self._fs = self._Path(root).getFileSystem(sc._jsc.hadoopConfiguration())
+        try:
+            # LocalFileSystem keeps .crc sidecars; a manifest legitimately
+            # rewritten out-of-band (ops tooling) must still be readable —
+            # corruption detection is the manifest row-count audit, not
+            # client-side CRCs (object stores have none either)
+            self._fs.setVerifyChecksum(False)
+        except Exception:
+            pass
 
     def mkdirs(self, path: str) -> None:
         self._fs.mkdirs(self._Path(path))

@@ -49,22 +49,25 @@ def drops(spark, tmp_path):
 
 def test_incremental_equals_batch(spark, tmp_path, drops):
     store = IncrementalEdgeStore(str(tmp_path / "edges"), edge_key="tool")
-    run_ingest(spark, drops, store, str(tmp_path / "chk"), available_now=True)
+    # maxFilesPerTrigger=1 forces one microbatch per drop file, so
+    # cross-batch shared-key pairs genuinely exercise the cumulative index
+    run_ingest(
+        spark, drops, store, str(tmp_path / "chk"),
+        available_now=True, max_files_per_trigger=1,
+    )
 
     got = {
         (r["src_conv"], r["dst_conv"])
         for r in store.shared_tool_edges(spark).collect()
     }
     batch = spark.createDataFrame(make_transcripts(120), schema=TRANSCRIPTS)
-    # incremental per-batch derivation only pairs convs within a microbatch;
-    # cross-batch pairs come from a compaction pass — here run it explicitly
     all_turns = spark.read.parquet(drops).dropDuplicates(["conv_id", "turn_idx"])
     exp = {
         (r["src_conv"], r["dst_conv"])
         for r in shared_key_conv_edges(all_turns, key="tool").collect()
     }
-    # per-batch edges must be a subset; compaction closes the gap
-    assert got <= exp
+    # cumulative-index derivation closes the cross-batch gap exactly
+    assert got == exp
     full = {
         (r["src_conv"], r["dst_conv"])
         for r in shared_key_conv_edges(batch, key="tool").collect()
