@@ -43,9 +43,11 @@ def run_once(cpus: int, graph_dir: str) -> dict:
         SPARK_GRAFT_CPUS=str(cpus),
         BENCH_GRAPH=graph_dir,
         # identical heap at every level; local-mode driver heap backs all tasks
-        LINKGRAPH_DRIVER_MEM=os.environ.get("LINKGRAPH_DRIVER_MEM", "48g"),
-        # bounded batch runs: skip async block cleanup (see session.py)
-        LINKGRAPH_REF_TRACKING="false",
+        LINKGRAPH_DRIVER_MEM=os.environ.get("LINKGRAPH_DRIVER_MEM", "24g"),
+        # ContextCleaner ON: measured A/B (msbfs then pagerank10, same JVM)
+        # pr10 = 267.6s with the cleaner off vs 24.1s with it on — retained
+        # blocks/broadcasts from the first kernel throttle every later job.
+        LINKGRAPH_REF_TRACKING="true",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "BENCH", "scaling_job.py")],

@@ -24,7 +24,10 @@ def main(argv=None):
     p.add_argument("--algo", required=True,
                    choices=["msbfs", "closeness", "pagerank", "cc", "lpa", "triangles", "degree"])
     p.add_argument("--edge-key", default="tool", help="shared-key column for conv-conv edges")
-    p.add_argument("--hub-cap", type=int, default=100_000)
+    p.add_argument("--hub-cap", type=int, default=100_000,
+                   help="0 = plan from sketch stats (suggest_hub_cap, A8)")
+    p.add_argument("--salt", action="store_true",
+                   help="pre-salt hub sources for the shuffle-join path (J2)")
     p.add_argument("--sources", type=int, default=512, help="MS-BFS batch lanes")
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--max-iter", type=int, default=100)
@@ -44,10 +47,17 @@ def main(argv=None):
     t0 = time.time()
 
     transcripts = read_table(spark, args.input)
-    pairs = shared_key_conv_edges(transcripts, key=args.edge_key, hub_cap=args.hub_cap)
+    hub_cap = args.hub_cap
+    if hub_cap == 0:
+        from linkgraph.sources.derive import suggest_hub_cap
+
+        hub_cap = suggest_hub_cap(transcripts, key=args.edge_key)
+    pairs = shared_key_conv_edges(transcripts, key=args.edge_key, hub_cap=hub_cap)
     graph, vertices = LinkGraph.from_string_vertices(
         pairs, "src_conv", "dst_conv", num_partitions=args.partitions
     )
+    if args.salt:
+        graph.enable_salting()
     mgr = CheckpointManager(spark, args.checkpoint) if args.checkpoint else None
 
     if args.algo in ("msbfs", "closeness"):

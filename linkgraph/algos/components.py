@@ -88,9 +88,10 @@ def connected_components(
                     F.col("nc2.pc").alias("pc"),
                 )
             )
-        new_comp = new_comp.localCheckpoint(eager=False)
-        # the changed-count action is what materializes the checkpoint —
-        # one Spark job per round
+        # EAGER checkpoint: deterministic lineage truncation (see
+        # pagerank.py — lazy+AQE intermittently fails to truncate and the
+        # plan doubles per round); the changed-count then reads cached rows
+        new_comp = new_comp.localCheckpoint(eager=True)
         changed = int(
             new_comp.agg(
                 F.sum(F.when(F.col("comp") != F.col("pc"), 1).otherwise(0)).alias("n")

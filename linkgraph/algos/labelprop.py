@@ -49,7 +49,8 @@ def label_propagation(
                 F.coalesce(F.col("wn.new_label"), F.col("st.label")).alias("label"),
                 F.col("st.label").alias("pl"),
             )
-            .localCheckpoint(eager=False)
+            # eager: deterministic lineage truncation (see pagerank.py)
+            .localCheckpoint(eager=True)
         )
         changed = int(
             new_labels.agg(

@@ -71,19 +71,24 @@ class MsBfsResult:
         return self._distances_pdf
 
 
-def _lane_count_kernel(nlimbs: int, nsrc: int, with_deg: bool = False):
-    """mapInArrow kernel over (vid[, deg], v0..v{L-1}) -> per-lane new-bit
+def _lane_count_kernel(
+    nlimbs: int, nsrc: int, with_deg: bool = False, full_masks=None
+):
+    """mapInArrow kernel over (vid[, deg], v0..[, s0..]) -> per-lane new-bit
     counts.  Emits (lane, cnt) for lanes 0..nsrc-1 plus sentinel rows:
     lane=-1: number of rows with any new bit (frontier row count);
     lane=-2 (when with_deg): Σ deg(v)·popcount(v) over frontier rows — the
-    exact (edge, lane) expansion count of the NEXT level (TEPS accounting),
-    folded into the same job instead of a separate action.
+    exact (edge, lane) expansion count of the NEXT level (TEPS accounting);
+    lane=-3 (when full_masks): number of CLOSED rows (seen full across all
+    lanes) — drives the K3 pull-filter gate, measured for free in the same
+    state scan instead of an extra job.
     """
 
     def fn(batches):
         total = np.zeros(nsrc, dtype=np.int64)
         rows_any = 0
         traversals = 0
+        closed_rows = 0
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -95,6 +100,15 @@ def _lane_count_kernel(nlimbs: int, nsrc: int, with_deg: bool = False):
             ).view(np.uint64)
             any_mask = (limbs != 0).any(axis=1)
             rows_any += int(any_mask.sum())
+            if full_masks is not None:
+                seen = np.column_stack(
+                    [
+                        batch.column(f"s{i}").to_numpy(zero_copy_only=False)
+                        for i in range(nlimbs)
+                    ]
+                ).view(np.uint64)
+                fm = np.asarray(full_masks, dtype=np.int64).view(np.uint64)
+                closed_rows += int((seen == fm).all(axis=1).sum())
             if any_mask.any():
                 bits = limbs_to_bits(limbs[any_mask])
                 total += bits.sum(axis=0)[:nsrc].astype(np.int64)
@@ -112,6 +126,9 @@ def _lane_count_kernel(nlimbs: int, nsrc: int, with_deg: bool = False):
         if with_deg:
             lanes.append([-2])
             cnts.append([traversals])
+        if full_masks is not None:
+            lanes.append([-3])
+            cnts.append([closed_rows])
         yield pa.RecordBatch.from_pydict(
             {
                 "lane": pa.array(np.concatenate(lanes).astype(np.int32), pa.int32()),
@@ -185,7 +202,7 @@ def msbfs(
     resume: bool = False,
     verbose: bool = False,
     bottom_up: bool = True,
-    bottom_up_threshold: float = 0.4,
+    bottom_up_threshold: float = 0.3,
 ) -> MsBfsResult:
     """Run one ≤512-source batch to completion; returns lane accounting
     (r, s for closeness) and optionally full (src, vid, dist) distances.
@@ -235,19 +252,22 @@ def msbfs(
         state = spark.createDataFrame(pack_sources(sources, nlimbs), schema=schema)
         state = state.persist(StorageLevel.MEMORY_AND_DISK)
 
-    count_kernel = _lane_count_kernel(nlimbs, nsrc, with_deg=track_teps)
-    count_schema = "lane int, cnt long"
-    explode_kernel = _explode_kernel(nlimbs, nsrc)
-    frontier_rows = None  # unknown until first accounting pass
-    prev_state = None  # kept cached until the new state is materialized
-
     # K3 pull-filter constants: per-limb "all nsrc lanes seen" masks as
-    # signed int64 SQL literals (limb i covers lanes [64i, 64i+64))
+    # signed int64 literals (limb i covers lanes [64i, 64i+64))
     n_vertices = graph.num_vertices() if bottom_up else 0
     full_masks = []
     for i in range(nlimbs):
         bits = min(64, max(0, nsrc - 64 * i))
         full_masks.append(-1 if bits == 64 else (1 << bits) - 1)
+
+    count_kernel = _lane_count_kernel(
+        nlimbs, nsrc, with_deg=track_teps, full_masks=full_masks if bottom_up else None
+    )
+    count_schema = "lane int, cnt long"
+    explode_kernel = _explode_kernel(nlimbs, nsrc)
+    frontier_rows = None  # unknown until first accounting pass
+    closed_rows = 0  # K3 gate: fully-seen vertex count, measured per level
+    prev_state = None  # kept cached until the new state is materialized
 
     while True:
         t_lvl = time.time()
@@ -256,16 +276,18 @@ def msbfs(
             skip_account = False
             new_total = per_level_new[level] if level < len(per_level_new) else 1
             frontier_rows = None
+            closed_rows = 0  # unknown after resume; filter re-arms next level
         else:
             # -- lane accounting on current visit bits (drives materialization)
             acct_src = state
+            scols = list(_S) if bottom_up else []
             if track_teps:
                 acct_src = state.join(F.broadcast(graph.degrees()), "vid", "left").withColumn(
                     "deg", F.coalesce(F.col("deg"), F.lit(0))
                 )
-                counts_in = acct_src.select("vid", "deg", *_V)
+                counts_in = acct_src.select("vid", "deg", *_V, *scols)
             else:
-                counts_in = state.select("vid", *_V)
+                counts_in = state.select("vid", *_V, *scols)
             counts = (
                 counts_in.mapInArrow(count_kernel, count_schema)
                 .groupBy("lane")
@@ -275,6 +297,7 @@ def msbfs(
             by_lane = {row["lane"]: row["cnt"] for row in counts}
             frontier_rows = int(by_lane.pop(-1, 0))
             traversed += int(by_lane.pop(-2, 0))
+            closed_rows = int(by_lane.pop(-3, 0))
             new_total = int(sum(by_lane.values()))
             per_level_new.append(new_total)
             if new_total:
@@ -333,12 +356,13 @@ def msbfs(
         # left-anti join (J3) — the relational analog of Beamer's bottom-up
         # "only scan unseen vertices".  Vertices not yet in the state table
         # have empty seen sets and correctly pass the anti-join.  Gated on
-        # observed lane saturation so early sparse levels skip the extra
-        # join; the anti-join keys on dst, the same key as the downstream
-        # aggregation, so the shuffle-path exchange is reused.
-        if bottom_up and n_vertices and nsrc:
-            saturation = sum(per_level_new) / float(n_vertices * nsrc)
-            if saturation >= bottom_up_threshold:
+        # the MEASURED closed-vertex fraction (lane=-3 sentinel from the
+        # accounting kernel — free, same state scan) so the filter only
+        # fires when it will actually drop work; the anti-join keys on
+        # dst, the same key as the downstream aggregation, so the
+        # shuffle-path exchange is reused.
+        if bottom_up and n_vertices:
+            if closed_rows / float(n_vertices) >= bottom_up_threshold:
                 closed_dst = state.where(
                     " and ".join(
                         f"s{i} = {m}L" for i, m in enumerate(full_masks[: (nsrc + 63) // 64])
@@ -371,10 +395,14 @@ def msbfs(
             sel.append(
                 F.expr(f"coalesce(a{i}, 0L) & ~coalesce(s{i}, 0L)").alias(f"v{i}")
             )
-        # lazy localCheckpoint: the next level's accounting job is the ONE
-        # job that materializes this state — it stores the blocks AND cuts
-        # the lineage, so each level costs exactly one Spark job.
-        new_state = joined.select(*sel).localCheckpoint(eager=False)
+        # EAGER localCheckpoint: deterministic lineage truncation.  The
+        # lazy form relied on the next accounting job to materialize the
+        # blocks AND cut lineage, but under AQE truncation intermittently
+        # fails (state is referenced twice per level: frontier + update
+        # join), and the un-truncated plan doubles per level (see
+        # pagerank.py for the measured blow-up).  Eager costs one job per
+        # level; the accounting job then reads cached state blocks.
+        new_state = joined.select(*sel).localCheckpoint(eager=True)
         # old state blocks stay until the new state materializes (next loop)
         prev_state, state = state, new_state
         level += 1

@@ -106,10 +106,16 @@ def pagerank(
                 ).alias("pr"),
                 F.col("st.pr").alias("pr_old"),
             )
-            .localCheckpoint(eager=False)
+            # EAGER: lazy localCheckpoint under AQE intermittently fails to
+            # truncate lineage (state appears twice per iteration, so the
+            # un-truncated plan doubles every round — measured plan-build
+            # times of 2s -> 50s -> 100s -> 219s by iteration 9).  The
+            # eager form truncates deterministically; the follow-up stats
+            # aggregate then reads 〜|V| cached rows for ~nothing.
+            .localCheckpoint(eager=True)
         )
-        # ONE job materializes the new state and returns delta + next
-        # iteration's dangling mass (sum of new pr over the static deg==0 set)
+        # stats job over the cached state: delta + next iteration's
+        # dangling mass (sum of new pr over the static deg==0 set)
         stats = new_state.agg(
             F.max(F.abs(F.col("pr") - F.col("pr_old"))).alias("delta"),
             F.sum(F.when(F.col("deg") == 0, F.col("pr"))).alias("dm"),

@@ -263,6 +263,34 @@ def q_label_propagation(spark, sf_dir):
     return label_propagation(g, max_iter=5).select("vid", "label")
 
 
+def q_rollup_lineitem(spark, sf_dir):
+    """A9 grouping-sets surface: ROLLUP over (returnflag, linestatus) with
+    grouping level — the metrics-reporting shape (rollup(iter, part_id))."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("rf"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("ls"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+SQL_ROLLUP_LINEITEM = """
+SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+       COALESCE(l_linestatus, 'ALL') AS ls,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
 def q_customers_without_orders(spark, sf_dir):
     """J3/U2 set-difference surface: left-anti join as the except operator."""
     from linkgraph.operators.setops import except_keys
@@ -491,6 +519,7 @@ QUERIES = {
     "label_propagation": q_label_propagation,
     "customers_without_orders": q_customers_without_orders,
     "event_props_hourly": q_event_props_hourly,
+    "rollup_lineitem": q_rollup_lineitem,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "language_id": q_language_id,
@@ -515,6 +544,7 @@ ORACLES = {
     "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
     "event_props_hourly": SQL_EVENT_PROPS_HOURLY,
+    "rollup_lineitem": SQL_ROLLUP_LINEITEM,
     "dedup_exact": SQL_DEDUP_EXACT,
     "text_stats": SQL_TEXT_STATS,
     "language_id": SQL_LANGUAGE_ID,

@@ -42,6 +42,44 @@ def broadcast_threshold(spark) -> int:
     return parse_bytes(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m"))
 
 
+def _dense_ids(deg: DataFrame) -> DataFrame:
+    """Dense 0..n-1 ids in (deg desc, name asc) order WITHOUT a global
+    single-partition window (SURVEY.md S2/O1).
+
+    zipWithIndex-style two-phase ranking: range-repartition on the order
+    key (range k < range k+1 for every row), rank within each partition,
+    then add per-partition offsets (one tiny driver-side count per
+    partition).  The only global step is the range sampler — no stage ever
+    sorts all n rows on one task, which is what the naive
+    Window.orderBy(...) relabel does at 10^9 vertices.
+    (deg, name) is a strict total order (names unique), so ids are
+    deterministic regardless of partition boundaries."""
+    spark = deg.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parts = deg.repartitionByRange(
+        p, F.col("deg").desc(), F.col("name").asc()
+    ).withColumn("pid", F.spark_partition_id())
+    parts = parts.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = {r["pid"]: r["n"] for r in parts.groupBy("pid").agg(F.count("*").alias("n")).collect()}
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(k), int(v)) for k, v in offsets.items()], "pid int, off long"
+        )
+    )
+    w = Window.partitionBy("pid").orderBy(F.col("deg").desc(), F.col("name").asc())
+    out = (
+        parts.withColumn("lr", F.row_number().over(w))
+        .join(off_df, "pid")
+        .select("name", (F.col("lr") - 1 + F.col("off")).cast("long").alias("vid"))
+    )
+    return out
+
+
 class LinkGraph:
     def __init__(
         self,
@@ -142,10 +180,7 @@ class LinkGraph:
             pairs.select(F.col(dst_col).alias("name"))
         )
         deg = occ.groupBy("name").agg(F.count("*").alias("deg"))
-        w = Window.orderBy(F.col("deg").desc(), F.col("name").asc())
-        vertices = deg.select(
-            "name", (F.row_number().over(w) - 1).cast("long").alias("vid")
-        )
+        vertices = _dense_ids(deg)
         v = F.broadcast(vertices) if vertices.isStreaming is False else vertices
         relabeled = (
             pairs.join(v.withColumnRenamed("name", src_col).withColumnRenamed("vid", "src"), src_col)

@@ -31,15 +31,34 @@ def get_spark(
         builder = builder.master(master)
     sp = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
     mem = os.environ.get("LINKGRAPH_DRIVER_MEM", "16g")
-    # Pre-size the heap (-Xms == -Xmx) and cap GC worker threads: G1 heap
-    # expansion under 32-thread allocation pressure stalls the world
-    # repeatedly (measured: a 2.5s scan stage degrading to 43s after an
-    # iterative kernel churned the heap; multi-second young pauses in the
-    # GC log).  A fixed heap + bounded ParallelGCThreads removes it
-    # entirely (43s -> 1.7s).  On a real cluster the same applies to
-    # spark.executor.extraJavaOptions.
+    # Three measured JVM fixes (each repeatedly A/B'd on the 102M-edge
+    # bench graph; see BENCH/BASELINE.md):
+    # * -Xms == -Xmx: G1 heap expansion under 32-thread allocation
+    #   pressure stalls the world repeatedly (a 2.5s scan degraded to 43s
+    #   after an iterative kernel churned the heap).
+    # * bounded ParallelGCThreads: 32 GC workers contend on this class of
+    #   vCPU (43s -> 1.7s together with the fixed heap).
+    # * LARGE CODE CACHE + flushing: whole-stage codegen of the 8-limb
+    #   bitset expressions fills the default 240MB ReservedCodeCacheSize;
+    #   once full the JIT stops compiling and every subsequent job runs
+    #   partially interpreted — measured 2.2s PageRank iterations decaying
+    #   to 50-220s, nondeterministically, ONLY after an MS-BFS run in the
+    #   same JVM.  This, not ContextCleaner storms, was the real cause of
+    #   the round-1 "iterative kernels slow down over a session" effect.
+    # * -XX:+AlwaysPreTouch: without it, the allocation front sweeping a
+    #   lazily-committed multi-GB heap triggers first-touch page-fault
+    #   storms ~1 min into a run (high sys%, jobs 10-50x slower for
+    #   30-90s, then permanent recovery once the heap has been touched).
+    #   Pre-faulting at JVM start moves that cost out of the measured
+    #   steady state.
+    # On a real cluster apply the same to spark.executor.extraJavaOptions.
     gc_threads = os.environ.get("LINKGRAPH_GC_THREADS", "16")
-    java_opts = f"-Xms{mem} -XX:ParallelGCThreads={gc_threads}"
+    java_opts = os.environ.get(
+        "LINKGRAPH_GC_OPTS",
+        f"-Xms{mem} -XX:ParallelGCThreads={gc_threads} "
+        "-XX:ReservedCodeCacheSize=2g -XX:+UseCodeCacheFlushing "
+        "-XX:+AlwaysPreTouch",
+    )
     confs = {
         "spark.sql.shuffle.partitions": str(sp),
         "spark.sql.adaptive.enabled": "true",
@@ -56,12 +75,13 @@ def get_spark(
         # spark.executor.extraJavaOptions sized to executor memory.
         "spark.driver.extraJavaOptions": java_opts,
         "spark.ui.enabled": "false",
-        # ContextCleaner stays ON by default: long-running or multi-tenant
-        # deployments must not leak shuffle files / broadcast blocks.  The
-        # bench harness sets LINKGRAPH_REF_TRACKING=false for bounded
-        # spark-submit batch runs, where async cleanup storms contend with
-        # running tasks (measured 3-6x per-iteration slowdown) and all
-        # blocks are reclaimed at application exit anyway.
+        # ContextCleaner stays ON: long-running or multi-tenant deployments
+        # must not leak shuffle files / broadcast blocks, and a measured
+        # A/B (msbfs then pagerank10 in one JVM) shows retained state from
+        # the first kernel throttling the second 11x (pr10 267.6s with the
+        # cleaner off vs 24.1s on).  The round-1 "cleanup storms" tradeoff
+        # did not reproduce; LINKGRAPH_REF_TRACKING=false remains only as
+        # an escape hatch for experiments.
         "spark.cleaner.referenceTracking": os.environ.get(
             "LINKGRAPH_REF_TRACKING", "true"
         ),

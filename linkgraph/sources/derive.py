@@ -49,6 +49,25 @@ def turn_adjacency_edges(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def suggest_hub_cap(
+    transcripts: DataFrame, key: str = "tool", quantile: float = 0.999
+) -> int:
+    """Sketch-based hub-cap planning (SURVEY.md A8): per-key conversation
+    cardinality via approx_count_distinct (HLL) and the cap as an
+    approximate quantile of that distribution — at 10^12 rows the stats
+    scan itself must be a sketch, never an exact count-distinct + sort.
+    """
+    per_key = (
+        transcripts.where(F.col(key).isNotNull())
+        .groupBy(key)
+        .agg(F.approx_count_distinct("conv_id").alias("n_convs"))
+    )
+    row = per_key.agg(
+        F.percentile_approx("n_convs", quantile).alias("cap")
+    ).first()
+    return max(int(row["cap"] or 1), 1)
+
+
 def shared_key_conv_edges(
     transcripts: DataFrame,
     key: str = "tool",
