@@ -1,10 +1,12 @@
 """Driver-contract queries and their DuckDB oracle SQL (SURVEY.md §5.4).
 
-Every operator from SURVEY.md §2 that is SQL-expressible gets a
-(queries()[name], oracle_sql()[name]) pair evaluated by the driver at
-sf=0.01; non-SQL-expressible ops (PageRank, LPA, MinHash/SimHash — hash
-functions differ across engines) get rows-only checks here plus exact
-numpy oracles in tests/.
+Every operator from SURVEY.md §2 gets a (queries()[name],
+oracle_sql()[name]) pair evaluated by the driver at sf=0.01 — including
+the iterative kernels (PageRank via a recursive-CTE power iteration, LPA
+via unrolled vote/argmax rounds) and the hash-sketch ops (MinHash/SimHash
+via the engine-portable md5 hash family, fingerprint via a HUGEINT
+mod-2^64 fold).  Exact numpy oracles for the production hash family and
+convergence-mode kernels live in tests/.
 
 Column names and value rounding are mirrored exactly between the Spark
 query and the SQL string (the driver hash-compares values).
@@ -46,6 +48,15 @@ e AS (SELECT DISTINCT a.p AS src, b.p AS dst FROM pk a JOIN pk b
 _USER_E = """
 uk AS (SELECT DISTINCT event_type AS k, user_id AS u FROM events),
 e AS (SELECT DISTINCT a.u AS src, b.u AS dst FROM uk a JOIN uk b
+      ON a.k = b.k AND a.u <> b.u)
+"""
+
+# MATERIALIZED variant for iterative oracles: DuckDB re-evaluates plain
+# CTEs referenced from a recursive term / repeated unrolled steps, turning
+# the events self-join into a per-iteration cost (measured 28.6s -> 1.0s).
+_USER_E_MAT = """
+uk AS MATERIALIZED (SELECT DISTINCT event_type AS k, user_id AS u FROM events),
+e AS MATERIALIZED (SELECT DISTINCT a.u AS src, b.u AS dst FROM uk a JOIN uk b
       ON a.k = b.k AND a.u <> b.u)
 """
 
@@ -243,24 +254,83 @@ FROM corners GROUP BY vid
 """
 
 
-def q_pagerank_topk(spark, sf_dir):
-    """Rows-only check (float iteration not cleanly SQL-expressible);
-    exact numpy oracle in tests/test_algos.py."""
+PR_ITERS = 12  # fixed power-iteration budget shared with the SQL oracle
+
+
+def q_pagerank(spark, sf_dir):
+    """Fixed-budget PageRank (PR_ITERS iterations, tol=0) — hash-checked
+    against a DuckDB recursive-CTE power iteration.  Round to 9 decimals:
+    both engines compute the identical IEEE-double recurrence; the only
+    divergence is summation order (~1e-15 relative), far inside round-9.
+    (Convergence-mode tol=1e-6 is exercised by the numpy oracle in
+    tests/test_algos.py — an iteration count chosen by a tolerance cannot
+    be mirrored in SQL.)"""
     from linkgraph.algos.pagerank import pagerank
 
     g = user_graph(spark, sf_dir)
-    pr = pagerank(g, tol=1e-6, max_iter=30)
-    return pr.orderBy(F.col("pr").desc(), F.col("vid").asc()).limit(20).select(
-        "vid", F.round("pr", 6).alias("pr")
-    )
+    pr = pagerank(g, tol=0, max_iter=PR_ITERS)
+    return pr.select(F.col("vid").cast("long").alias("vid"), F.round("pr", 9).alias("pr"))
+
+
+SQL_PAGERANK = f"""
+WITH RECURSIVE {_USER_E_MAT},
+deg AS MATERIALIZED (SELECT src AS vid, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY src),
+nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+pr(it, vid, pr) AS (
+  SELECT 0, vid, 1.0/(SELECT n FROM nv) FROM deg
+  UNION ALL
+  SELECT p.it + 1, e.dst,
+         (1.0 - 0.85)/(SELECT n FROM nv) + 0.85*SUM(p.pr/dd.deg)
+  FROM pr p JOIN deg dd ON dd.vid = p.vid JOIN e ON e.src = p.vid
+  WHERE p.it < {PR_ITERS}
+  GROUP BY p.it + 1, e.dst
+)
+SELECT CAST(vid AS BIGINT) AS vid, ROUND(pr, 9) AS pr FROM pr WHERE it = {PR_ITERS}
+"""
+
+
+LPA_ITERS = 5  # fixed budget shared with the SQL oracle (fixpoint-stable:
+#                the Spark loop may stop early at changed==0, after which
+#                further unrolled SQL iterations are identity)
 
 
 def q_label_propagation(spark, sf_dir):
-    """Rows-only check; determinism + community oracle in tests."""
+    """Synchronous deterministic LPA, hash-checked against an unrolled
+    DuckDB oracle (LPA_ITERS iterations of vote → argmax with min-label
+    tie-break — integer-exact, no float divergence possible)."""
     from linkgraph.algos.labelprop import label_propagation
 
     g = user_graph(spark, sf_dir)
-    return label_propagation(g, max_iter=5).select("vid", "label")
+    return label_propagation(g, max_iter=LPA_ITERS).select(
+        F.col("vid").cast("long").alias("vid"),
+        F.col("label").cast("long").alias("label"),
+    )
+
+
+def _lpa_oracle_sql(iters: int) -> str:
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+l{k} AS (
+  SELECT v.vid AS vid, COALESCE(w.new_label, v.label) AS label
+  FROM l{k - 1} v LEFT JOIN (
+    SELECT dst, l AS new_label FROM (
+      SELECT e.dst AS dst, p.label AS l, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY e.dst
+                                ORDER BY COUNT(*) DESC, p.label ASC) AS rk
+      FROM l{k - 1} p JOIN e ON e.src = p.vid
+      GROUP BY e.dst, p.label) t
+    WHERE rk = 1) w ON w.dst = v.vid
+)""")
+    return (
+        f"WITH {_USER_E_MAT},\n"
+        "l0 AS (SELECT DISTINCT src AS vid, src AS label FROM e),"
+        + ",".join(steps)
+        + f"\nSELECT CAST(vid AS BIGINT) AS vid, CAST(label AS BIGINT) AS label FROM l{iters}"
+    )
+
+
+SQL_LABEL_PROPAGATION = _lpa_oracle_sql(LPA_ITERS)
 
 
 def q_rollup_lineitem(spark, sf_dir):
@@ -470,26 +540,126 @@ FROM d, q ORDER BY sim DESC, vec_id ASC LIMIT 10
 
 
 def q_minhash_lsh(spark, sf_dir):
-    """Rows-only (xxhash64 differs across engines); recall oracle in tests."""
+    """Full MinHash+LSH pipeline (signatures → banding → bucket self-join →
+    exact-Jaccard verify) with the engine-portable md5 hash family, so every
+    stage is hash-checked against DuckDB.  Production default stays xxhash64
+    (same pipeline, faster hash; recall oracle in tests)."""
     from linkgraph.textops.dedup import minhash_near_duplicates
 
     return minhash_near_duplicates(
-        _t(spark, sf_dir, "documents"), threshold=0.3, num_hashes=64, bands=16
+        _t(spark, sf_dir, "documents"),
+        threshold=0.3,
+        num_hashes=64,
+        bands=16,
+        hash_family="md5",
+    ).select(
+        F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b"), "jac"
     )
 
 
-def q_simhash(spark, sf_dir):
-    """Rows-only; determinism + hamming-locality oracle in tests."""
-    from linkgraph.textops.dedup import simhash
+# portable token hash: identical in Spark (conv/substr/md5) and DuckDB
+_SQL_H60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
 
-    return simhash(_t(spark, sf_dir, "documents"))
+SQL_MINHASH_LSH = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS w FROM documents),
+th AS (
+  SELECT doc_id, s.seed,
+         MIN({_SQL_H60.format(x="w || '#' || s.seed")}) AS mh
+  FROM tok, (SELECT unnest(range(64)) AS seed) s
+  GROUP BY doc_id, s.seed),
+banded AS (
+  SELECT doc_id, seed // 4 AS band,
+         string_agg(mh::VARCHAR, '_' ORDER BY seed) AS bucket
+  FROM th GROUP BY doc_id, seed // 4),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
+  WHERE x.doc_id < y.doc_id),
+tok2 AS (
+  SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS w FROM documents),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok2 GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, COUNT(*) AS i
+  FROM cand c JOIN tok2 ta ON ta.doc_id = c.a JOIN tok2 tb
+    ON tb.doc_id = c.b AND tb.w = ta.w
+  GROUP BY c.a, c.b),
+jac AS (
+  SELECT c.a, c.b,
+         ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE)
+               / (sa.sz + sb.sz - COALESCE(i.i, 0)), 6) AS jac
+  FROM cand c LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+  JOIN sizes sa ON sa.doc_id = c.a JOIN sizes sb ON sb.doc_id = c.b)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, jac
+FROM jac WHERE jac >= 0.3
+"""
+
+
+def q_simhash(spark, sf_dir):
+    """60-bit portable SimHash (md5 family, pure JVM expressions) —
+    hash-checked against DuckDB bit-by-bit.  The 64-bit xxhash64 Arrow
+    kernel stays the production default (determinism + hamming-locality
+    oracles in tests)."""
+    from linkgraph.textops.dedup import simhash_portable
+
+    return simhash_portable(_t(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "simhash"
+    )
+
+
+def _simhash_oracle_sql() -> str:
+    bits_cnt = ",\n       ".join(f"SUM((h >> {j}) & 1) AS c{j}" for j in range(60))
+    pack = "\n     + ".join(
+        f"(CASE WHEN 2*c{j} > n THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END)"
+        for j in range(60)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS w FROM documents),
+th AS (SELECT doc_id, {_SQL_H60.format(x="w")} AS h FROM tok),
+cnt AS (SELECT doc_id, COUNT(*) AS n,
+       {bits_cnt}
+       FROM th GROUP BY doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST({pack} AS BIGINT) AS simhash FROM cnt
+"""
+
+
+SQL_SIMHASH = _simhash_oracle_sql()
 
 
 def q_fingerprint(spark, sf_dir):
-    """Rows-only; determinism oracle in tests."""
+    """Winnowing fingerprint (rolling poly-hash mod 2^64, window 16) —
+    hash-checked against a DuckDB HUGEINT fold oracle.  The oracle reads
+    bytes via ord(); the documents fixture is ASCII so codepoint == utf-8
+    byte (the Spark kernel hashes utf-8 bytes)."""
     from linkgraph.textops.textstats import fingerprint
 
     return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+SQL_FINGERPRINT = """
+WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+wins AS (
+  SELECT doc_id, text, LEAST(len, 16) AS w,
+         unnest(range(0, GREATEST(len - LEAST(len, 16) + 1, 0))) AS a
+  FROM d WHERE len > 0),
+hashes AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS HUGEINT),
+             list_transform(range(a + 1, a + w + 1),
+                            i -> CAST(ord(substr(text, i, 1)) AS HUGEINT))),
+           (acc, b) -> (acc * 1000003 + b) % CAST('18446744073709551616' AS HUGEINT)
+         ) AS h
+  FROM wins),
+mins AS (SELECT doc_id, MIN(h) AS m FROM hashes GROUP BY doc_id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(CASE WHEN m IS NULL THEN 0
+                 WHEN m >= CAST('9223372036854775808' AS HUGEINT)
+                   THEN m - CAST('18446744073709551616' AS HUGEINT)
+                 ELSE m END AS BIGINT) AS fp
+FROM d LEFT JOIN mins ON mins.doc_id = d.doc_id
+"""
 
 
 def q_text_integrity(spark, sf_dir):
@@ -515,7 +685,7 @@ QUERIES = {
     "connected_components": q_connected_components,
     "triangle_count": q_triangle_count,
     "triangles_per_vertex": q_triangles_per_vertex,
-    "pagerank_topk": q_pagerank_topk,
+    "pagerank": q_pagerank,
     "label_propagation": q_label_propagation,
     "customers_without_orders": q_customers_without_orders,
     "event_props_hourly": q_event_props_hourly,
@@ -542,6 +712,8 @@ ORACLES = {
     "connected_components": SQL_CONNECTED_COMPONENTS,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
+    "pagerank": SQL_PAGERANK,
+    "label_propagation": SQL_LABEL_PROPAGATION,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
     "event_props_hourly": SQL_EVENT_PROPS_HOURLY,
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,
@@ -551,6 +723,9 @@ ORACLES = {
     "token_totals": SQL_TOKEN_TOTALS,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "minhash_lsh": SQL_MINHASH_LSH,
+    "simhash": SQL_SIMHASH,
+    "fingerprint": SQL_FINGERPRINT,
     "text_integrity": SQL_TEXT_INTEGRITY,
 }
 

@@ -85,4 +85,9 @@ def test_relational_kernel_is_codegen(small_graph):
         .agg(*[F.bit_or(f"v{i}").alias(f"a{i}") for i in range(8)])
     )
     agg.collect()  # AQE: codegen markers appear only in the FINAL plan
-    assert "WholeStageCodegen" in _plan(agg)
+    # formatted-mode explain marks codegen stages with a '*' prefix
+    # ("* HashAggregate (n)"); the literal WholeStageCodegen node name only
+    # appears in simple mode
+    plan = _plan(agg)
+    assert "* HashAggregate" in plan
+    assert "isFinalPlan=true" in plan

@@ -53,6 +53,62 @@ def test_lsh_candidates_superset_of_true_pairs(docs):
     assert verified == true
 
 
+def test_portable_hash60_matches_hashlib(docs):
+    """The md5 hash family (used by the DuckDB-oracle-checked queries) must
+    equal int(md5_hex[:15], 16) — the cross-engine contract."""
+    import hashlib
+
+    from linkgraph.textops.dedup import portable_hash60
+
+    got = {
+        r["w"]: (r["h"], r["hs"])
+        for r in docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .select(
+            "w",
+            portable_hash60("w").alias("h"),
+            portable_hash60("w", seed=7).alias("hs"),
+        )
+        .collect()
+    }
+    assert got
+    for w, (h, hs) in got.items():
+        assert h == int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+        assert hs == int(hashlib.md5(f"{w}#7".encode()).hexdigest()[:15], 16)
+
+
+def test_simhash_portable_matches_reference(docs):
+    """simhash_portable (pure JVM path) ≡ bit-majority reference in python."""
+    import hashlib
+    import re
+
+    from linkgraph.textops.dedup import simhash_portable
+
+    got = {r["doc_id"]: r["simhash"] for r in simhash_portable(docs).collect()}
+    for row in docs.collect():
+        ws = set(re.findall("[a-z0-9]+", row["text"].lower()))
+        if not ws:
+            assert row["doc_id"] not in got
+            continue
+        hs = [int(hashlib.md5(w.encode()).hexdigest()[:15], 16) for w in ws]
+        v = 0
+        for j in range(60):
+            if 2 * sum((h >> j) & 1 for h in hs) > len(hs):
+                v |= 1 << j
+        assert got[row["doc_id"]] == v
+
+
+def test_minhash_md5_family_equals_xxhash_family_pairs(docs):
+    """Candidate generation is hash-family-invariant on this fixture (both
+    families must bucket the exact dup pair together)."""
+    # r = 64/32 = 2 rows per band: P[missing the jac≈0.8 near-dup] ≈ 1e-14
+    md5_pairs = {
+        (r["a"], r["b"])
+        for r in lsh_candidate_pairs(docs, 64, 32, hash_family="md5").collect()
+    }
+    assert (0, 3) in md5_pairs  # exact dup
+    assert (0, 1) in md5_pairs  # near dup
+
+
 def test_simhash_locality(docs):
     sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
     ham01 = bin((sh[0] ^ sh[1]) & 0xFFFFFFFFFFFFFFFF).count("1")
