@@ -42,8 +42,12 @@ def run_once(cpus: int, graph_dir: str) -> dict:
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
         BENCH_GRAPH=graph_dir,
-        # identical heap at every level; local-mode driver heap backs all tasks
-        LINKGRAPH_DRIVER_MEM=os.environ.get("LINKGRAPH_DRIVER_MEM", "24g"),
+        # identical heap at every level; local-mode driver heap backs all
+        # tasks.  Right-sized, not maximal: first-touch faults on this
+        # VM class run at kernel-bound ~100-200MB/s/thread, so every
+        # pre-touched GB is paid at JVM start — 12g covers the cached edge
+        # table + shuffle comfortably and keeps startup sane.
+        LINKGRAPH_DRIVER_MEM=os.environ.get("LINKGRAPH_DRIVER_MEM", "12g"),
         # ContextCleaner ON: measured A/B (msbfs then pagerank10, same JVM)
         # pr10 = 267.6s with the cleaner off vs 24.1s with it on — retained
         # blocks/broadcasts from the first kernel throttle every later job.
@@ -66,7 +70,11 @@ def main():
     graph_dir = (
         sys.argv[2]
         if len(sys.argv) > 2
-        else os.path.join(REPO, "BENCH", "data", "zipf_100000")
+        # synth_400000 (V=4e5, E=589M directed): big enough that a kernel
+        # iteration's compute dominates the per-iteration driver floor —
+        # on the 102M-edge graph the floor caps efficiency at any core
+        # count (see BASELINE.md round-2 diagnosis)
+        else os.path.join(REPO, "BENCH", "data", "synth_400000")
     )
 
     ceiling = json.loads(
@@ -86,7 +94,7 @@ def main():
             r = run_once(cpus, graph_dir)
             print(
                 f"run {i} local[{cpus}]: msbfs={r['msbfs_sec']}s "
-                f"teps={r['msbfs_teps']:,.0f} pr10={r['pagerank10_sec']}s "
+                f"teps={r['msbfs_teps']:,.0f} pr={r['pagerank_sec']}s "
                 f"({time.time() - t0:.0f}s total)",
                 flush=True,
             )
@@ -105,7 +113,8 @@ def main():
         f"## Scaling run — {time.strftime('%Y-%m-%d %H:%M:%S')}",
         "",
         f"Input: `{graph_dir}` (V={meta.get('V', '?'):,}, directed E="
-        f"{meta.get('E_directed', '?'):,}, Zipf hub-tool graph, seed 42); "
+        f"{meta.get('E_directed', '?'):,}, "
+        f"{meta.get('generator', 'Zipf hub-tool graph, seed 42')}); "
         f"{runs} runs per level, interleaved across levels, medians, fresh "
         "JVM per run, identical confs at every level.",
         "",
@@ -121,7 +130,7 @@ def main():
     ]
     metrics = [
         ("MS-BFS 512-lane batch", "msbfs_teps", "bit-edge traversals/s"),
-        ("PageRank 10 iterations", "pagerank_edge_iters_per_sec", "edge-iters/s"),
+        ("PageRank fixed-budget power iteration", "pagerank_edge_iters_per_sec", "edge-iters/s"),
     ]
     for lo, hi, label in PAIRS:
         lines += [
@@ -142,7 +151,7 @@ def main():
     lines.append(
         "Raw medians (sec): "
         + "; ".join(
-            f"local[{c}] msbfs={med(c, 'msbfs_sec')} pr10={med(c, 'pagerank10_sec')}"
+            f"local[{c}] msbfs={med(c, 'msbfs_sec')} pr={med(c, 'pagerank_sec')}"
             for c in LEVELS
         )
         + "."

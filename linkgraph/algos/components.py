@@ -53,66 +53,69 @@ def connected_components(
 
     changed = None
     prev = None
-    for it in range(it0, max_iter):
-        labels = comp.select(F.col("vid").alias("src"), F.col("comp").alias("c"))
-        nbr_min = graph.expand(labels, est_rows=n).groupBy("dst").agg(
-            F.min("c").alias("nc")
-        )
-        new_comp = (
-            comp.alias("st")
-            .join(nbr_min.alias("nb"), F.col("st.vid") == F.col("nb.dst"), "left")
-            .select(
-                F.col("st.vid").alias("vid"),
-                F.least(
-                    F.col("st.comp"), F.coalesce(F.col("nb.nc"), F.col("st.comp"))
-                ).alias("comp"),
-                F.col("st.comp").alias("pc"),
-            )
-        )
-        if shortcut:
-            # pointer doubling: comp(v) <- min(comp(v), comp(comp(v))).
-            # comp values are vids, so the label table doubles as the
-            # parent mapping; one extra equi-join per round buys O(log d)
-            # total rounds instead of O(d).
-            mapping = comp.select(
-                F.col("vid").alias("comp"), F.col("comp").alias("cc")
+    from linkgraph.graph import iteration_plan
+
+    with iteration_plan(graph.spark):
+        for it in range(it0, max_iter):
+            labels = comp.select(F.col("vid").alias("src"), F.col("comp").alias("c"))
+            nbr_min = graph.expand(labels, est_rows=n).groupBy("dst").agg(
+                F.min("c").alias("nc")
             )
             new_comp = (
-                new_comp.alias("nc2")
-                .join(mapping.alias("mp"), "comp", "left")
+                comp.alias("st")
+                .join(nbr_min.alias("nb"), F.col("st.vid") == F.col("nb.dst"), "left")
                 .select(
-                    F.col("nc2.vid").alias("vid"),
+                    F.col("st.vid").alias("vid"),
                     F.least(
-                        F.col("comp"), F.coalesce(F.col("mp.cc"), F.col("comp"))
+                        F.col("st.comp"), F.coalesce(F.col("nb.nc"), F.col("st.comp"))
                     ).alias("comp"),
-                    F.col("nc2.pc").alias("pc"),
+                    F.col("st.comp").alias("pc"),
                 )
             )
-        # EAGER checkpoint: deterministic lineage truncation (see
-        # pagerank.py — lazy+AQE intermittently fails to truncate and the
-        # plan doubles per round); the changed-count then reads cached rows
-        new_comp = new_comp.localCheckpoint(eager=True)
-        changed = int(
-            new_comp.agg(
-                F.sum(F.when(F.col("comp") != F.col("pc"), 1).otherwise(0)).alias("n")
-            ).first()["n"]
-            or 0
-        )
-        if prev is not None:
-            try:
-                prev.unpersist()
-            except Exception:
-                pass
-        prev, comp = comp, new_comp
-        if verbose:
-            print(f"[cc] iter {it}: changed={changed}", flush=True)
-        if checkpoint_mgr is not None and (it + 1) % snapshot_every == 0:
-            comp = checkpoint_mgr.write_state(
-                comp.select("vid", "comp"), it + 1,
-                {"iteration": it + 1, "changed": int(changed)},
-            ).localCheckpoint(eager=True)
-        if changed == 0:
-            break
+            if shortcut:
+                # pointer doubling: comp(v) <- min(comp(v), comp(comp(v))).
+                # comp values are vids, so the label table doubles as the
+                # parent mapping; one extra equi-join per round buys O(log d)
+                # total rounds instead of O(d).
+                mapping = comp.select(
+                    F.col("vid").alias("comp"), F.col("comp").alias("cc")
+                )
+                new_comp = (
+                    new_comp.alias("nc2")
+                    .join(mapping.alias("mp"), "comp", "left")
+                    .select(
+                        F.col("nc2.vid").alias("vid"),
+                        F.least(
+                            F.col("comp"), F.coalesce(F.col("mp.cc"), F.col("comp"))
+                        ).alias("comp"),
+                        F.col("nc2.pc").alias("pc"),
+                    )
+                )
+            # EAGER checkpoint: deterministic lineage truncation (see
+            # pagerank.py — lazy+AQE intermittently fails to truncate and the
+            # plan doubles per round); the changed-count then reads cached rows
+            new_comp = new_comp.localCheckpoint(eager=True)
+            changed = int(
+                new_comp.agg(
+                    F.sum(F.when(F.col("comp") != F.col("pc"), 1).otherwise(0)).alias("n")
+                ).first()["n"]
+                or 0
+            )
+            if prev is not None:
+                try:
+                    prev.unpersist()
+                except Exception:
+                    pass
+            prev, comp = comp, new_comp
+            if verbose:
+                print(f"[cc] iter {it}: changed={changed}", flush=True)
+            if checkpoint_mgr is not None and (it + 1) % snapshot_every == 0:
+                comp = checkpoint_mgr.write_state(
+                    comp.select("vid", "comp"), it + 1,
+                    {"iteration": it + 1, "changed": int(changed)},
+                ).localCheckpoint(eager=True)
+            if changed == 0:
+                break
     if changed:
         warnings.warn(
             f"connected_components: max_iter={max_iter} exhausted with "

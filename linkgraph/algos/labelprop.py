@@ -30,44 +30,47 @@ def label_propagation(
 
     changed = None
     prev = None
-    for it in range(max_iter):
-        msgs = labels.select(F.col("vid").alias("src"), F.col("label").alias("l"))
-        votes = graph.expand(msgs, est_rows=n).groupBy("dst", "l").agg(
-            F.count("*").alias("n")
-        )
-        w = Window.partitionBy("dst").orderBy(F.col("n").desc(), F.col("l").asc())
-        winner = (
-            votes.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") == 1)
-            .select(F.col("dst"), F.col("l").alias("new_label"))
-        )
-        new_labels = (
-            labels.alias("st")
-            .join(winner.alias("wn"), F.col("st.vid") == F.col("wn.dst"), "left")
-            .select(
-                F.col("st.vid").alias("vid"),
-                F.coalesce(F.col("wn.new_label"), F.col("st.label")).alias("label"),
-                F.col("st.label").alias("pl"),
+    from linkgraph.graph import iteration_plan
+
+    with iteration_plan(graph.spark):
+        for it in range(max_iter):
+            msgs = labels.select(F.col("vid").alias("src"), F.col("label").alias("l"))
+            votes = graph.expand(msgs, est_rows=n).groupBy("dst", "l").agg(
+                F.count("*").alias("n")
             )
-            # eager: deterministic lineage truncation (see pagerank.py)
-            .localCheckpoint(eager=True)
-        )
-        changed = int(
-            new_labels.agg(
-                F.sum(F.when(F.col("label") != F.col("pl"), 1).otherwise(0)).alias("n")
-            ).first()["n"]
-            or 0
-        )
-        if prev is not None:
-            try:
-                prev.unpersist()
-            except Exception:
-                pass
-        prev, labels = labels, new_labels
-        if verbose:
-            print(f"[lpa] iter {it}: changed={changed}", flush=True)
-        if changed == 0:
-            break
+            w = Window.partitionBy("dst").orderBy(F.col("n").desc(), F.col("l").asc())
+            winner = (
+                votes.withColumn("rk", F.row_number().over(w))
+                .where(F.col("rk") == 1)
+                .select(F.col("dst"), F.col("l").alias("new_label"))
+            )
+            new_labels = (
+                labels.alias("st")
+                .join(winner.alias("wn"), F.col("st.vid") == F.col("wn.dst"), "left")
+                .select(
+                    F.col("st.vid").alias("vid"),
+                    F.coalesce(F.col("wn.new_label"), F.col("st.label")).alias("label"),
+                    F.col("st.label").alias("pl"),
+                )
+                # eager: deterministic lineage truncation (see pagerank.py)
+                .localCheckpoint(eager=True)
+            )
+            changed = int(
+                new_labels.agg(
+                    F.sum(F.when(F.col("label") != F.col("pl"), 1).otherwise(0)).alias("n")
+                ).first()["n"]
+                or 0
+            )
+            if prev is not None:
+                try:
+                    prev.unpersist()
+                except Exception:
+                    pass
+            prev, labels = labels, new_labels
+            if verbose:
+                print(f"[lpa] iter {it}: changed={changed}", flush=True)
+            if changed == 0:
+                break
     if changed and verbose:
         # a fixed iteration budget is normal operation for LPA — note it
         # rather than warn (CC, whose docstring promises exactness, warns)

@@ -269,149 +269,152 @@ def msbfs(
     closed_rows = 0  # K3 gate: fully-seen vertex count, measured per level
     prev_state = None  # kept cached until the new state is materialized
 
-    while True:
-        t_lvl = time.time()
-        if skip_account:
-            # resumed: this level's bits were accounted before the snapshot
-            skip_account = False
-            new_total = per_level_new[level] if level < len(per_level_new) else 1
-            frontier_rows = None
-            closed_rows = 0  # unknown after resume; filter re-arms next level
-        else:
-            # -- lane accounting on current visit bits (drives materialization)
-            acct_src = state
-            scols = list(_S) if bottom_up else []
-            if track_teps:
-                acct_src = state.join(F.broadcast(graph.degrees()), "vid", "left").withColumn(
-                    "deg", F.coalesce(F.col("deg"), F.lit(0))
-                )
-                counts_in = acct_src.select("vid", "deg", *_V, *scols)
+    from linkgraph.graph import iteration_plan
+
+    with iteration_plan(spark):
+        while True:
+            t_lvl = time.time()
+            if skip_account:
+                # resumed: this level's bits were accounted before the snapshot
+                skip_account = False
+                new_total = per_level_new[level] if level < len(per_level_new) else 1
+                frontier_rows = None
+                closed_rows = 0  # unknown after resume; filter re-arms next level
             else:
-                counts_in = state.select("vid", *_V, *scols)
-            counts = (
-                counts_in.mapInArrow(count_kernel, count_schema)
-                .groupBy("lane")
-                .agg(F.sum("cnt").alias("cnt"))
-                .collect()
-            )
-            by_lane = {row["lane"]: row["cnt"] for row in counts}
-            frontier_rows = int(by_lane.pop(-1, 0))
-            traversed += int(by_lane.pop(-2, 0))
-            closed_rows = int(by_lane.pop(-3, 0))
-            new_total = int(sum(by_lane.values()))
-            per_level_new.append(new_total)
-            if new_total:
-                lane_arr = np.zeros(nsrc, dtype=np.int64)
-                for lane, cnt in by_lane.items():
-                    lane_arr[lane] = cnt
-                r += lane_arr
-                s += lane_arr * level
-            if emit_distances and new_total:
-                # distributed per-level delta append — never through the
-                # driver (n×512 distances at scale is terabytes)
-                (
-                    state.select("vid", *_V)
-                    .mapInArrow(explode_kernel, "vid long, lane int")
-                    .withColumn("dist", F.lit(level).cast("int"))
-                    .write.mode("overwrite")
-                    .parquet(os.path.join(distances_path, f"level={level}"))
-                )
-        if prev_state is not None:
-            try:
-                prev_state.unpersist()
-            except Exception:
-                pass  # localCheckpoint blocks are released by the ContextCleaner
-            prev_state = None
-
-        if new_total == 0 or (max_levels is not None and level >= max_levels):
-            break
-
-        if checkpoint_mgr is not None and level and level % snapshot_every == 0:
-            # durable snapshot: resumable mid-traversal with lineage+metrics
-            metrics = {
-                "level": level,
-                "r": r.tolist(),
-                "s": s.tolist(),
-                "traversed": traversed,
-                "per_level_new": per_level_new,
-            }
-            if emit_distances:
-                # manifest records the distance-delta location, not the data
-                metrics["distances_path"] = distances_path
-            reloaded = checkpoint_mgr.write_state(state, level, metrics)
-            state.unpersist()
-            state = reloaded.persist(StorageLevel.MEMORY_AND_DISK)
-
-        # -- expand: frontier ⋈ edges, OR-aggregate by dst (ANP).
-        # Strategy dispatch (broadcast / salted / shuffle) via graph.expand.
-        frontier = state.where(
-            " or ".join(f"v{i} != 0" for i in range(nlimbs))
-        ).select(F.col("vid").alias("src"), *_V)
-        msgs = graph.expand(frontier, est_rows=frontier_rows).select("dst", *_V)
-
-        # -- K3 direction switch, pull-shaped: on late dense levels most
-        # destinations are already fully seen across all lanes, so their
-        # messages would be aggregated and then masked to zero.  Drop
-        # messages whose destination is CLOSED (every lane seen) with a
-        # left-anti join (J3) — the relational analog of Beamer's bottom-up
-        # "only scan unseen vertices".  Vertices not yet in the state table
-        # have empty seen sets and correctly pass the anti-join.  Gated on
-        # the MEASURED closed-vertex fraction (lane=-3 sentinel from the
-        # accounting kernel — free, same state scan) so the filter only
-        # fires when it will actually drop work; the anti-join keys on
-        # dst, the same key as the downstream aggregation, so the
-        # shuffle-path exchange is reused.
-        if bottom_up and n_vertices:
-            if closed_rows / float(n_vertices) >= bottom_up_threshold:
-                closed_dst = state.where(
-                    " and ".join(
-                        f"s{i} = {m}L" for i, m in enumerate(full_masks[: (nsrc + 63) // 64])
+                # -- lane accounting on current visit bits (drives materialization)
+                acct_src = state
+                scols = list(_S) if bottom_up else []
+                if track_teps:
+                    acct_src = state.join(F.broadcast(graph.degrees()), "vid", "left").withColumn(
+                        "deg", F.coalesce(F.col("deg"), F.lit(0))
                     )
-                ).select(F.col("vid").alias("dst"))
-                from linkgraph.graph import broadcast_threshold
+                    counts_in = acct_src.select("vid", "deg", *_V, *scols)
+                else:
+                    counts_in = state.select("vid", *_V, *scols)
+                counts = (
+                    counts_in.mapInArrow(count_kernel, count_schema)
+                    .groupBy("lane")
+                    .agg(F.sum("cnt").alias("cnt"))
+                    .collect()
+                )
+                by_lane = {row["lane"]: row["cnt"] for row in counts}
+                frontier_rows = int(by_lane.pop(-1, 0))
+                traversed += int(by_lane.pop(-2, 0))
+                closed_rows = int(by_lane.pop(-3, 0))
+                new_total = int(sum(by_lane.values()))
+                per_level_new.append(new_total)
+                if new_total:
+                    lane_arr = np.zeros(nsrc, dtype=np.int64)
+                    for lane, cnt in by_lane.items():
+                        lane_arr[lane] = cnt
+                    r += lane_arr
+                    s += lane_arr * level
+                if emit_distances and new_total:
+                    # distributed per-level delta append — never through the
+                    # driver (n×512 distances at scale is terabytes)
+                    (
+                        state.select("vid", *_V)
+                        .mapInArrow(explode_kernel, "vid long, lane int")
+                        .withColumn("dist", F.lit(level).cast("int"))
+                        .write.mode("overwrite")
+                        .parquet(os.path.join(distances_path, f"level={level}"))
+                    )
+            if prev_state is not None:
+                try:
+                    prev_state.unpersist()
+                except Exception:
+                    pass  # localCheckpoint blocks are released by the ContextCleaner
+                prev_state = None
 
-                thresh = broadcast_threshold(spark)
-                if 0 < thresh and n_vertices * 24 < thresh:
-                    closed_dst = F.broadcast(closed_dst)
-                msgs = msgs.join(closed_dst, "dst", "left_anti")
-        if mode == "kernel":
-            buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
-            agg = _kernel_or_agg(msgs, nlimbs, buckets)
-        else:
-            agg = msgs.groupBy("dst").agg(
-                *[F.bit_or(f"v{i}").alias(f"a{i}") for i in range(nlimbs)]
-            )
+            if new_total == 0 or (max_levels is not None and level >= max_levels):
+                break
 
-        # -- mask & update (codegen'd int64 math; no UDF)
-        # `vid`/`dst` are unique names across the two sides — resolve by name
-        # (agg descends from state, so df["col"] refs would be self-join-ambiguous)
-        joined = state.join(agg, F.col("vid") == F.col("dst"), "full_outer")
-        sel = [F.coalesce(F.col("vid"), F.col("dst")).alias("vid")]
-        for i in range(nlimbs):
-            sel.append(
-                F.expr(f"coalesce(s{i}, 0L) | coalesce(a{i}, 0L)").alias(f"s{i}")
-            )
-        for i in range(nlimbs):
-            sel.append(
-                F.expr(f"coalesce(a{i}, 0L) & ~coalesce(s{i}, 0L)").alias(f"v{i}")
-            )
-        # EAGER localCheckpoint: deterministic lineage truncation.  The
-        # lazy form relied on the next accounting job to materialize the
-        # blocks AND cut lineage, but under AQE truncation intermittently
-        # fails (state is referenced twice per level: frontier + update
-        # join), and the un-truncated plan doubles per level (see
-        # pagerank.py for the measured blow-up).  Eager costs one job per
-        # level; the accounting job then reads cached state blocks.
-        new_state = joined.select(*sel).localCheckpoint(eager=True)
-        # old state blocks stay until the new state materializes (next loop)
-        prev_state, state = state, new_state
-        level += 1
-        if verbose:
-            print(
-                f"[msbfs] level {level - 1}: new={new_total} frontier_rows={frontier_rows} "
-                f"{time.time() - t_lvl:.2f}s",
-                flush=True,
-            )
+            if checkpoint_mgr is not None and level and level % snapshot_every == 0:
+                # durable snapshot: resumable mid-traversal with lineage+metrics
+                metrics = {
+                    "level": level,
+                    "r": r.tolist(),
+                    "s": s.tolist(),
+                    "traversed": traversed,
+                    "per_level_new": per_level_new,
+                }
+                if emit_distances:
+                    # manifest records the distance-delta location, not the data
+                    metrics["distances_path"] = distances_path
+                reloaded = checkpoint_mgr.write_state(state, level, metrics)
+                state.unpersist()
+                state = reloaded.persist(StorageLevel.MEMORY_AND_DISK)
+
+            # -- expand: frontier ⋈ edges, OR-aggregate by dst (ANP).
+            # Strategy dispatch (broadcast / salted / shuffle) via graph.expand.
+            frontier = state.where(
+                " or ".join(f"v{i} != 0" for i in range(nlimbs))
+            ).select(F.col("vid").alias("src"), *_V)
+            msgs = graph.expand(frontier, est_rows=frontier_rows).select("dst", *_V)
+
+            # -- K3 direction switch, pull-shaped: on late dense levels most
+            # destinations are already fully seen across all lanes, so their
+            # messages would be aggregated and then masked to zero.  Drop
+            # messages whose destination is CLOSED (every lane seen) with a
+            # left-anti join (J3) — the relational analog of Beamer's bottom-up
+            # "only scan unseen vertices".  Vertices not yet in the state table
+            # have empty seen sets and correctly pass the anti-join.  Gated on
+            # the MEASURED closed-vertex fraction (lane=-3 sentinel from the
+            # accounting kernel — free, same state scan) so the filter only
+            # fires when it will actually drop work; the anti-join keys on
+            # dst, the same key as the downstream aggregation, so the
+            # shuffle-path exchange is reused.
+            if bottom_up and n_vertices:
+                if closed_rows / float(n_vertices) >= bottom_up_threshold:
+                    closed_dst = state.where(
+                        " and ".join(
+                            f"s{i} = {m}L" for i, m in enumerate(full_masks[: (nsrc + 63) // 64])
+                        )
+                    ).select(F.col("vid").alias("dst"))
+                    from linkgraph.graph import broadcast_threshold
+
+                    thresh = broadcast_threshold(spark)
+                    if 0 < thresh and n_vertices * 24 < thresh:
+                        closed_dst = F.broadcast(closed_dst)
+                    msgs = msgs.join(closed_dst, "dst", "left_anti")
+            if mode == "kernel":
+                buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+                agg = _kernel_or_agg(msgs, nlimbs, buckets)
+            else:
+                agg = msgs.groupBy("dst").agg(
+                    *[F.bit_or(f"v{i}").alias(f"a{i}") for i in range(nlimbs)]
+                )
+
+            # -- mask & update (codegen'd int64 math; no UDF)
+            # `vid`/`dst` are unique names across the two sides — resolve by name
+            # (agg descends from state, so df["col"] refs would be self-join-ambiguous)
+            joined = state.join(agg, F.col("vid") == F.col("dst"), "full_outer")
+            sel = [F.coalesce(F.col("vid"), F.col("dst")).alias("vid")]
+            for i in range(nlimbs):
+                sel.append(
+                    F.expr(f"coalesce(s{i}, 0L) | coalesce(a{i}, 0L)").alias(f"s{i}")
+                )
+            for i in range(nlimbs):
+                sel.append(
+                    F.expr(f"coalesce(a{i}, 0L) & ~coalesce(s{i}, 0L)").alias(f"v{i}")
+                )
+            # EAGER localCheckpoint: deterministic lineage truncation.  The
+            # lazy form relied on the next accounting job to materialize the
+            # blocks AND cut lineage, but under AQE truncation intermittently
+            # fails (state is referenced twice per level: frontier + update
+            # join), and the un-truncated plan doubles per level (see
+            # pagerank.py for the measured blow-up).  Eager costs one job per
+            # level; the accounting job then reads cached state blocks.
+            new_state = joined.select(*sel).localCheckpoint(eager=True)
+            # old state blocks stay until the new state materializes (next loop)
+            prev_state, state = state, new_state
+            level += 1
+            if verbose:
+                print(
+                    f"[msbfs] level {level - 1}: new={new_total} frontier_rows={frontier_rows} "
+                    f"{time.time() - t_lvl:.2f}s",
+                    flush=True,
+                )
 
     wall = time.time() - t0
     distances_df = None

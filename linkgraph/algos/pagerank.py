@@ -86,60 +86,64 @@ def pagerank(
 
     prev = None
     delta = None
-    for it in range(it0, max_iter):
-        msgs = state.where(F.col("deg") > 0).select(
-            F.col("vid").alias("src"), (F.col("pr") / F.col("deg")).alias("w")
-        )
-        contribs = graph.expand(msgs, est_rows=n).groupBy("dst").agg(
-            F.sum("w").alias("acc")
-        )
-        base = (1.0 - damping) / n + damping * dangling_mass / n
-        new_state = (
-            state.alias("st")
-            .join(contribs.alias("cb"), F.col("st.vid") == F.col("cb.dst"), "left")
-            .select(
-                F.col("st.vid").alias("vid"),
-                F.col("st.deg").alias("deg"),
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("cb.acc"), F.lit(0.0))
-                ).alias("pr"),
-                F.col("st.pr").alias("pr_old"),
+    from linkgraph.graph import iteration_plan
+
+    with iteration_plan(spark):
+        for it in range(it0, max_iter):
+            msgs = state.where(F.col("deg") > 0).select(
+                F.col("vid").alias("src"), (F.col("pr") / F.col("deg")).alias("w")
             )
-            # EAGER: lazy localCheckpoint under AQE intermittently fails to
-            # truncate lineage (state appears twice per iteration, so the
-            # un-truncated plan doubles every round — measured plan-build
-            # times of 2s -> 50s -> 100s -> 219s by iteration 9).  The
-            # eager form truncates deterministically; the follow-up stats
-            # aggregate then reads 〜|V| cached rows for ~nothing.
-            .localCheckpoint(eager=True)
-        )
-        # stats job over the cached state: delta + next iteration's
-        # dangling mass (sum of new pr over the static deg==0 set)
-        stats = new_state.agg(
-            F.max(F.abs(F.col("pr") - F.col("pr_old"))).alias("delta"),
-            F.sum(F.when(F.col("deg") == 0, F.col("pr"))).alias("dm"),
-        ).first()
-        delta = float(stats["delta"])
-        dangling_mass = float(stats["dm"] or 0.0)
-        if prev is not None:
-            try:
-                prev.unpersist()
-            except Exception:
-                pass
-        prev, state = state, new_state
-        if verbose:
-            print(f"[pagerank] iter {it}: delta={delta}", flush=True)
-        if checkpoint_mgr is not None and (it + 1) % snapshot_every == 0:
-            state = checkpoint_mgr.write_state(
-                state.select("vid", "deg", "pr"),
-                it + 1,
-                {
-                    "iteration": it + 1,
-                    "delta": delta,
-                    "dangling_mass": dangling_mass,
-                },
-            ).localCheckpoint(eager=True)
-        if tol > 0 and delta < tol:
-            break
+            contribs = graph.expand(msgs, est_rows=n).groupBy("dst").agg(
+                F.sum("w").alias("acc")
+            )
+            base = (1.0 - damping) / n + damping * dangling_mass / n
+            new_state = (
+                state.alias("st")
+                .join(contribs.alias("cb"), F.col("st.vid") == F.col("cb.dst"), "left")
+                .select(
+                    F.col("st.vid").alias("vid"),
+                    F.col("st.deg").alias("deg"),
+                    (
+                        F.lit(base)
+                        + F.lit(damping) * F.coalesce(F.col("cb.acc"), F.lit(0.0))
+                    ).alias("pr"),
+                    F.col("st.pr").alias("pr_old"),
+                )
+                # EAGER: lazy localCheckpoint under AQE intermittently fails
+                # to truncate lineage (state appears twice per iteration, so
+                # the un-truncated plan doubles every round — measured
+                # plan-build times of 2s -> 50s -> 100s -> 219s by iteration
+                # 9).  The eager form truncates deterministically; the
+                # follow-up stats aggregate then reads ~|V| cached rows for
+                # ~nothing.
+                .localCheckpoint(eager=True)
+            )
+            # stats job over the cached state: delta + next iteration's
+            # dangling mass (sum of new pr over the static deg==0 set)
+            stats = new_state.agg(
+                F.max(F.abs(F.col("pr") - F.col("pr_old"))).alias("delta"),
+                F.sum(F.when(F.col("deg") == 0, F.col("pr"))).alias("dm"),
+            ).first()
+            delta = float(stats["delta"])
+            dangling_mass = float(stats["dm"] or 0.0)
+            if prev is not None:
+                try:
+                    prev.unpersist()
+                except Exception:
+                    pass
+            prev, state = state, new_state
+            if verbose:
+                print(f"[pagerank] iter {it}: delta={delta}", flush=True)
+            if checkpoint_mgr is not None and (it + 1) % snapshot_every == 0:
+                state = checkpoint_mgr.write_state(
+                    state.select("vid", "deg", "pr"),
+                    it + 1,
+                    {
+                        "iteration": it + 1,
+                        "delta": delta,
+                        "dangling_mass": dangling_mass,
+                    },
+                ).localCheckpoint(eager=True)
+            if tol > 0 and delta < tol:
+                break
     return state.select("vid", "pr")

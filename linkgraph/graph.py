@@ -80,6 +80,41 @@ def _dense_ids(deg: DataFrame) -> DataFrame:
     return out
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def iteration_plan(spark):
+    """Planning profile for driver-controlled iteration loops (PR/CC/LPA/
+    MS-BFS): AQE OFF for the loop body, restored on exit.
+
+    The per-iteration plan is static and repetitive; AQE's value is runtime
+    re-planning of unknown shapes, and its cost is an extra driver round of
+    stage materialization per query — measured ~1-2s per iteration, which
+    dominates wall-time once the compute per iteration drops below a few
+    seconds per core (and at sandbox bench scale becomes THE floor that
+    caps scaling efficiency).  Skew inside the loop is handled explicitly
+    (byte-gated broadcast in LinkGraph.expand, salted hub buckets via
+    enable_salting), so the AQE skew-join backstop is not load-bearing
+    here.  Derivation / ad-hoc queries keep AQE on (session default).
+
+    Also prefers shuffled-hash over sort-merge joins inside the loop: the
+    frontier/state side is a bounded hash map (at most |V| rows), and SHJ
+    streams the co-partitioned edge side without the per-iteration sort
+    SMJ would insert.
+    """
+    conf = spark.conf
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    old_smj = conf.get("spark.sql.join.preferSortMergeJoin", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    try:
+        yield
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+        conf.set("spark.sql.join.preferSortMergeJoin", old_smj)
+
+
 class LinkGraph:
     def __init__(
         self,
@@ -101,17 +136,25 @@ class LinkGraph:
         know whether sink-only vertices can exist — on a directed table,
         vertices() unions both endpoints so sinks are not dropped.
 
-        Materialization = parquet round-trip + persist, for two measured
-        reasons: (1) derivation plans can embed LocalRelations / deep
-        self-join trees, and every downstream action re-canonicalizes the
-        full logical plan even on a cache hit — O(seconds) of driver time
-        per iteration; the round-trip truncates the plan to a parquet scan.
-        (2) localCheckpoint (the obvious alternative) yields `Scan
+        Materialization = parquet round-trip + partitioned cache, for three
+        measured reasons: (1) derivation plans can embed LocalRelations /
+        deep self-join trees, and every downstream action re-canonicalizes
+        the full logical plan even on a cache hit — O(seconds) of driver
+        time per iteration; the round-trip truncates the plan to a parquet
+        scan.  (2) localCheckpoint (the obvious alternative) yields `Scan
         ExistingRDD`, which deserializes row objects OUTSIDE whole-stage
         codegen — measured 4-8x slower per scan than the columnar cache and
-        anti-scaling with cores.  On a cluster the same role is played by
-        writing the edge table to Iceberg/parquet storage once and reading
-        it back (bucketed by src), which is exactly what this emulates.
+        anti-scaling with cores.  (3) a plain parquet scan has UNKNOWN
+        outputPartitioning, so every frontier-expand join re-shuffles the
+        FULL edge table each iteration (measured: `Exchange
+        hashpartitioning(src)` over the FileScan inside every PR/CC/LPA/
+        MS-BFS iteration — at 589M edges that is ~10GB of shuffle per
+        iteration doing no work).  Caching the repartitioned table
+        preserves HashPartitioning(src, p), so EnsureRequirements drops the
+        edge-side exchange and only the per-iteration messages shuffle —
+        the Spark analog of "CSR resident in memory".  On a cluster the
+        same role is played by an Iceberg table bucketed on src + a
+        storage-partitioned join, which is exactly what this emulates.
         """
         spark = edges.sparkSession
         p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -141,15 +184,23 @@ class LinkGraph:
                     tempfile.gettempdir(), f"linkgraph_edges_{uuid.uuid4().hex}"
                 )
                 shaped.write.parquet(self._store)
-                # NO .persist(): measured on a 102M-edge table, vectorized
-                # parquet scans (OS page cache) run within ~20% of the
-                # in-memory columnar cache, while cache population costs
-                # minutes — it never amortizes for iterative jobs.
-                self.edges = spark.read.parquet(self._store)
+                src = spark.read.parquet(self._store)
             else:
                 # already a bare file scan (e.g. a pre-shaped edge table
-                # written by an earlier LinkGraph) — use it as-is
-                self.edges = edges
+                # written by an earlier LinkGraph) — reshape into the
+                # partitioned cache directly
+                src = edges
+            # partitioned columnar cache: MEMORY_AND_DISK spills serialized
+            # columnar batches gracefully when the graph outgrows the
+            # storage fraction; either way the partitioning survives.  The
+            # sort matters too: a sort-merge expand join would otherwise
+            # re-sort all |E| rows EVERY iteration (the cache preserves
+            # outputOrdering, so SMJ only sorts the message side).
+            self.edges = (
+                src.repartition(p, "src")
+                .sortWithinPartitions("src", "dst")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
         else:
             self.edges = shaped
         self._degrees = None
