@@ -1,20 +1,29 @@
 """Salted-join skew evidence (SURVEY.md J2; VERDICT r1 item 3).
 
 Measures the frontier-expand join + aggregate (the PageRank/MS-BFS
-iteration shape) on the Zipf hub graph with broadcast DISABLED — the
-regime a 10^9-vertex frontier is in, where the message table can never
-broadcast and the shuffle join's reducer owning a hub vertex becomes the
-straggler.  Three physical strategies over identical input:
+iteration shape) with broadcast DISABLED — the regime a 10^9-vertex
+frontier is in, where the message table can never broadcast and the
+reducer owning a hub vertex becomes the straggler.
+
+The derivation-built bench graphs are deliberately hub-CAPPED (that is
+the derivation's own skew defense), so they carry no join skew — measured
+on zipf_100000, salting is pure overhead (plain 0.87s vs salted 4.99s,
+n_hubs=0).  The operator exists for the graphs that ARRIVE skewed, so
+this bench synthesizes one deterministically: `n_hubs` vertices own
+`hub_deg` out-edges each while the tail has `tail_deg`, giving one
+reducer several hub edge lists under plain hash partitioning.
+
+Three physical strategies over identical input:
 
 * plain          — shuffle join, AQE skew-join OFF (the naive plan)
 * plain+aqeskew  — shuffle join, AQE skew-join ON (runtime backstop)
 * salted         — SaltedEdges pre-salting (hash(dst)%S buckets per hub,
                    frontier rows replicated into S) + AQE skew-join OFF
 
-Variants are interleaved (p, a, s, p, a, s, ...) in ONE JVM after a
-warmup pass, medians reported — same noise protocol as scaling.py.
+Variants are interleaved in ONE JVM after a warmup pass, medians
+reported — same noise protocol as scaling.py.
 
-Usage: python BENCH/skew_bench.py [runs] [graph_dir]
+Usage: python BENCH/skew_bench.py [runs]
 """
 
 from __future__ import annotations
@@ -28,14 +37,14 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+V = 2_000_000
+N_HUBS = 8
+HUB_DEG = 1_500_000
+TAIL_DEG = 40
+
 
 def main():
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    graph_dir = (
-        sys.argv[2]
-        if len(sys.argv) > 2
-        else os.path.join(REPO, "BENCH", "data", "zipf_100000")
-    )
 
     from pyspark.sql import functions as F
 
@@ -50,29 +59,41 @@ def main():
     # broadcast off: at 10^9 vertices the frontier can never broadcast —
     # this is the regime the salted path exists for
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
 
-    edges = spark.read.parquet(os.path.join(graph_dir, "edges"))
-    g = LinkGraph(edges, symmetric=True)
-    deg = g.degrees()
-    top = deg.orderBy(F.col("deg").desc()).limit(1).collect()[0]
-    p9999 = deg.approxQuantile("deg", [0.9999], 0.001)[0]
-    salted = SaltedEdges(g, hub_threshold=max(int(p9999), 1), s=8)
+    deg_expr = F.when(F.col("src") < N_HUBS, F.lit(HUB_DEG)).otherwise(F.lit(TAIL_DEG))
+    edges = (
+        spark.range(V)
+        .select(F.col("id").alias("src"))
+        .repartition(128)
+        .withColumn("deg", deg_expr)
+        .select("src", F.explode(F.sequence(F.lit(0), F.col("deg") - 1)).alias("i"))
+        .select("src", F.pmod(F.xxhash64("src", "i"), F.lit(V)).cast("long").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    # directed graph, hub skew preserved (no symmetric closure — closure
+    # would hand every hub a reverse-edge list too and dilute the point)
+    g = LinkGraph(edges, materialize=True)
+    E = g.num_edges()
+    salted = SaltedEdges(g, hub_threshold=10 * TAIL_DEG, s=8)
     n_hubs = salted.hubs.count()
-    # materialize both cached edge tables before timing
-    g.edges.count()
-    salted.edges.count()
+    salted.edges.count()  # materialize the salted cache before timing
 
-    msgs = deg.select(F.col("vid").alias("src"), (1.0 / F.col("deg")).alias("w"))
-    msgs = msgs.localCheckpoint(eager=True)
+    msgs = (
+        g.degrees()
+        .select(F.col("vid").alias("src"), (1.0 / F.col("deg")).alias("w"))
+        .localCheckpoint(eager=True)
+    )
 
     def run_plain(skew_on: bool) -> float:
+        spark.conf.set("spark.sql.adaptive.enabled", str(skew_on).lower())
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(skew_on).lower())
         t0 = time.time()
         g.edges.join(msgs, "src").groupBy("dst").agg(F.sum("w")).count()
         return time.time() - t0
 
     def run_salted() -> float:
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         t0 = time.time()
         salted.join_frontier(msgs).groupBy("dst").agg(F.sum("w")).count()
         return time.time() - t0
@@ -93,12 +114,12 @@ def main():
 
     med = {k: round(statistics.median(v), 2) for k, v in times.items()}
     out = {
-        "graph": graph_dir,
-        "V": g.num_vertices(),
-        "E_directed": g.num_edges(),
-        "top_degree": int(top["deg"]),
-        "hub_threshold_p9999": int(p9999),
+        "V": V,
+        "E_directed": E,
         "n_hubs": n_hubs,
+        "hub_deg": HUB_DEG,
+        "tail_deg": TAIL_DEG,
+        "salt_buckets": 8,
         "runs": runs,
         "median_sec": med,
         "salted_speedup_vs_plain": round(med["plain"] / med["salted"], 2),
