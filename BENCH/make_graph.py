@@ -31,7 +31,9 @@ def main():
     t0 = time.time()
     t = transcripts_df(spark, n_convs=n_convs)
     pairs = shared_key_conv_edges(t, key="tool", hub_cap=hub_cap)
-    g, verts = LinkGraph.from_string_vertices(pairs, "src_conv", "dst_conv")
+    g, verts = LinkGraph.from_string_vertices(
+        pairs, "src_conv", "dst_conv", pairs_canonical=True
+    )
     g.edges.write.mode("overwrite").parquet(os.path.join(out, "edges"))
     meta = {
         "n_convs": n_convs,

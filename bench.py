@@ -93,7 +93,9 @@ def main():
     with timed("build_zipf_graph"):
         t = transcripts_df(spark, n_convs=n_convs)
         pairs = shared_key_conv_edges(t, key="tool", hub_cap=500)
-        g2, _ = LinkGraph.from_string_vertices(pairs, "src_conv", "dst_conv")
+        g2, _ = LinkGraph.from_string_vertices(
+            pairs, "src_conv", "dst_conv", pairs_canonical=True
+        )
         nv2, ne2 = g2.num_vertices(), g2.num_edges()
     extras["zipf"] = {"V": nv2, "E_directed": ne2, "n_convs": n_convs}
 

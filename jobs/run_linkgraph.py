@@ -54,7 +54,8 @@ def main(argv=None):
         hub_cap = suggest_hub_cap(transcripts, key=args.edge_key)
     pairs = shared_key_conv_edges(transcripts, key=args.edge_key, hub_cap=hub_cap)
     graph, vertices = LinkGraph.from_string_vertices(
-        pairs, "src_conv", "dst_conv", num_partitions=args.partitions
+        pairs, "src_conv", "dst_conv", num_partitions=args.partitions,
+        pairs_canonical=True,
     )
     if args.salt:
         graph.enable_salting()

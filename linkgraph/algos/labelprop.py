@@ -7,12 +7,13 @@ bit-for-bit (tested).
 Scale shape: labels flow through LinkGraph.expand (byte-gated broadcast /
 salted or plain shuffle join); previous labels are carried in the state so
 the changed-count is a column aggregate, not a join.  One heavy Spark job
-per round (expand + vote count + argmax window + update).
+per round (expand + vote count + one-aggregate argmax + update); the argmax
+is min(struct(-n, l)) — a partial+final hash agg, no per-round window sort.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import LinkGraph
@@ -38,12 +39,13 @@ def label_propagation(
             votes = graph.expand(msgs, est_rows=n).groupBy("dst", "l").agg(
                 F.count("*").alias("n")
             )
-            w = Window.partitionBy("dst").orderBy(F.col("n").desc(), F.col("l").asc())
-            winner = (
-                votes.withColumn("rk", F.row_number().over(w))
-                .where(F.col("rk") == 1)
-                .select(F.col("dst"), F.col("l").alias("new_label"))
-            )
+            # argmax(n, tie -> min l) as ONE hash aggregate: min over
+            # struct(-n, l) orders by count desc then label asc.  The
+            # groupBy+row_number window form costs an extra exchange + sort
+            # on dst per round; this is a partial+final agg on the same key.
+            winner = votes.groupBy("dst").agg(
+                F.min(F.struct((-F.col("n")).alias("nn"), F.col("l"))).alias("m")
+            ).select(F.col("dst"), F.col("m.l").alias("new_label"))
             new_labels = (
                 labels.alias("st")
                 .join(winner.alias("wn"), F.col("st.vid") == F.col("wn.dst"), "left")

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from linkgraph.graph import LinkGraph
+from linkgraph.graph import LinkGraph, broadcast_threshold
 from linkgraph.operators.bitset import limb_names, limbs_to_bits, pack_sources
 from linkgraph.schemas import NLIMBS, bfs_state_schema
 
@@ -81,7 +81,9 @@ def _lane_count_kernel(
     exact (edge, lane) expansion count of the NEXT level (TEPS accounting);
     lane=-3 (when full_masks): number of CLOSED rows (seen full across all
     lanes) — drives the K3 pull-filter gate, measured for free in the same
-    state scan instead of an extra job.
+    state scan instead of an extra job;
+    lane=-4: total state rows — lets the bottom-up gate know when the state
+    covers all |V| vertices (open set = not-closed state rows exactly).
     """
 
     def fn(batches):
@@ -89,9 +91,11 @@ def _lane_count_kernel(
         rows_any = 0
         traversals = 0
         closed_rows = 0
+        state_rows = 0
         for batch in batches:
             if batch.num_rows == 0:
                 continue
+            state_rows += batch.num_rows
             limbs = np.column_stack(
                 [
                     batch.column(f"v{i}").to_numpy(zero_copy_only=False)
@@ -121,8 +125,8 @@ def _lane_count_kernel(
                     traversals += int(
                         (deg * bits.sum(axis=1).astype(np.int64)).sum()
                     )
-        lanes = [np.arange(nsrc, dtype=np.int32), [-1]]
-        cnts = [total, [rows_any]]
+        lanes = [np.arange(nsrc, dtype=np.int32), [-1], [-4]]
+        cnts = [total, [rows_any], [state_rows]]
         if with_deg:
             lanes.append([-2])
             cnts.append([traversals])
@@ -203,12 +207,23 @@ def msbfs(
     verbose: bool = False,
     bottom_up: bool = True,
     bottom_up_threshold: float = 0.3,
+    eager_checkpoint: bool = False,
 ) -> MsBfsResult:
     """Run one ≤512-source batch to completion; returns lane accounting
     (r, s for closeness) and optionally full (src, vid, dist) distances.
 
     At scale, distances are not materialized n×512 (the reference streams
     them through a visitor); closeness needs only the r/s accumulators.
+
+    eager_checkpoint=False (default) fuses the per-level work into ONE
+    Spark job: the new state is lazily localCheckpointed (plan truncated
+    immediately) and the next level's accounting scan is the action that
+    materializes it — expand + OR-aggregate + update + lane accounting in a
+    single job instead of the round-2 two-jobs-per-level shape (eager
+    checkpoint job, then accounting job).  AQE is off inside the loop
+    (iteration_plan), which is the regime where lazy truncation is
+    deterministic; eager_checkpoint=True restores the old shape and the
+    cross-variant test asserts both are bit-exact.
     """
     spark = graph.spark
     nsrc = len(sources)
@@ -228,6 +243,14 @@ def msbfs(
         import tempfile
         import uuid
 
+        master = spark.conf.get("spark.master", "local")
+        if not master.startswith("local"):
+            raise ValueError(
+                "emit_distances on a multi-executor cluster requires an explicit "
+                "distances_path on shared storage: the driver-tempdir default is "
+                "executor-local, so per-level deltas written by executors would "
+                "not be readable back (pass e.g. the checkpoint root + '/distances')"
+            )
         distances_path = os.path.join(
             tempfile.gettempdir(), f"msbfs_dist_{uuid.uuid4().hex}"
         )
@@ -267,6 +290,7 @@ def msbfs(
     explode_kernel = _explode_kernel(nlimbs, nsrc)
     frontier_rows = None  # unknown until first accounting pass
     closed_rows = 0  # K3 gate: fully-seen vertex count, measured per level
+    state_rows = 0  # K3 gate: state row count (== |V| once fully covered)
     prev_state = None  # kept cached until the new state is materialized
 
     from linkgraph.graph import iteration_plan
@@ -280,12 +304,22 @@ def msbfs(
                 new_total = per_level_new[level] if level < len(per_level_new) else 1
                 frontier_rows = None
                 closed_rows = 0  # unknown after resume; filter re-arms next level
+                state_rows = 0
             else:
-                # -- lane accounting on current visit bits (drives materialization)
-                acct_src = state
+                # -- lane accounting on current visit bits.  This scan is the
+                # ACTION that materializes the (lazily localCheckpointed) state
+                # of the previous level's update — one fused Spark job per
+                # level covers expand + OR-agg + mask/update + accounting.
                 scols = list(_S) if bottom_up else []
                 if track_teps:
-                    acct_src = state.join(F.broadcast(graph.degrees()), "vid", "left").withColumn(
+                    deg = graph.degrees()
+                    thresh = broadcast_threshold(spark)
+                    if 0 < thresh and graph.num_vertices() * 16 < thresh:
+                        deg = F.broadcast(deg)
+                    # bench-only instrumentation; byte-gated so instrumented
+                    # runs at 10^9 vertices degrade to a shuffled join
+                    # instead of an unconditional |V|-row broadcast
+                    acct_src = state.join(deg, "vid", "left").withColumn(
                         "deg", F.coalesce(F.col("deg"), F.lit(0))
                     )
                     counts_in = acct_src.select("vid", "deg", *_V, *scols)
@@ -301,6 +335,7 @@ def msbfs(
                 frontier_rows = int(by_lane.pop(-1, 0))
                 traversed += int(by_lane.pop(-2, 0))
                 closed_rows = int(by_lane.pop(-3, 0))
+                state_rows = int(by_lane.pop(-4, 0))
                 new_total = int(sum(by_lane.values()))
                 per_level_new.append(new_total)
                 if new_total:
@@ -345,38 +380,75 @@ def msbfs(
                 state.unpersist()
                 state = reloaded.persist(StorageLevel.MEMORY_AND_DISK)
 
+            # -- K3 direction switch ([MSBFS15] §4.3, Beamer bottom-up): on
+            # late dense levels most destinations are already fully seen
+            # across all lanes, so their messages would be aggregated and
+            # then masked to zero.  Strategy, gated on the MEASURED
+            # closed-vertex fraction (lane=-3 sentinel — free, same state
+            # scan), decided BEFORE the expand so the expansion itself can
+            # shrink:
+            #   1. open-side semi-join — when the state covers all |V|
+            #      vertices (late levels; lane=-4 sentinel) and the OPEN set
+            #      is broadcastable, semi-join the EDGE side on open
+            #      destinations: closed-dst edges are never enumerated at
+            #      all, and the map-side filter preserves the edge cache's
+            #      src-partitioning.  The strongest shrink — expansion cost
+            #      is O(edges into open vertices), not O(frontier edges).
+            #   2. closed-side anti-join on the edge side — same map-side
+            #      shrink when instead the CLOSED set is broadcastable
+            #      (anti keeps never-seen vertices' edges, so state coverage
+            #      doesn't matter).
+            #   3. fallback message anti-join after the expand — when
+            #      neither set broadcasts (keys on dst, the downstream
+            #      aggregation key, so the shuffle exchange is reused); this
+            #      saves shuffle+aggregation work but not enumeration.
+            # At 10^9 vertices with a modest threshold, late-level open sets
+            # (~thousands of still-reachable vertices) broadcast fine; the
+            # cluster-scale extension for mid-range sets is a bitmap/bloom
+            # side-channel, documented debt.
+            edges_open = None
+            closed_filter = None
+            if bottom_up and n_vertices and closed_rows:
+                if closed_rows / float(n_vertices) >= bottom_up_threshold:
+                    closed_pred = " and ".join(
+                        f"s{i} = {m}L"
+                        for i, m in enumerate(full_masks[: (nsrc + 63) // 64])
+                    )
+                    thresh = broadcast_threshold(spark)
+                    open_rows = max(state_rows - closed_rows, 0)
+                    if (
+                        state_rows == n_vertices
+                        and 0 < thresh
+                        and open_rows * 24 < thresh
+                    ):
+                        open_dst = state.where(f"not ({closed_pred})").select(
+                            F.col("vid").alias("dst")
+                        )
+                        edges_open = graph.edges.join(
+                            F.broadcast(open_dst), "dst", "left_semi"
+                        )
+                    elif 0 < thresh and closed_rows * 24 < thresh:
+                        closed_dst = state.where(closed_pred).select(
+                            F.col("vid").alias("dst")
+                        )
+                        edges_open = graph.edges.join(
+                            F.broadcast(closed_dst), "dst", "left_anti"
+                        )
+                    else:
+                        closed_filter = state.where(closed_pred).select(
+                            F.col("vid").alias("dst")
+                        )
+
             # -- expand: frontier ⋈ edges, OR-aggregate by dst (ANP).
             # Strategy dispatch (broadcast / salted / shuffle) via graph.expand.
             frontier = state.where(
                 " or ".join(f"v{i} != 0" for i in range(nlimbs))
             ).select(F.col("vid").alias("src"), *_V)
-            msgs = graph.expand(frontier, est_rows=frontier_rows).select("dst", *_V)
-
-            # -- K3 direction switch, pull-shaped: on late dense levels most
-            # destinations are already fully seen across all lanes, so their
-            # messages would be aggregated and then masked to zero.  Drop
-            # messages whose destination is CLOSED (every lane seen) with a
-            # left-anti join (J3) — the relational analog of Beamer's bottom-up
-            # "only scan unseen vertices".  Vertices not yet in the state table
-            # have empty seen sets and correctly pass the anti-join.  Gated on
-            # the MEASURED closed-vertex fraction (lane=-3 sentinel from the
-            # accounting kernel — free, same state scan) so the filter only
-            # fires when it will actually drop work; the anti-join keys on
-            # dst, the same key as the downstream aggregation, so the
-            # shuffle-path exchange is reused.
-            if bottom_up and n_vertices:
-                if closed_rows / float(n_vertices) >= bottom_up_threshold:
-                    closed_dst = state.where(
-                        " and ".join(
-                            f"s{i} = {m}L" for i, m in enumerate(full_masks[: (nsrc + 63) // 64])
-                        )
-                    ).select(F.col("vid").alias("dst"))
-                    from linkgraph.graph import broadcast_threshold
-
-                    thresh = broadcast_threshold(spark)
-                    if 0 < thresh and n_vertices * 24 < thresh:
-                        closed_dst = F.broadcast(closed_dst)
-                    msgs = msgs.join(closed_dst, "dst", "left_anti")
+            msgs = graph.expand(
+                frontier, est_rows=frontier_rows, edges=edges_open
+            ).select("dst", *_V)
+            if closed_filter is not None:
+                msgs = msgs.join(closed_filter, "dst", "left_anti")
             if mode == "kernel":
                 buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
                 agg = _kernel_or_agg(msgs, nlimbs, buckets)
@@ -398,14 +470,15 @@ def msbfs(
                 sel.append(
                     F.expr(f"coalesce(a{i}, 0L) & ~coalesce(s{i}, 0L)").alias(f"v{i}")
                 )
-            # EAGER localCheckpoint: deterministic lineage truncation.  The
-            # lazy form relied on the next accounting job to materialize the
-            # blocks AND cut lineage, but under AQE truncation intermittently
-            # fails (state is referenced twice per level: frontier + update
-            # join), and the un-truncated plan doubles per level (see
-            # pagerank.py for the measured blow-up).  Eager costs one job per
-            # level; the accounting job then reads cached state blocks.
-            new_state = joined.select(*sel).localCheckpoint(eager=True)
+            # localCheckpoint cuts lineage either way (the returned plan is a
+            # Scan ExistingRDD immediately).  Default LAZY: the next level's
+            # accounting scan is the materializing action, fusing expand +
+            # OR-agg + update + accounting into ONE job per level — with AQE
+            # off inside iteration_plan (the regime where the round-2 lazy-
+            # truncation flakiness lived), truncation is deterministic and
+            # the per-level driver-barrier count halves.  eager=True restores
+            # the round-2 two-job shape (bit-exact; cross-variant tested).
+            new_state = joined.select(*sel).localCheckpoint(eager=eager_checkpoint)
             # old state blocks stay until the new state materializes (next loop)
             prev_state, state = state, new_state
             level += 1

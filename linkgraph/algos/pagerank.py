@@ -8,16 +8,19 @@ Scale-shaped iteration (one heavy Spark job per iteration):
   when the estimated byte size clears autoBroadcastJoinThreshold, salted
   or plain shuffle join otherwise (never an unconditional |V|-row
   broadcast: at 10^9 vertices that OOMs every executor);
-* the state ⋈ contribs update join is left to Catalyst/AQE: contribs is a
-  runtime-statted shuffle stage, so AQE picks BHJ when it is small and the
-  scale-correct SMJ/SHJ when it is not;
+* the loop runs under `iteration_plan` (AQE off, shuffled-hash preferred):
+  the per-iteration plan is static and co-partitioned, so AQE's per-stage
+  driver rounds are pure overhead and SHJ avoids SMJ's per-iteration sort;
 * Δrank and the dangling mass for the NEXT iteration are folded into one
   aggregate over the freshly checkpointed state — no separate join or
   anti-join action per iteration.  The dangling vertex set is static
-  (deg == 0), so its mass at iteration t is just sum(pr_t) over it.
+  (deg == 0), so its mass at iteration t is just sum(pr_t) over it;
+* n counts ALL vertices including sink-only ones (graph.num_vertices()
+  uses vertices() on directed tables), so ranks sum to 1 with sinks.
 
 Convergence: max |Δrank| < tol (BASELINE tol 1e-6).  Lineage cut every
-iteration via lazy localCheckpoint (materialized by the stats job);
+iteration via EAGER localCheckpoint (lazy truncation was flaky under AQE;
+the follow-up stats aggregate reads the cached blocks for ~nothing);
 durable snapshots via CheckpointManager.
 """
 

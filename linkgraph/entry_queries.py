@@ -362,12 +362,18 @@ FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
 
 
 def q_customers_without_orders(spark, sf_dir):
-    """J3/U2 set-difference surface: left-anti join as the except operator."""
+    """J3/U2 set-difference surface: left-anti join as the except operator.
+
+    Subtracts only URGENT orders so the expected output is non-empty at
+    every sf (~200 rows at sf0.01) — a 0-row anti-join proves nothing about
+    the operator (the unrestricted form was vacuously green)."""
     from linkgraph.operators.setops import except_keys
 
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
     )
     return except_keys(cust, orders, "c_custkey").select(
         F.col("c_custkey").cast("long").alias("c_custkey"),
@@ -378,7 +384,9 @@ def q_customers_without_orders(spark, sf_dir):
 SQL_CUSTOMERS_WITHOUT_ORDERS = """
 SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name
 FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
 """
 
 

@@ -42,7 +42,7 @@ def broadcast_threshold(spark) -> int:
     return parse_bytes(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m"))
 
 
-def _dense_ids(deg: DataFrame) -> DataFrame:
+def _dense_ids(deg: DataFrame) -> tuple[DataFrame, int]:
     """Dense 0..n-1 ids in (deg desc, name asc) order WITHOUT a global
     single-partition window (SURVEY.md S2/O1).
 
@@ -53,7 +53,10 @@ def _dense_ids(deg: DataFrame) -> DataFrame:
     sorts all n rows on one task, which is what the naive
     Window.orderBy(...) relabel does at 10^9 vertices.
     (deg, name) is a strict total order (names unique), so ids are
-    deterministic regardless of partition boundaries."""
+    deterministic regardless of partition boundaries.
+
+    Returns (dict DataFrame persisted+materialized, n) — n is free (sum of
+    the per-partition counts) and drives the byte-gated relabel join."""
     spark = deg.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     parts = deg.repartitionByRange(
@@ -76,8 +79,36 @@ def _dense_ids(deg: DataFrame) -> DataFrame:
         parts.withColumn("lr", F.row_number().over(w))
         .join(off_df, "pid")
         .select("name", (F.col("lr") - 1 + F.col("off")).cast("long").alias("vid"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    return out
+    out.count()  # materialize the dict from the cached parts, then drop them
+    parts.unpersist()  # don't leak a |V|-row cached block per graph build
+    return out, acc
+
+
+def relabel_pairs(
+    pairs: DataFrame, vertices: DataFrame, src_col: str, dst_col: str,
+    n_vertices: int | None = None,
+) -> DataFrame:
+    """Dictionary-relabel join (S2): map (src_col, dst_col) string keys to
+    dense vids via the `vertices` (name, vid) dict.
+
+    Byte-gated like `LinkGraph.expand`: the dict is broadcast only when its
+    estimated size clears autoBroadcastJoinThreshold; otherwise a plain
+    shuffled equi-join (the pairs table is shuffling anyway, and at 10^9
+    vertices a |V|-row dictionary broadcast OOMs every executor)."""
+    spark = pairs.sparkSession
+    v = vertices.select("name", "vid")
+    if n_vertices is not None:
+        thresh = broadcast_threshold(spark)
+        # name strings dominate; ~48 bytes/row is a deliberately fat estimate
+        if 0 < thresh and n_vertices * 48 < thresh:
+            v = F.broadcast(v)
+    return (
+        pairs.join(v.withColumnRenamed("name", src_col).withColumnRenamed("vid", "src"), src_col)
+        .join(v.withColumnRenamed("name", dst_col).withColumnRenamed("vid", "dst"), dst_col)
+        .select("src", "dst")
+    )
 
 
 from contextlib import contextmanager
@@ -161,7 +192,9 @@ class LinkGraph:
         shaped = edges.repartition(p, "src").sortWithinPartitions("src", "dst")
         self.symmetric = symmetric
         self._salted = None
+        self._salt_checked = False
         self._store = None
+        self._vertex_dict = None
         if persist:
             if materialize is None:
                 # round-trip only when the input is a real derivation; a bare
@@ -204,25 +237,43 @@ class LinkGraph:
         else:
             self.edges = shaped
         self._degrees = None
+        self._vertices = None
         self._num_vertices = None
         self._num_edges = None
 
     # ------------------------------------------------------------ constructors
     @classmethod
-    def from_undirected(cls, pairs: DataFrame, **kw) -> "LinkGraph":
-        """pairs (src,dst) in any orientation -> symmetric, deduped, no loops."""
+    def from_undirected(cls, pairs: DataFrame, distinct: bool = True, **kw) -> "LinkGraph":
+        """pairs (src,dst) in any orientation -> symmetric, deduped, no loops.
+
+        distinct=False skips the dedup shuffle — pass it when `pairs` is
+        already a strict canonical pair set (each undirected edge exactly
+        once, e.g. a `src < dst` derivation output): unioning such a set
+        with its reverse cannot create duplicates, and the extra |E|
+        exchange was measured as the single most expensive redundant stage
+        in the bench's build phase."""
         sym = pairs.select("src", "dst").union(
             pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         kw.setdefault("symmetric", True)
-        return cls(sym.where(F.col("src") != F.col("dst")).distinct(), **kw)
+        sym = sym.where(F.col("src") != F.col("dst"))
+        if distinct:
+            sym = sym.distinct()
+        return cls(sym, **kw)
 
     @classmethod
-    def from_string_vertices(cls, pairs: DataFrame, src_col: str, dst_col: str, **kw):
+    def from_string_vertices(
+        cls, pairs: DataFrame, src_col: str, dst_col: str,
+        pairs_canonical: bool = False, **kw
+    ):
         """Dictionary-relabel string vertex ids to dense 0..n-1 (SURVEY S2).
 
         Degree-descending order (O1): hubs get small vids, improving batch
         bit-sharing and co-location.  Returns (graph, vertices-dict DF).
+
+        pairs_canonical=True declares `pairs` is a strict canonical
+        undirected pair set (each edge once, no loops) so the symmetric
+        closure can skip its dedup shuffle (see from_undirected).
         """
         # pairs is typically an expensive derivation (self-join distinct);
         # it is consumed 3x below (degree count, two relabel joins) — persist.
@@ -231,16 +282,12 @@ class LinkGraph:
             pairs.select(F.col(dst_col).alias("name"))
         )
         deg = occ.groupBy("name").agg(F.count("*").alias("deg"))
-        vertices = _dense_ids(deg)
-        v = F.broadcast(vertices) if vertices.isStreaming is False else vertices
-        relabeled = (
-            pairs.join(v.withColumnRenamed("name", src_col).withColumnRenamed("vid", "src"), src_col)
-            .join(v.withColumnRenamed("name", dst_col).withColumnRenamed("vid", "dst"), dst_col)
-            .select("src", "dst")
-        )
-        g = cls.from_undirected(relabeled, **kw)
+        vertices, n = _dense_ids(deg)
+        relabeled = relabel_pairs(pairs, vertices, src_col, dst_col, n_vertices=n)
+        g = cls.from_undirected(relabeled, distinct=not pairs_canonical, **kw)
         g.edges.count()  # materialize before releasing the pairs cache
         pairs.unpersist()
+        g._vertex_dict = vertices  # released by g.unpersist()
         return g, vertices.select("vid", "name")
 
     # ---------------------------------------------------------------- accessors
@@ -253,11 +300,18 @@ class LinkGraph:
         so the cached degree table doubles as the vertex set (no extra
         distinct job); on a directed table the dst side is unioned in so
         sink-only vertices are not silently dropped (they are PageRank's
-        dangling set and must appear in CC/LPA output)."""
+        dangling set and must appear in CC/LPA output) — cached, since
+        num_vertices() and kernel seeding both consume it."""
         if self.symmetric:
             return self.degrees().select("vid")
-        src = self.edges.select(F.col("src").alias("vid"))
-        return src.union(self.edges.select(F.col("dst").alias("vid"))).distinct()
+        if self._vertices is None:
+            src = self.edges.select(F.col("src").alias("vid"))
+            self._vertices = (
+                src.union(self.edges.select(F.col("dst").alias("vid")))
+                .distinct()
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+        return self._vertices
 
     # ------------------------------------------------- join-strategy dispatch
     def enable_salting(self, hub_threshold: int | None = None, s: int = 8):
@@ -274,28 +328,67 @@ class LinkGraph:
         self._salted = SaltedEdges(self, hub_threshold, s=s)
         return self._salted
 
-    def expand(self, msgs: DataFrame, est_rows: int | None = None) -> DataFrame:
+    def maybe_auto_salt(self, factor: int = 8, min_edges: int = 1_000_000):
+        """J2 self-detection: enable salting when the degree sketch shows a
+        hub whose single edge list exceeds `factor` × the average partition
+        share |E|/P — the regime where one reducer's input is dominated by
+        one key and coarse AQE skew splits stop helping.  Runs at most once
+        per graph (two cheap aggregates over the cached degree/edge tables);
+        a no-op on small graphs (< min_edges) where skew cannot hurt.
+        Opt out with LINKGRAPH_AUTO_SALT=0."""
+        if self._salt_checked or self._salted is not None:
+            return self._salted
+        self._salt_checked = True
+        if os.environ.get("LINKGRAPH_AUTO_SALT", "1") == "0":
+            return None
+        e = self.num_edges()
+        if e < min_edges:
+            return None
+        p = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        share = max(e // p, 1)
+        max_deg = self.degrees().agg(F.max("deg").alias("m")).first()["m"] or 0
+        if max_deg > factor * share:
+            # salt every source above one partition-share of edges; spread
+            # the worst hub over enough buckets to fit a share each
+            s = int(min(64, max(2, -(-max_deg // share))))
+            return self.enable_salting(hub_threshold=share, s=s)
+        return None
+
+    def expand(
+        self, msgs: DataFrame, est_rows: int | None = None,
+        edges: DataFrame | None = None,
+    ) -> DataFrame:
         """The frontier-expand join (J1): edges ⋈ msgs on src, with the
         physical strategy picked by estimated message-table size:
 
         * small (est bytes < autoBroadcastJoinThreshold): broadcast msgs —
           map-side join, the edge table never shuffles;
-        * large + salting enabled: salted shuffle join (J2) so hub sources
-          spread over S reducers;
+        * large + salting enabled (manually or via maybe_auto_salt's skew
+          sketch): salted shuffle join (J2) so hub sources spread over S
+          reducers;
         * large otherwise: plain shuffle join, AQE skew-join as backstop.
 
         msgs must carry a `src` column; every other column passes through.
+
+        edges: optional pre-filtered replacement edge table (same schema,
+        same src-partitioning — e.g. the K3 bottom-up open-destination
+        semi-join).  The salted path is bypassed for overrides (the filter
+        only fires on late dense levels where the frontier is small).
         """
         spark = self.spark
+        e = edges if edges is not None else self.edges
         if est_rows is not None:
             thresh = broadcast_threshold(spark)
             ncols = len(msgs.columns)
             est_bytes = est_rows * (16 + 12 * ncols)
             if 0 < thresh and est_bytes < thresh:
-                return self.edges.join(F.broadcast(msgs), "src")
-        if self._salted is not None:
-            return self._salted.join_frontier(msgs)
-        return self.edges.join(msgs, "src")
+                return e.join(F.broadcast(msgs), "src")
+        if edges is None:
+            if self._salted is None:
+                self.maybe_auto_salt()
+            if self._salted is not None:
+                return self._salted.join_frontier(msgs)
+        return e.join(msgs, "src")
 
     def degrees(self) -> DataFrame:
         """Out-degree per vertex (== degree for symmetric graphs); cached —
@@ -310,8 +403,16 @@ class LinkGraph:
         return self._degrees
 
     def num_vertices(self) -> int:
+        """|V|.  On a symmetric table that is the (cached) degree-table row
+        count; on a directed table sink-only vertices have no out-edges, so
+        the count must come from vertices() — PageRank's 1/n, (1-d)/n and
+        dangling/n terms all divide by THIS n, and counting only src-side
+        vertices would make ranks sum past 1 exactly when sinks exist."""
         if self._num_vertices is None:
-            self._num_vertices = self.degrees().count()
+            if self.symmetric:
+                self._num_vertices = self.degrees().count()
+            else:
+                self._num_vertices = self.vertices().count()
         return self._num_vertices
 
     def num_edges(self) -> int:
@@ -336,5 +437,17 @@ class LinkGraph:
             pass
         if self._degrees is not None:
             self._degrees.unpersist()
+        if self._vertices is not None:
+            self._vertices.unpersist()
+        if self._vertex_dict is not None:
+            try:
+                self._vertex_dict.unpersist()
+            except Exception:
+                pass
+        if self._salted is not None:
+            try:
+                self._salted.unpersist()
+            except Exception:
+                pass
         if self._store and os.path.isdir(self._store):
             shutil.rmtree(self._store, ignore_errors=True)

@@ -15,6 +15,24 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("LINKGRAPH_SHUFFLE_PARTITIONS", "32"))
 
 
+def _default_driver_mem() -> str:
+    """Pick a driver heap from detected system memory: the -Xms + AlwaysPreTouch
+    recipe pre-commits the FULL heap at JVM start, so a fixed 16g default
+    would fail outright (or swap) on smaller hosts.  ~1/4 of RAM, capped at
+    16g, floored at 2g; LINKGRAPH_DRIVER_MEM overrides."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) / (1 << 20)
+                    break
+            else:
+                return "4g"
+    except OSError:
+        return "4g"
+    return f"{max(2, min(16, int(total_gb / 4)))}g"
+
+
 def get_spark(
     master: str | None = None,
     app_name: str = "linkgraph",
@@ -30,7 +48,7 @@ def get_spark(
     if master:
         builder = builder.master(master)
     sp = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
-    mem = os.environ.get("LINKGRAPH_DRIVER_MEM", "16g")
+    mem = os.environ.get("LINKGRAPH_DRIVER_MEM") or _default_driver_mem()
     # Three measured JVM fixes (each repeatedly A/B'd on the 102M-edge
     # bench graph; see BENCH/BASELINE.md):
     # * -Xms == -Xmx: G1 heap expansion under 32-thread allocation

@@ -16,7 +16,7 @@ trigger(availableNow=True) for deterministic end-to-end runs.
 
 from __future__ import annotations
 
-import os
+import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -90,14 +90,25 @@ class IncrementalEdgeStore:
         self.root = root
         self.edge_key = edge_key
         self.hub_cap = hub_cap
-        os.makedirs(root, exist_ok=True)
+        self._fs = None  # Hadoop FS handle, resolved lazily from a session
+
+    def _ensure_fs(self, spark: SparkSession):
+        """All store I/O goes through the Hadoop FileSystem API resolved
+        from the root's scheme (same layer as checkpoint._HadoopFS) —
+        file://, hdfs:// and s3a:// roots all behave; a driver-local
+        os.makedirs would be a wrong/no-op on an object store."""
+        if self._fs is None:
+            from linkgraph.checkpoint import _HadoopFS
+
+            self._fs = _HadoopFS(spark, self.root)
+            self._fs.mkdirs(self.root)
+        return self._fs
 
     def _read_optional(self, spark: SparkSession, name: str) -> DataFrame | None:
-        path = os.path.join(self.root, name)
-        try:
-            return spark.read.parquet(path)
-        except Exception:
+        path = posixpath.join(self.root, name)
+        if not self._ensure_fs(spark).exists(path):
             return None  # first batch: store not yet created
+        return spark.read.parquet(path)
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -136,22 +147,22 @@ class IncrementalEdgeStore:
             .distinct()
         )
         pairs.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            os.path.join(self.root, "shared_tool")
+            posixpath.join(self.root, "shared_tool")
         )
-        bk.write.mode("append").parquet(os.path.join(self.root, "conv_keys"))
+        bk.write.mode("append").parquet(posixpath.join(self.root, "conv_keys"))
 
         # ---- turn store + conv-local adjacency re-derivation
         turns_min = batch.select("conv_id", "turn_idx", "ts").distinct()
-        turns_min.write.mode("append").parquet(os.path.join(self.root, "turns"))
+        turns_min.write.mode("append").parquet(posixpath.join(self.root, "turns"))
         convs = batch.select("conv_id").distinct()
         all_turns = (
-            spark.read.parquet(os.path.join(self.root, "turns"))
+            spark.read.parquet(posixpath.join(self.root, "turns"))
             .join(convs, "conv_id", "left_semi")
             .dropDuplicates(["conv_id", "turn_idx"])
         )
         adj = turn_adjacency_edges(all_turns)
         adj.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            os.path.join(self.root, "turn_adjacency")
+            posixpath.join(self.root, "turn_adjacency")
         )
         bk.unpersist()
         batch.unpersist()
@@ -159,7 +170,7 @@ class IncrementalEdgeStore:
     # ------------------------------------------------------------------ reads
     def shared_tool_edges(self, spark: SparkSession) -> DataFrame:
         return (
-            spark.read.parquet(os.path.join(self.root, "shared_tool"))
+            spark.read.parquet(posixpath.join(self.root, "shared_tool"))
             .select("src_conv", "dst_conv")
             .distinct()
         )
@@ -168,7 +179,7 @@ class IncrementalEdgeStore:
         """Latest derivation per conv wins (merge-on-read over batch_id)."""
         from pyspark.sql import Window
 
-        df = spark.read.parquet(os.path.join(self.root, "turn_adjacency"))
+        df = spark.read.parquet(posixpath.join(self.root, "turn_adjacency"))
         w = Window.partitionBy("conv_id")
         return (
             df.withColumn("mx", F.max("batch_id").over(w))

@@ -136,6 +136,30 @@ def hyperplane_lsh_buckets(
     return src.mapInArrow(kernel, "vec_id long, bucket long")
 
 
+def build_lsh_index(
+    embeddings: DataFrame,
+    num_planes: int = 12,
+    dim: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Precompute-and-persist the corpus bucket table — the serving path.
+
+    One corpus scan builds (vec_id, bucket); every subsequent lsh_knn call
+    passes it via `buckets=` and touches only the probed buckets, instead
+    of re-hashing the full corpus per query (the demo-path anti-pattern at
+    scale).  On a cluster this table is written once to storage bucketed on
+    `bucket`; here a persisted DataFrame plays that role."""
+    from pyspark.storagelevel import StorageLevel
+
+    idx = hyperplane_lsh_buckets(
+        embeddings, num_planes, dim=dim, seed=seed, id_col=id_col, vec_col=vec_col
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    idx.count()
+    return idx
+
+
 def lsh_knn(
     embeddings: DataFrame,
     query_id: int,
@@ -144,6 +168,7 @@ def lsh_knn(
     multi_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine within the query's LSH bucket(s).
 
@@ -151,8 +176,15 @@ def lsh_knn(
     from the query's signature (flip each of the `num_planes` sign bits) —
     near neighbors that fall just across one hyperplane are recovered,
     which is the dominant recall loss of single-bucket LSH at scale.
+
+    buckets: a prebuilt index from build_lsh_index (MUST be built with the
+    same num_planes/seed); without it the corpus is re-hashed per call —
+    fine for a one-off, wrong for serving.
     """
-    buckets = hyperplane_lsh_buckets(embeddings, num_planes, id_col=id_col, vec_col=vec_col)
+    if buckets is None:
+        buckets = hyperplane_lsh_buckets(
+            embeddings, num_planes, id_col=id_col, vec_col=vec_col
+        )
     qb = buckets.where(F.col("vec_id") == query_id).select(F.col("bucket"))
     if multi_probe >= 1:
         qb = qb.select(

@@ -127,3 +127,43 @@ def test_triangles_vs_bruteforce(er):
             cnt += len(adj[a] & adj[b] & {c for c in vids if c > b})
     assert triangle_count(er) == cnt
     assert triangle_count(er, by_degree=True) == cnt
+
+
+def test_pagerank_directed_with_sinks_sums_to_one(spark):
+    """On a directed graph with sink-only vertices, n must count sinks:
+    ranks sum to 1 and the dangling mass is redistributed (the round-2
+    num_vertices() counted only src-side vertices — advice-high fix)."""
+    import numpy as np
+
+    from linkgraph.algos.pagerank import pagerank
+
+    # 3 -> sink chain + a cycle feeding it; vertices {0,1,2,3,4}, 4 is a sink
+    # (built directly: edges_df would symmetrize and erase the sink)
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]
+    g = LinkGraph(
+        spark.createDataFrame(edges, "src long, dst long"),
+        num_partitions=4,
+        symmetric=False,
+    )
+    assert g.num_vertices() == 5
+    pr = {r["vid"]: r["pr"] for r in pagerank(g, tol=1e-10, max_iter=200).collect()}
+    assert set(pr) == {0, 1, 2, 3, 4}
+    assert abs(sum(pr.values()) - 1.0) < 1e-6
+    # numpy oracle: full power iteration with dangling redistribution
+    import collections
+
+    out = collections.defaultdict(list)
+    for a, b in edges:
+        out[a].append(b)
+    n, d = 5, 0.85
+    v = np.full(n, 1.0 / n)
+    for _ in range(400):
+        nxt = np.zeros(n)
+        dangling = sum(v[x] for x in range(n) if not out[x])
+        for a in range(n):
+            for b in out[a]:
+                nxt[b] += d * v[a] / len(out[a])
+        nxt += (1 - d) / n + d * dangling / n
+        v = nxt
+    assert np.allclose([pr[i] for i in range(n)], v, atol=1e-6)
+    g.unpersist()

@@ -114,3 +114,60 @@ def test_monotone_seen_invariant(grid):
     assert sum(res.per_level_new) == 64  # each vertex counted exactly once
     assert res.per_level_new[0] == 1
     assert all(x > 0 for x in res.per_level_new[:-1])
+
+
+def test_eager_vs_fused_checkpoint_bit_exact(er):
+    """Round-3 fused accounting (lazy localCheckpoint materialized by the
+    next level's accounting scan) ≡ the round-2 eager two-job shape."""
+    srcs = [0, 1, 5, 17, 63]
+    a = msbfs(er, srcs, emit_distances=True, eager_checkpoint=True)
+    b = msbfs(er, srcs, emit_distances=True, eager_checkpoint=False)
+    da = a.distances.sort_values(["src", "vid"]).reset_index(drop=True)
+    db = b.distances.sort_values(["src", "vid"]).reset_index(drop=True)
+    assert da.equals(db)
+    assert np.array_equal(a.r, b.r) and np.array_equal(a.s, b.s)
+    assert a.levels == b.levels
+
+
+def test_bottom_up_strategies_bit_exact(spark, er):
+    """K3 completion: all three pull strategies (open-side edge semi-join,
+    closed-side edge anti-join, post-expand message filter) are bit-exact
+    vs the gate off.
+
+    * threshold 0.01 forces the gate on from the first closed vertex;
+      on the connected ER graph the state covers |V| quickly -> open-side
+      edge SEMI-join path (the true bottom-up: closed-dst edges are never
+      enumerated).
+    * a disconnected extra clique keeps state_rows < |V| forever -> the
+      closed-side edge ANTI-join path.
+    * autoBroadcastJoinThreshold=-1 blocks both edge-side paths -> the
+      post-expand message anti-join fallback.
+    """
+    srcs = [0, 1, 5, 17, 63]
+    base = msbfs(er, srcs, emit_distances=True, bottom_up=False)
+
+    def check(res):
+        d = res.distances.sort_values(["src", "vid"]).reset_index(drop=True)
+        b = base.distances.sort_values(["src", "vid"]).reset_index(drop=True)
+        assert d.equals(b)
+        assert np.array_equal(res.r, base.r) and np.array_equal(res.s, base.s)
+
+    # open-side semi-join (state covers all vertices once dense)
+    check(msbfs(er, srcs, emit_distances=True, bottom_up=True, bottom_up_threshold=0.01))
+
+    # closed-side anti-join: unreachable component keeps state_rows < |V|
+    pairs = er_edges(120, 0.04) + [(200 + a, 200 + b) for a, b in two_cliques_edges(6)]
+    g2 = LinkGraph.from_undirected(edges_df(spark, pairs), num_partitions=8)
+    base2 = msbfs(g2, srcs, emit_distances=True, bottom_up=False)
+    res2 = msbfs(g2, srcs, emit_distances=True, bottom_up=True, bottom_up_threshold=0.01)
+    d2 = res2.distances.sort_values(["src", "vid"]).reset_index(drop=True)
+    assert d2.equals(base2.distances.sort_values(["src", "vid"]).reset_index(drop=True))
+    assert np.array_equal(res2.r, base2.r) and np.array_equal(res2.s, base2.s)
+
+    # fallback message anti-join (no broadcastable side)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        check(msbfs(er, srcs, emit_distances=True, bottom_up=True, bottom_up_threshold=0.01))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -91,3 +91,60 @@ def test_relational_kernel_is_codegen(small_graph):
     plan = _plan(agg)
     assert "* HashAggregate" in plan
     assert "isFinalPlan=true" in plan
+
+
+def test_relabel_join_byte_gated(spark):
+    """S2 relabel dictionary join: broadcast only under the byte gate —
+    over threshold the plan must NOT contain a broadcast of the |V|-row
+    dict (the round-2 unconditional F.broadcast scale-killer)."""
+    from linkgraph.graph import relabel_pairs
+
+    pairs = spark.createDataFrame(
+        [(f"c{i}", f"c{i+1}") for i in range(200)], "a string, b string"
+    )
+    names = spark.createDataFrame(
+        [(f"c{i}", i) for i in range(201)], "name string, vid long"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # tiny threshold: 201 * 48B estimate exceeds 1KB -> no broadcast hint,
+        # and the physical dict (~KBs of strings) exceeds it for Catalyst too
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1k")
+        plan = _plan(relabel_pairs(pairs, names, "a", "b", n_vertices=201))
+        assert "BroadcastExchange" not in plan
+        # generous threshold: the gate broadcasts the dict (map-side relabel)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "32m")
+        plan = _plan(relabel_pairs(pairs, names, "a", "b", n_vertices=201))
+        assert "BroadcastExchange" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_from_undirected_canonical_skips_distinct(spark):
+    """distinct=False on a canonical a<b pair set: same edge table, one
+    fewer exchange (no redundant |E| dedup shuffle in the build path)."""
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3)], "src long, dst long"
+    )
+    g_dedup = LinkGraph.from_undirected(pairs, persist=False)
+    g_fast = LinkGraph.from_undirected(pairs, distinct=False, persist=False)
+    a = sorted(map(tuple, g_dedup.edges.collect()))
+    b = sorted(map(tuple, g_fast.edges.collect()))
+    assert a == b
+    # the dedup'd plan has an extra aggregate for distinct; the fast one must not
+    assert "HashAggregate" not in _plan(g_fast.edges)
+
+
+def test_lpa_vote_argmax_single_aggregate(spark, small_graph):
+    """LPA winner selection is one hash aggregate on dst — no window
+    sort exchange per round (round-2 weak #5)."""
+    from pyspark.sql import functions as F
+
+    votes = small_graph.edges.groupBy("dst", F.col("src").alias("l")).agg(
+        F.count("*").alias("n")
+    )
+    winner = votes.groupBy("dst").agg(
+        F.min(F.struct((-F.col("n")).alias("nn"), F.col("l"))).alias("m")
+    ).select("dst", F.col("m.l").alias("new_label"))
+    plan = _plan(winner)
+    assert "Window" not in plan

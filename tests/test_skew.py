@@ -84,3 +84,39 @@ def test_salt_spreads_hub_edges(zipf_graph):
     )
     assert len(hub_salts) > 1  # hub edges span multiple salt buckets
     salted.unpersist()
+
+
+def test_auto_salt_engages_on_hub_graph(spark):
+    """J2 self-detection: a star hub beyond factor×|E|/P trips
+    maybe_auto_salt without any manual call; kernel results unchanged."""
+    import numpy as np
+
+    from linkgraph.algos.msbfs import msbfs
+    from linkgraph.fixtures import edges_df
+
+    # star: vertex 0 -> 1..400 plus a sparse ring, P=8 -> share ~100;
+    # max_deg(0)=~400 > 2*share
+    pairs = [(0, i) for i in range(1, 401)] + [(i, i + 1) for i in range(1, 400, 7)]
+    g = LinkGraph.from_undirected(edges_df(spark, pairs), num_partitions=8)
+    baseline = msbfs(g, [0, 5])
+    assert g.maybe_auto_salt(factor=2, min_edges=100) is not None
+    assert g._salted is not None
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        salted_res = msbfs(g, [0, 5])
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert np.array_equal(baseline.r, salted_res.r)
+    assert np.array_equal(baseline.s, salted_res.s)
+    g.unpersist()
+
+
+def test_auto_salt_noop_on_uniform_graph(spark):
+    """No hub -> no salting (and no salted-table build cost)."""
+    from linkgraph.fixtures import edges_df, er_edges
+
+    g = LinkGraph.from_undirected(edges_df(spark, er_edges(200, 0.05)), num_partitions=8)
+    assert g.maybe_auto_salt(factor=8, min_edges=100) is None
+    assert g._salted is None
+    g.unpersist()

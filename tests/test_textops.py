@@ -202,3 +202,20 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(Exception):
         extract_features(media, use_real_decode=True).collect()
+
+
+def test_lsh_knn_prebuilt_index_identical(emb):
+    """Serving path: a precomputed+persisted bucket table gives identical
+    results to the per-call demo path (round-2 weak #6)."""
+    from linkgraph.textops.simsearch import build_lsh_index
+
+    idx = build_lsh_index(emb, num_planes=8)
+    try:
+        a = [(r["vec_id"], r["sim"]) for r in lsh_knn(emb, 0, k=5, num_planes=8).collect()]
+        b = [
+            (r["vec_id"], r["sim"])
+            for r in lsh_knn(emb, 0, k=5, num_planes=8, buckets=idx).collect()
+        ]
+        assert a == b
+    finally:
+        idx.unpersist()
