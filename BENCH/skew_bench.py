@@ -37,10 +37,15 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-V = 2_000_000
-N_HUBS = 8
-HUB_DEG = 1_500_000
-TAIL_DEG = 40
+# Fixture knobs (env-overridable): the operative ratio is HUB_DEG vs the
+# per-reducer share |E|/P — a hub below ~1 share adds no straggler (measured:
+# salted is ~2x SLOWER there, replication cost with nothing to fix), while a
+# hub of several shares IS the straggler and salting wins.  Run both regimes
+# to locate the crossover that the auto-salt factor gate encodes.
+V = int(os.environ.get("SKEW_V", 2_000_000))
+N_HUBS = int(os.environ.get("SKEW_N_HUBS", 8))
+HUB_DEG = int(os.environ.get("SKEW_HUB_DEG", 1_500_000))
+TAIL_DEG = int(os.environ.get("SKEW_TAIL_DEG", 40))
 
 
 def main():

@@ -206,7 +206,7 @@ def msbfs(
     resume: bool = False,
     verbose: bool = False,
     bottom_up: bool = True,
-    bottom_up_threshold: float = 0.3,
+    bottom_up_threshold: float = 0.5,
     eager_checkpoint: bool = False,
 ) -> MsBfsResult:
     """Run one ≤512-source batch to completion; returns lane accounting

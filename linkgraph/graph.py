@@ -328,14 +328,19 @@ class LinkGraph:
         self._salted = SaltedEdges(self, hub_threshold, s=s)
         return self._salted
 
-    def maybe_auto_salt(self, factor: int = 8, min_edges: int = 1_000_000):
+    def maybe_auto_salt(self, factor: int = 4, min_edges: int = 1_000_000):
         """J2 self-detection: enable salting when the degree sketch shows a
         hub whose single edge list exceeds `factor` × the average partition
         share |E|/P — the regime where one reducer's input is dominated by
         one key and coarse AQE skew splits stop helping.  Runs at most once
         per graph (two cheap aggregates over the cached degree/edge tables);
         a no-op on small graphs (< min_edges) where skew cannot hurt.
-        Opt out with LINKGRAPH_AUTO_SALT=0."""
+        Opt out with LINKGRAPH_AUTO_SALT=0.
+
+        factor=4 sits inside the measured win regime (BENCH/skew_bench.py,
+        (src,salt)-co-partitioned cache): at hub = 0.5x share salting costs
+        ~8% (nothing to fix), at hub = 6x share it wins 2.0x over both plain
+        and AQE-skew joins — the crossover is ~1-2x share."""
         if self._salt_checked or self._salted is not None:
             return self._salted
         self._salt_checked = True
