@@ -85,3 +85,21 @@ def test_windowed_counts_schema(spark, drops):
     agg = hourly_turn_counts(stream)
     assert set(agg.columns) == {"hour", "conv_id", "n_turns"}
     assert agg.isStreaming
+
+
+def test_incremental_store_file_uri_root(spark, tmp_path, drops):
+    """The store's I/O goes through the Hadoop FS API resolved from the
+    root's scheme — an explicit file:// URI root must behave identically
+    to a bare path (the same code path serves hdfs:// and s3a://)."""
+    store = IncrementalEdgeStore(f"file://{tmp_path}/edges_uri", edge_key="tool")
+    run_ingest(spark, drops, store, str(tmp_path / "chk_uri"))
+    got = {
+        (r["src_conv"], r["dst_conv"])
+        for r in store.shared_tool_edges(spark).collect()
+    }
+    all_turns = spark.read.parquet(drops)
+    exp = {
+        (r["src_conv"], r["dst_conv"])
+        for r in shared_key_conv_edges(all_turns, key="tool").collect()
+    }
+    assert got == exp
