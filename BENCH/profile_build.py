@@ -42,7 +42,16 @@ def main():
 
     t0 = time.time()
     tr = transcripts_df(spark, n_convs=n_convs)
-    tr = tr.persist(StorageLevel.MEMORY_AND_DISK)
+    if os.environ.get("PROFILE_ROUNDTRIP", "1") == "1":
+        # the production input is a TABLE (Iceberg per input_hint); a
+        # driver-side LocalRelation fixture embeds 430k rows into every
+        # downstream logical plan and costs seconds of driver time per job
+        import tempfile, uuid
+        p = os.path.join(tempfile.gettempdir(), f"tr_{uuid.uuid4().hex}")
+        tr.write.parquet(p)
+        tr = spark.read.parquet(p)
+    else:
+        tr = tr.persist(StorageLevel.MEMORY_AND_DISK)
     n_rows = tr.count()
     t["fixture"] = round(time.time() - t0, 2)
 
