@@ -91,10 +91,10 @@ def connected_components(
                         F.col("nc2.pc").alias("pc"),
                     )
                 )
-            # EAGER checkpoint: deterministic lineage truncation (see
-            # pagerank.py — lazy+AQE intermittently fails to truncate and the
-            # plan doubles per round); the changed-count then reads cached rows
-            new_comp = new_comp.localCheckpoint(eager=True)
+            # LAZY checkpoint materialized by the changed-count aggregate:
+            # one fused job per round (see pagerank.py — the lazy pathology
+            # was AQE-specific and this loop runs AQE-off)
+            new_comp = new_comp.localCheckpoint(eager=False)
             changed = int(
                 new_comp.agg(
                     F.sum(F.when(F.col("comp") != F.col("pc"), 1).otherwise(0)).alias("n")

@@ -54,8 +54,9 @@ def label_propagation(
                     F.coalesce(F.col("wn.new_label"), F.col("st.label")).alias("label"),
                     F.col("st.label").alias("pl"),
                 )
-                # eager: deterministic lineage truncation (see pagerank.py)
-                .localCheckpoint(eager=True)
+                # lazy: materialized by the changed-count aggregate — one
+                # fused job per round (AQE-off loop; see pagerank.py)
+                .localCheckpoint(eager=False)
             )
             changed = int(
                 new_labels.agg(

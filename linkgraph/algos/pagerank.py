@@ -19,9 +19,10 @@ Scale-shaped iteration (one heavy Spark job per iteration):
   uses vertices() on directed tables), so ranks sum to 1 with sinks.
 
 Convergence: max |Δrank| < tol (BASELINE tol 1e-6).  Lineage cut every
-iteration via EAGER localCheckpoint (lazy truncation was flaky under AQE;
-the follow-up stats aggregate reads the cached blocks for ~nothing);
-durable snapshots via CheckpointManager.
+iteration via lazy localCheckpoint whose materializing action IS the stats
+aggregate — one fused Spark job per iteration (safe because the loop runs
+AQE-off; the round-1 lazy-truncation flakiness was AQE-specific); durable
+snapshots via CheckpointManager.
 """
 
 from __future__ import annotations
@@ -112,14 +113,15 @@ def pagerank(
                     ).alias("pr"),
                     F.col("st.pr").alias("pr_old"),
                 )
-                # EAGER: lazy localCheckpoint under AQE intermittently fails
-                # to truncate lineage (state appears twice per iteration, so
-                # the un-truncated plan doubles every round — measured
-                # plan-build times of 2s -> 50s -> 100s -> 219s by iteration
-                # 9).  The eager form truncates deterministically; the
-                # follow-up stats aggregate then reads ~|V| cached rows for
-                # ~nothing.
-                .localCheckpoint(eager=True)
+                # LAZY checkpoint, materialized by the stats aggregate just
+                # below: expand + update + stats fuse into ONE Spark job per
+                # iteration (the MS-BFS round-3 shape).  The plan is
+                # truncated at the call either way; the round-1 lazy
+                # pathology (plan-build 2s -> 219s by iteration 9) was
+                # AQE-specific, and this loop runs under iteration_plan with
+                # AQE off, where truncation is deterministic (lineage
+                # boundedness asserted in tests).
+                .localCheckpoint(eager=False)
             )
             # stats job over the cached state: delta + next iteration's
             # dangling mass (sum of new pr over the static deg==0 set)

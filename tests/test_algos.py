@@ -167,3 +167,21 @@ def test_pagerank_directed_with_sinks_sums_to_one(spark):
         v = nxt
     assert np.allclose([pr[i] for i in range(n)], v, atol=1e-6)
     g.unpersist()
+
+
+def test_fused_iteration_lineage_bounded(er):
+    """Lazy localCheckpoint in the kernel loops must still truncate lineage
+    every iteration (the round-1 pathology was unbounded plan growth under
+    AQE): after 8 fused iterations the returned plan is a checkpoint scan,
+    not an 8-deep join tree."""
+    from linkgraph.algos.labelprop import label_propagation
+    from linkgraph.algos.pagerank import pagerank
+
+    pr = pagerank(er, tol=0.0, max_iter=8)
+    plan = pr._jdf.queryExecution().analyzed().toString()
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
+    assert plan.count("Join") == 0 and len(plan) < 4000
+
+    lp = label_propagation(er, max_iter=5)
+    plan = lp._jdf.queryExecution().analyzed().toString()
+    assert plan.count("Join") == 0 and len(plan) < 4000
