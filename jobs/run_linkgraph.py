@@ -3,7 +3,7 @@
     zip -r linkgraph.zip linkgraph
     spark-submit --py-files linkgraph.zip jobs/run_linkgraph.py \
         --input db.transcripts --algo msbfs --sources 512 \
-        --checkpoint s3://bucket/chk/run1 --output db.closeness
+        --checkpoint s3a://bucket/chk/run1 --output db.closeness
 
 On a cluster the session comes from spark-submit confs (no master set
 here); locally it falls back to local[*].  The input may be an Iceberg

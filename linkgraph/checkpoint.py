@@ -56,6 +56,12 @@ class _HadoopFS:
     def exists(self, path: str) -> bool:
         return bool(self._fs.exists(self._Path(path)))
 
+    def delete(self, path: str, recursive: bool = True) -> bool:
+        """FS-API recursive delete — works on file://, hdfs:// and s3a://
+        (a driver-local shutil.rmtree silently no-ops on anything but the
+        driver's own disk)."""
+        return bool(self._fs.delete(self._Path(path), recursive))
+
     def list(self, path: str) -> list[tuple[str, int, bool]]:
         """[(name, bytes, is_dir)] for direct children of path."""
         if not self.exists(path):

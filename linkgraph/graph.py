@@ -10,7 +10,7 @@ the Spark equivalent of "CSR resident in memory".
 from __future__ import annotations
 
 import os
-import shutil
+import posixpath
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -40,6 +40,37 @@ def parse_bytes(size: str | int) -> int:
 def broadcast_threshold(spark) -> int:
     """Session autoBroadcastJoinThreshold in bytes (-1 = disabled)."""
     return parse_bytes(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m"))
+
+
+def edge_store_root(spark) -> str:
+    """Root directory for edge-table materialization stores.
+
+    Resolution order: `spark.linkgraph.store.root` conf > LINKGRAPH_STORE_ROOT
+    env > driver tempdir (local[*] masters ONLY).  On a multi-executor
+    cluster a driver-tempdir default is wrong twice over — with a local-FS
+    defaultFS, executor-written files are not readable back by other
+    executors; with an HDFS/object-store defaultFS the data lands remotely
+    but a driver-local cleanup silently no-ops, leaking a store per graph —
+    so a shared-storage root (s3a://, hdfs://) is required there, mirroring
+    the `emit_distances` guard in msbfs.py.  Cleanup goes through the
+    Hadoop FileSystem API (see LinkGraph.unpersist), never shutil."""
+    root = spark.conf.get("spark.linkgraph.store.root", None) or os.environ.get(
+        "LINKGRAPH_STORE_ROOT"
+    )
+    if root:
+        return root
+    master = spark.conf.get("spark.master", "local")
+    if not master.startswith("local"):
+        raise ValueError(
+            "edge-table materialization on a multi-executor cluster needs a "
+            "shared-storage store root: set spark.linkgraph.store.root (or "
+            "LINKGRAPH_STORE_ROOT) to e.g. s3a://bucket/linkgraph-store — "
+            "the driver-tempdir default is driver-local and either unreadable "
+            "or uncleanable cluster-wide"
+        )
+    import tempfile
+
+    return tempfile.gettempdir()
 
 
 def _dense_ids(deg: DataFrame) -> tuple[DataFrame, int]:
@@ -210,11 +241,13 @@ class LinkGraph:
                     for k in ("Join", "Aggregate", "Window", "LocalRelation", "Union")
                 )
             if materialize:
-                import tempfile
                 import uuid
 
-                self._store = os.path.join(
-                    tempfile.gettempdir(), f"linkgraph_edges_{uuid.uuid4().hex}"
+                # store root resolves conf/env/local-tempdir (edge_store_root);
+                # write + eventual cleanup both go through scheme-resolved
+                # FS APIs so file://, hdfs:// and s3a:// roots all behave
+                self._store = posixpath.join(
+                    edge_store_root(spark), f"linkgraph_edges_{uuid.uuid4().hex}"
                 )
                 shaped.write.parquet(self._store)
                 src = spark.read.parquet(self._store)
@@ -454,5 +487,14 @@ class LinkGraph:
                 self._salted.unpersist()
             except Exception:
                 pass
-        if self._store and os.path.isdir(self._store):
-            shutil.rmtree(self._store, ignore_errors=True)
+        if self._store:
+            # FS-API cleanup (not shutil): the store may live on HDFS/S3
+            try:
+                from linkgraph.checkpoint import _HadoopFS
+
+                fs = _HadoopFS(self.spark, self._store)
+                if fs.exists(self._store):
+                    fs.delete(self._store)
+            except Exception:
+                pass  # session already stopped — temp roots are reaped anyway
+            self._store = None
