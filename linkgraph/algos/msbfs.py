@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from linkgraph.graph import LinkGraph, broadcast_threshold
+from linkgraph.graph import LinkGraph, broadcast_threshold, parse_bytes
 from linkgraph.operators.bitset import limb_names, limbs_to_bits, pack_sources
 from linkgraph.schemas import NLIMBS, bfs_state_schema
 
@@ -53,6 +53,7 @@ class MsBfsResult:
     traversed_bit_edges: int = 0
     distances_df: DataFrame | None = None  # distributed (src, vid, dist)
     per_level_new: list[int] = field(default_factory=list)
+    strategies: list[str] = field(default_factory=list)  # per-level K3 choice
     _distances_pdf: pd.DataFrame | None = None
 
     def gteps(self) -> float:
@@ -169,6 +170,89 @@ def _explode_kernel(nlimbs: int, nsrc: int):
     return fn
 
 
+def _bitmap_build_kernel(n_limbs_v: int):
+    """mapInArrow over (vid) -> sparse (idx, limb) partial bitmaps.
+
+    Each task ORs its vids into a task-local |V|-bit array (12 MB per 10^8
+    vertices) and emits only the nonzero limbs; a bit_or aggregate on idx
+    merges the partials — at most (max_vid/64) narrow rows ever move."""
+
+    def fn(batches):
+        limbs = np.zeros(n_limbs_v, dtype=np.uint64)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            v = batch.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
+            np.bitwise_or.at(
+                limbs, v >> 6, np.uint64(1) << (v & 63).astype(np.uint64)
+            )
+        idx = np.flatnonzero(limbs)
+        yield pa.RecordBatch.from_pydict(
+            {
+                "idx": pa.array(idx.astype(np.int64), pa.int64()),
+                "limb": pa.array(limbs[idx].view(np.int64), pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def _closed_bitmap(state: DataFrame, closed_pred: str, max_vid: int):
+    """K3 mid-range side-channel: the CLOSED vertex set as a broadcast
+    |V|-bit bitmap (vid-indexed int64 limbs).
+
+    The broadcast-set strategies cap out at autoBroadcastJoinThreshold rows
+    of (dst) keys; a bitmap is 3 orders of magnitude denser (1 bit vs ~24
+    bytes/row), so the mid-range regime — open AND closed sets both beyond
+    the row-broadcast threshold — still fits executor memory easily
+    (10^9 vertices = 125 MB).  Built distributedly: per-task partial
+    bitmaps -> bit_or merge on limb index -> driver assembly -> TorrentBroadcast.
+    """
+    spark = state.sparkSession
+    n_limbs_v = (max_vid >> 6) + 1
+    rows = (
+        state.where(closed_pred)
+        .select("vid")
+        .mapInArrow(_bitmap_build_kernel(n_limbs_v), "idx long, limb long")
+        .groupBy("idx")
+        .agg(F.bit_or("limb").alias("limb"))
+        .collect()
+    )
+    arr = np.zeros(n_limbs_v, dtype=np.int64)
+    for r in rows:
+        arr[r["idx"]] = r["limb"]
+    return spark.sparkContext.broadcast(arr.view(np.uint64).tobytes())
+
+
+def _bitmap_open_filter_kernel(bc, nlimbs: int, col: str = "dst"):
+    """mapInArrow filter: keep message rows whose `col` bit is CLEAR in the
+    broadcast closed-bitmap — map-side, before the dst shuffle, so the
+    OR-aggregate's exchange shrinks by the closed fraction with no join at
+    all.  Applied to the message side rather than the edge side on purpose:
+    an edge-side mapInArrow would forfeit the edge cache's known
+    src-partitioning and re-shuffle the filtered edges every level — the
+    exact per-iteration exchange this engine's build eliminates — while the
+    enumeration it would additionally save is codegen-cheap next to the
+    shuffle bytes it keeps."""
+
+    def fn(batches):
+        bm = None
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            if bm is None:
+                bm = np.frombuffer(bc.value, dtype=np.uint64)
+            v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+            closed = (bm[v >> 6] >> (v & 63).astype(np.uint64)).astype(np.int64) & 1
+            mask = closed == 0
+            if mask.all():
+                yield batch
+            else:
+                yield batch.filter(pa.array(mask))
+
+    return fn
+
+
 def _kernel_or_agg(msgs: DataFrame, nlimbs: int, buckets: int) -> DataFrame:
     """K1(b): numpy bitwise_or.reduceat per dst, bucketed applyInPandas."""
     vcols = [f"v{i}" for i in range(nlimbs)]
@@ -207,6 +291,7 @@ def msbfs(
     verbose: bool = False,
     bottom_up: bool = True,
     bottom_up_threshold: float = 0.5,
+    bottom_up_bitmap: bool = True,
     eager_checkpoint: bool = False,
 ) -> MsBfsResult:
     """Run one ≤512-source batch to completion; returns lane accounting
@@ -292,6 +377,8 @@ def msbfs(
     closed_rows = 0  # K3 gate: fully-seen vertex count, measured per level
     state_rows = 0  # K3 gate: state row count (== |V| once fully covered)
     prev_state = None  # kept cached until the new state is materialized
+    prev_bc = None  # closed-bitmap broadcast alive until its state materializes
+    strategies: list[str] = []  # per-level K3 choice (result diagnostics)
 
     from linkgraph.graph import iteration_plan
 
@@ -360,6 +447,14 @@ def msbfs(
                 except Exception:
                     pass  # localCheckpoint blocks are released by the ContextCleaner
                 prev_state = None
+            if prev_bc is not None:
+                # the accounting scan above materialized the state that read
+                # the bitmap; the broadcast blocks can go
+                try:
+                    prev_bc.unpersist()
+                except Exception:
+                    pass
+                prev_bc = None
 
             if new_total == 0 or (max_levels is not None and level >= max_levels):
                 break
@@ -398,16 +493,26 @@ def msbfs(
             #      shrink when instead the CLOSED set is broadcastable
             #      (anti keeps never-seen vertices' edges, so state coverage
             #      doesn't matter).
-            #   3. fallback message anti-join after the expand — when
-            #      neither set broadcasts (keys on dst, the downstream
-            #      aggregation key, so the shuffle exchange is reused); this
-            #      saves shuffle+aggregation work but not enumeration.
-            # At 10^9 vertices with a modest threshold, late-level open sets
-            # (~thousands of still-reachable vertices) broadcast fine; the
-            # cluster-scale extension for mid-range sets is a bitmap/bloom
-            # side-channel, documented debt.
+            #   3. closed-set BITMAP side-channel — the mid-range regime
+            #      where neither the open nor the closed set clears the
+            #      row-broadcast threshold: the closed set packs into a
+            #      |V|-bit broadcast bitmap (1 bit vs ~24 bytes per row —
+            #      10^9 vertices = 125 MB, within
+            #      spark.linkgraph.msbfs.bitmapMaxBytes, default 128m) and a
+            #      vectorized map-side filter drops closed-dst messages
+            #      BEFORE the dst shuffle — the aggregation exchange shrinks
+            #      by the closed fraction with no join and no closed-set
+            #      shuffle at all (see _bitmap_open_filter_kernel for why
+            #      the filter sits on the message side, not the edge side).
+            #   4. fallback message anti-join after the expand — only when
+            #      the bitmap is disabled or max_vid exceeds the bitmap
+            #      budget (keys on dst, the downstream aggregation key, so
+            #      the shuffle exchange is reused); saves shuffle +
+            #      aggregation work but pays a closed-set shuffle per level.
             edges_open = None
             closed_filter = None
+            msg_bitmap = None
+            strategy = "push"
             if bottom_up and n_vertices and closed_rows:
                 if closed_rows / float(n_vertices) >= bottom_up_threshold:
                     closed_pred = " and ".join(
@@ -427,6 +532,7 @@ def msbfs(
                         edges_open = graph.edges.join(
                             F.broadcast(open_dst), "dst", "left_semi"
                         )
+                        strategy = "open_semi"
                     elif 0 < thresh and closed_rows * 24 < thresh:
                         closed_dst = state.where(closed_pred).select(
                             F.col("vid").alias("dst")
@@ -434,10 +540,28 @@ def msbfs(
                         edges_open = graph.edges.join(
                             F.broadcast(closed_dst), "dst", "left_anti"
                         )
+                        strategy = "closed_anti"
                     else:
-                        closed_filter = state.where(closed_pred).select(
-                            F.col("vid").alias("dst")
+                        bitmap_budget = parse_bytes(
+                            spark.conf.get(
+                                "spark.linkgraph.msbfs.bitmapMaxBytes", "128m"
+                            )
                         )
+                        max_vid = graph.max_vid()
+                        if (
+                            bottom_up_bitmap
+                            and ((max_vid >> 6) + 1) * 8 <= bitmap_budget
+                        ):
+                            bc = _closed_bitmap(state, closed_pred, max_vid)
+                            msg_bitmap = _bitmap_open_filter_kernel(bc, nlimbs)
+                            prev_bc = bc  # released after state materializes
+                            strategy = "bitmap"
+                        else:
+                            closed_filter = state.where(closed_pred).select(
+                                F.col("vid").alias("dst")
+                            )
+                            strategy = "msg_anti"
+            strategies.append(strategy)
 
             # -- expand: frontier ⋈ edges, OR-aggregate by dst (ANP).
             # Strategy dispatch (broadcast / salted / shuffle) via graph.expand.
@@ -447,7 +571,12 @@ def msbfs(
             msgs = graph.expand(
                 frontier, est_rows=frontier_rows, edges=edges_open
             ).select("dst", *_V)
-            if closed_filter is not None:
+            if msg_bitmap is not None:
+                msgs = msgs.mapInArrow(
+                    msg_bitmap,
+                    "dst long, " + ", ".join(f"v{i} long" for i in range(nlimbs)),
+                )
+            elif closed_filter is not None:
                 msgs = msgs.join(closed_filter, "dst", "left_anti")
             if mode == "kernel":
                 buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -510,6 +639,7 @@ def msbfs(
         traversed_bit_edges=traversed,
         distances_df=distances_df,
         per_level_new=per_level_new,
+        strategies=strategies,
     )
 
 

@@ -273,6 +273,7 @@ class LinkGraph:
         self._vertices = None
         self._num_vertices = None
         self._num_edges = None
+        self._max_vid = None
 
     # ------------------------------------------------------------ constructors
     @classmethod
@@ -389,6 +390,19 @@ class LinkGraph:
             # salt every source above one partition-share of edges; spread
             # the worst hub over enough buckets to fit a share each
             s = int(min(64, max(2, -(-max_deg // share))))
+            import logging
+
+            # caller-visible signal: salting builds a SECOND persisted
+            # (src,salt)-partitioned copy of the edge table (~doubles the
+            # edge-cache footprint), so operators must be able to attribute
+            # the extra blocks and opt out deliberately
+            logging.getLogger(__name__).warning(
+                "linkgraph auto-salting engaged: |E|=%d, max_deg=%d (%.1fx the "
+                "%d-partition share %d) -> hub_threshold=%d, s=%d buckets; a "
+                "second salted edge cache will be built (set "
+                "LINKGRAPH_AUTO_SALT=0 to opt out)",
+                e, max_deg, max_deg / share, p, share, share, s,
+            )
             return self.enable_salting(hub_threshold=share, s=s)
         return None
 
@@ -458,6 +472,19 @@ class LinkGraph:
         if self._num_edges is None:
             self._num_edges = self.edges.count()
         return self._num_edges
+
+    def max_vid(self) -> int:
+        """Largest vertex id — sizes vid-indexed bitmaps (K3 side-channel).
+        Relabeled graphs have max_vid = |V|-1; raw-id graphs may be sparse,
+        so the bitmap sizing must use this, never num_vertices.  One
+        aggregate over the cached edge table, cached thereafter."""
+        if self._max_vid is None:
+            self._max_vid = int(
+                self.edges.agg(
+                    F.max(F.greatest(F.col("src"), F.col("dst"))).alias("m")
+                ).first()["m"]
+            )
+        return self._max_vid
 
     def top_degree_vids(self, k: int) -> list[int]:
         rows = (

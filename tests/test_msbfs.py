@@ -130,9 +130,9 @@ def test_eager_vs_fused_checkpoint_bit_exact(er):
 
 
 def test_bottom_up_strategies_bit_exact(spark, er):
-    """K3 completion: all three pull strategies (open-side edge semi-join,
-    closed-side edge anti-join, post-expand message filter) are bit-exact
-    vs the gate off.
+    """K3 completion: all four pull strategies (open-side edge semi-join,
+    closed-side edge anti-join, closed-bitmap message filter, post-expand
+    message anti-join) are bit-exact vs the gate off.
 
     * threshold 0.01 forces the gate on from the first closed vertex;
       on the connected ER graph the state covers |V| quickly -> open-side
@@ -141,33 +141,72 @@ def test_bottom_up_strategies_bit_exact(spark, er):
     * a disconnected extra clique keeps state_rows < |V| forever -> the
       closed-side edge ANTI-join path.
     * autoBroadcastJoinThreshold=-1 blocks both edge-side paths -> the
-      post-expand message anti-join fallback.
+      closed-BITMAP map-side message filter (the mid-range side-channel).
+    * bitmap additionally disabled -> the post-expand message anti-join
+      fallback.
     """
     srcs = [0, 1, 5, 17, 63]
     base = msbfs(er, srcs, emit_distances=True, bottom_up=False)
 
-    def check(res):
+    def check(res, expect_strategy=None):
         d = res.distances.sort_values(["src", "vid"]).reset_index(drop=True)
         b = base.distances.sort_values(["src", "vid"]).reset_index(drop=True)
         assert d.equals(b)
         assert np.array_equal(res.r, base.r) and np.array_equal(res.s, base.s)
+        if expect_strategy is not None:
+            assert expect_strategy in res.strategies, res.strategies
 
     # open-side semi-join (state covers all vertices once dense)
-    check(msbfs(er, srcs, emit_distances=True, bottom_up=True, bottom_up_threshold=0.01))
+    check(
+        msbfs(er, srcs, emit_distances=True, bottom_up=True, bottom_up_threshold=0.01),
+        expect_strategy="open_semi",
+    )
 
     # closed-side anti-join: unreachable component keeps state_rows < |V|
     pairs = er_edges(120, 0.04) + [(200 + a, 200 + b) for a, b in two_cliques_edges(6)]
     g2 = LinkGraph.from_undirected(edges_df(spark, pairs), num_partitions=8)
     base2 = msbfs(g2, srcs, emit_distances=True, bottom_up=False)
     res2 = msbfs(g2, srcs, emit_distances=True, bottom_up=True, bottom_up_threshold=0.01)
+    assert "closed_anti" in res2.strategies, res2.strategies
     d2 = res2.distances.sort_values(["src", "vid"]).reset_index(drop=True)
     assert d2.equals(base2.distances.sort_values(["src", "vid"]).reset_index(drop=True))
     assert np.array_equal(res2.r, base2.r) and np.array_equal(res2.s, base2.s)
 
-    # fallback message anti-join (no broadcastable side)
+    # mid-range: no broadcastable side -> bitmap side-channel engages
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        check(msbfs(er, srcs, emit_distances=True, bottom_up=True, bottom_up_threshold=0.01))
+        check(
+            msbfs(
+                er, srcs, emit_distances=True, bottom_up=True,
+                bottom_up_threshold=0.01,
+            ),
+            expect_strategy="bitmap",
+        )
+        # fallback message anti-join (bitmap disabled explicitly)
+        check(
+            msbfs(
+                er, srcs, emit_distances=True, bottom_up=True,
+                bottom_up_threshold=0.01, bottom_up_bitmap=False,
+            ),
+            expect_strategy="msg_anti",
+        )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bitmap_budget_falls_back_to_anti_join(spark, er):
+    """A max_vid beyond spark.linkgraph.msbfs.bitmapMaxBytes must refuse the
+    bitmap (executor memory guard) and take the msg_anti fallback."""
+    srcs = [0, 1, 5, 17, 63]
+    base = msbfs(er, srcs, bottom_up=False)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.linkgraph.msbfs.bitmapMaxBytes", "1b")
+    try:
+        res = msbfs(er, srcs, bottom_up=True, bottom_up_threshold=0.01)
+        assert "msg_anti" in res.strategies and "bitmap" not in res.strategies
+        assert np.array_equal(res.r, base.r) and np.array_equal(res.s, base.s)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.linkgraph.msbfs.bitmapMaxBytes")
