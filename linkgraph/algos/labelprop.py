@@ -22,11 +22,29 @@ from linkgraph.graph import LinkGraph
 def label_propagation(
     graph: LinkGraph,
     max_iter: int = 10,
+    checkpoint_mgr=None,
+    snapshot_every: int = 5,
+    resume: bool = False,
     verbose: bool = False,
 ) -> DataFrame:
-    """Returns (vid, label)."""
+    """Returns (vid, label).
+
+    checkpoint_mgr/snapshot_every/resume mirror connected_components: every
+    `snapshot_every` rounds the (vid, label) state is snapshotted with
+    lineage + metrics, and resume=True continues from the latest committed
+    snapshot — the north_rule's "resumable from checkpoint" applies to all
+    iterative kernels, and LPA is deterministic, so a resumed run equals an
+    uninterrupted one bit-for-bit (tested)."""
     n = graph.num_vertices()
-    labels = graph.vertices().select("vid", F.col("vid").alias("label"))
+    it0 = 0
+    labels = None
+    if resume and checkpoint_mgr is not None:
+        snap = checkpoint_mgr.latest()
+        if snap is not None:
+            labels = checkpoint_mgr.read_state(snap)
+            it0 = int(snap["metrics"]["iteration"])
+    if labels is None:
+        labels = graph.vertices().select("vid", F.col("vid").alias("label"))
     labels = labels.localCheckpoint(eager=True)
 
     changed = None
@@ -34,7 +52,7 @@ def label_propagation(
     from linkgraph.graph import iteration_plan
 
     with iteration_plan(graph.spark):
-        for it in range(max_iter):
+        for it in range(it0, max_iter):
             msgs = labels.select(F.col("vid").alias("src"), F.col("label").alias("l"))
             votes = graph.expand(msgs, est_rows=n).groupBy("dst", "l").agg(
                 F.count("*").alias("n")
@@ -72,6 +90,11 @@ def label_propagation(
             prev, labels = labels, new_labels
             if verbose:
                 print(f"[lpa] iter {it}: changed={changed}", flush=True)
+            if checkpoint_mgr is not None and (it + 1) % snapshot_every == 0:
+                labels = checkpoint_mgr.write_state(
+                    labels.select("vid", "label"), it + 1,
+                    {"iteration": it + 1, "changed": int(changed)},
+                ).localCheckpoint(eager=True)
             if changed == 0:
                 break
     if changed and verbose:

@@ -69,6 +69,30 @@ def test_lineage_audit_detects_corruption(spark, tmp_path):
         mgr.read_state(mgr.latest())
 
 
+def test_lpa_resume_equals_uninterrupted(spark, grid, tmp_path):
+    """LPA checkpoint/resume parity (all iterative kernels are resumable):
+    interrupted-then-resumed equals uninterrupted bit-for-bit — LPA is
+    deterministic, so exact equality is the right assertion."""
+    from linkgraph.algos.labelprop import label_propagation
+
+    full = {r["vid"]: r["label"] for r in label_propagation(grid, max_iter=8).collect()}
+
+    root = str(tmp_path / "chklpa")
+    mgr = CheckpointManager(spark, root)
+    label_propagation(grid, max_iter=4, checkpoint_mgr=mgr, snapshot_every=2)
+    snap = mgr.latest()
+    assert snap is not None and snap["metrics"]["iteration"] in (2, 4)
+    assert snap["lineage"] and all("rows" in p for p in snap["lineage"])
+
+    resumed = {
+        r["vid"]: r["label"]
+        for r in label_propagation(
+            grid, max_iter=8, checkpoint_mgr=mgr, resume=True
+        ).collect()
+    }
+    assert resumed == full
+
+
 def test_pagerank_resume(spark, grid, tmp_path):
     root = str(tmp_path / "chkpr")
     mgr = CheckpointManager(spark, root)
