@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import posixpath
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -108,7 +109,13 @@ class IncrementalEdgeStore:
         path = posixpath.join(self.root, name)
         if not self._ensure_fs(spark).exists(path):
             return None  # first batch: store not yet created
-        return spark.read.parquet(path)
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException:
+            # restart resilience: the directory exists but holds no readable
+            # parquet footers (a job killed mid-first-append leaves only
+            # _temporary/) — treat as empty and let the batch re-derive
+            return None
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():

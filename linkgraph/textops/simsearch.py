@@ -136,6 +136,30 @@ def hyperplane_lsh_buckets(
     return src.mapInArrow(kernel, "vec_id long, bucket long")
 
 
+from dataclasses import dataclass
+
+
+@dataclass
+class LshIndex:
+    """Prebuilt bucket table + the hashing parameters that define it.
+
+    Carrying (num_planes, dim, seed) in the index makes the serving path
+    self-describing: lsh_knn probes with the index's own geometry instead
+    of trusting the caller to repeat it, and never runs a driver action
+    (`.first()` dim sniffing) at query time."""
+
+    buckets: DataFrame
+    num_planes: int
+    dim: int
+    seed: int
+
+    def unpersist(self):
+        try:
+            self.buckets.unpersist()
+        except Exception:
+            pass
+
+
 def build_lsh_index(
     embeddings: DataFrame,
     num_planes: int = 12,
@@ -143,21 +167,25 @@ def build_lsh_index(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
+) -> LshIndex:
     """Precompute-and-persist the corpus bucket table — the serving path.
 
     One corpus scan builds (vec_id, bucket); every subsequent lsh_knn call
-    passes it via `buckets=` and touches only the probed buckets, instead
-    of re-hashing the full corpus per query (the demo-path anti-pattern at
-    scale).  On a cluster this table is written once to storage bucketed on
-    `bucket`; here a persisted DataFrame plays that role."""
+    passes the returned LshIndex via `buckets=` and touches only the probed
+    buckets, instead of re-hashing the full corpus per query (the demo-path
+    anti-pattern at scale).  On a cluster this table is written once to
+    storage bucketed on `bucket`; here a persisted DataFrame plays that
+    role.  dim is resolved ONCE here (a single-row driver action is fine at
+    build time) and recorded in the index so serving never repeats it."""
     from pyspark.storagelevel import StorageLevel
 
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
     idx = hyperplane_lsh_buckets(
         embeddings, num_planes, dim=dim, seed=seed, id_col=id_col, vec_col=vec_col
     ).persist(StorageLevel.MEMORY_AND_DISK)
     idx.count()
-    return idx
+    return LshIndex(buckets=idx, num_planes=num_planes, dim=dim, seed=seed)
 
 
 def lsh_knn(
@@ -168,7 +196,8 @@ def lsh_knn(
     multi_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    buckets: DataFrame | None = None,
+    buckets: "LshIndex | DataFrame | None" = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine within the query's LSH bucket(s).
 
@@ -177,13 +206,20 @@ def lsh_knn(
     near neighbors that fall just across one hyperplane are recovered,
     which is the dominant recall loss of single-bucket LSH at scale.
 
-    buckets: a prebuilt index from build_lsh_index (MUST be built with the
-    same num_planes/seed); without it the corpus is re-hashed per call —
-    fine for a one-off, wrong for serving.
+    buckets: a prebuilt LshIndex from build_lsh_index — the serving path:
+    num_planes comes from the index's own metadata (the caller's kwarg is
+    ignored, so a stale kwarg can't mis-probe) and NO driver action runs in
+    this call.  A bare bucket DataFrame is accepted for back-compat (caller
+    owns parameter consistency).  Without buckets the corpus is re-hashed
+    per call — fine for a one-off, wrong for serving; pass `dim` to avoid
+    the `.first()` sniff on that path too.
     """
-    if buckets is None:
+    if isinstance(buckets, LshIndex):
+        num_planes = buckets.num_planes
+        buckets = buckets.buckets
+    elif buckets is None:
         buckets = hyperplane_lsh_buckets(
-            embeddings, num_planes, id_col=id_col, vec_col=vec_col
+            embeddings, num_planes, dim=dim, id_col=id_col, vec_col=vec_col
         )
     qb = buckets.where(F.col("vec_id") == query_id).select(F.col("bucket"))
     if multi_probe >= 1:

@@ -210,6 +210,7 @@ def test_lsh_knn_prebuilt_index_identical(emb):
     from linkgraph.textops.simsearch import build_lsh_index
 
     idx = build_lsh_index(emb, num_planes=8)
+    assert (idx.num_planes, idx.dim) == (8, 16)  # self-describing metadata
     try:
         a = [(r["vec_id"], r["sim"]) for r in lsh_knn(emb, 0, k=5, num_planes=8).collect()]
         b = [
@@ -217,5 +218,45 @@ def test_lsh_knn_prebuilt_index_identical(emb):
             for r in lsh_knn(emb, 0, k=5, num_planes=8, buckets=idx).collect()
         ]
         assert a == b
+        # metadata wins over a stale caller kwarg: same result even when the
+        # caller passes the wrong num_planes alongside the index
+        c = [
+            (r["vec_id"], r["sim"])
+            for r in lsh_knn(emb, 0, k=5, num_planes=12, buckets=idx).collect()
+        ]
+        assert c == b
     finally:
         idx.unpersist()
+
+
+def test_lsh_knn_serving_runs_no_driver_action(emb, monkeypatch):
+    """With a prebuilt index, lsh_knn must never run `.first()` (the dim
+    sniff) — the serving path is action-free until the caller collects."""
+    from pyspark.sql import DataFrame as SparkDataFrame
+
+    from linkgraph.textops.simsearch import build_lsh_index
+
+    idx = build_lsh_index(emb, num_planes=8)
+    try:
+        def _boom(self, *a, **k):
+            raise AssertionError("driver action .first() in serving path")
+
+        monkeypatch.setattr(SparkDataFrame, "first", _boom)
+        got = [r["vec_id"] for r in lsh_knn(emb, 0, k=5, buckets=idx).collect()]
+        assert got and got[0] == 7
+    finally:
+        monkeypatch.undo()
+        idx.unpersist()
+
+
+def test_minhash_candidate_cache_released(spark, docs):
+    """minhash_near_duplicates must not leak the candidate cache (round-3
+    wrong #1): after the call, only the returned (persisted) result block
+    remains, and unpersisting it returns the session to baseline."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = minhash_near_duplicates(docs, 0.7, 64, 32)
+    assert out.count() >= 1
+    assert jsc.getPersistentRDDs().size() <= before + 1
+    out.unpersist()
+    assert jsc.getPersistentRDDs().size() <= before
