@@ -3,9 +3,17 @@ queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
   {"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ..., "gteps": ..., ...}
+   "queries": {name: sec, ...}, "sf": ..., "gteps": ...,
+   "spread": {name: {"min": .., "max": .., "runs": [..]}}, ...}
 
-Graphs (BASELINE.md): (1) co-purchase graph derived from sf lineitem,
+Protocol: the whole suite is executed N times in one JVM (--runs N /
+$SPARK_GRAFT_RUNS, default 3) and every per-query number reported in
+"queries" is the MEDIAN across runs, with min/max/raw samples in "spread".
+Single-shot numbers on this box mislead in both directions (co-tenant
+bursts swing phases ±50% minutes apart; the first run also carries JVM/JIT
+warmup) — medians-in-artifact replace narrative "typical" bands.
+
+Graphs (BENCH/BASELINE.md): (1) co-purchase graph derived from sf lineitem,
 (2) Zipf hub-tool graph from synthetic transcripts (seed=42, M scaled to
 the sf).  GTEPS counts (edge, lane) expansions of the 512-lane MS-BFS
 batch per second, the paper's many-source TEPS notion.
@@ -15,17 +23,15 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main():
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = sf_dir.rstrip("/").split("sf")[-1]
-
+def run_suite(spark, sf_dir: str, sf: str) -> tuple[dict, dict]:
+    """One full pass over the headline queries; returns (timings, extras)."""
     from pyspark.sql import functions as F
 
     from linkgraph.algos.components import connected_components
@@ -35,12 +41,10 @@ def main():
     from linkgraph.entry_queries import copurchase_graph
     from linkgraph.fixtures import transcripts_df
     from linkgraph.graph import LinkGraph
-    from linkgraph.session import get_spark
     from linkgraph.sources.derive import shared_key_conv_edges
     from linkgraph.tableio import read_testdata
     from linkgraph.textops.dedup import minhash_near_duplicates
 
-    spark = get_spark(master=f"local[{cpus}]", app_name="linkgraph-bench")
     timings: dict[str, float] = {}
     extras: dict[str, object] = {}
 
@@ -96,6 +100,7 @@ def main():
     # downstream logical plan — measured 3x the whole build phase in driver
     # plan-handling alone (BENCH/profile_build.py: 110.8s -> 36.6s total).
     n_convs = {"0.001": 2000, "0.01": 8000, "0.1": 20000}.get(sf, 20000)
+    import shutil
     import tempfile
     import uuid
 
@@ -109,8 +114,6 @@ def main():
         )
         nv2, ne2 = g2.num_vertices(), g2.num_edges()
     extras["zipf"] = {"V": nv2, "E_directed": ne2, "n_convs": n_convs}
-    import shutil
-
     shutil.rmtree(tr_path, ignore_errors=True)  # edges are materialized
 
     with timed("msbfs512_zipf"):
@@ -130,23 +133,66 @@ def main():
     # pairs are true near-dups, so LSH is tuned for high similarity
     # (r=8 bands=8, verify at 0.8) — the verified-pair count stays O(true dups).
     with timed("minhash_dedup_documents"):
-        extras["minhash_pairs"] = minhash_near_duplicates(
+        dups = minhash_near_duplicates(
             read_testdata(spark, sf_dir, "documents"),
             threshold=0.8,
             num_hashes=64,
             bands=8,
-        ).count()
+        )
+        extras["minhash_pairs"] = dups.count()
+        dups.unpersist()
 
+    return timings, extras
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    runs = int(os.environ.get("SPARK_GRAFT_RUNS", "3"))
+    if "--runs" in sys.argv:
+        runs = int(sys.argv[sys.argv.index("--runs") + 1])
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from linkgraph.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", app_name="linkgraph-bench")
+
+    samples: list[dict[str, float]] = []
+    gteps_samples: list[float] = []
+    extras: dict[str, object] = {}
+    for i in range(runs):
+        print(f"[bench] ---- run {i + 1}/{runs}", file=sys.stderr, flush=True)
+        timings, extras = run_suite(spark, sf_dir, sf)
+        samples.append(timings)
+        gteps_samples.append(extras["msbfs_copurchase"]["gteps"])
     spark.stop()
 
+    names = list(samples[0])
+    queries = {
+        q: round(statistics.median(s[q] for s in samples), 3) for q in names
+    }
+    spread = {
+        q: {
+            "min": round(min(s[q] for s in samples), 3),
+            "max": round(max(s[q] for s in samples), 3),
+            "runs": [s[q] for s in samples],
+        }
+        for q in names
+    }
+
     out = {
-        "metric": "headline graph+text suite wall time (512-lane MS-BFS GTEPS in extras)",
-        "value": round(sum(timings.values()), 3),
+        "metric": (
+            "headline graph+text suite wall time, per-query median of "
+            f"{runs} in-JVM runs (512-lane MS-BFS GTEPS in extras)"
+        ),
+        "value": round(sum(queries.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": queries,
+        "spread": spread,
+        "n_runs": runs,
         "sf": sf,
         "cpus": cpus,
-        "gteps": extras["msbfs_copurchase"]["gteps"],
+        "gteps": round(statistics.median(gteps_samples), 4),
         "extras": extras,
     }
     print(json.dumps(out))

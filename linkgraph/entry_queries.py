@@ -361,12 +361,14 @@ FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
-def q_customers_without_orders(spark, sf_dir):
+def q_customers_without_urgent_orders(spark, sf_dir):
     """J3/U2 set-difference surface: left-anti join as the except operator.
 
-    Subtracts only URGENT orders so the expected output is non-empty at
-    every sf (~200 rows at sf0.01) — a 0-row anti-join proves nothing about
-    the operator (the unrestricted form was vacuously green)."""
+    Customers with no URGENT-priority order (the name says exactly what the
+    restriction is — round-3 ADVICE).  Subtracting only URGENT orders keeps
+    the expected output non-empty at every sf (~200 rows at sf0.01) — a
+    0-row anti-join proves nothing about the operator (the unrestricted
+    form was vacuously green)."""
     from linkgraph.operators.setops import except_keys
 
     cust = _t(spark, sf_dir, "customer")
@@ -381,7 +383,7 @@ def q_customers_without_orders(spark, sf_dir):
     )
 
 
-SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SQL_CUSTOMERS_WITHOUT_URGENT_ORDERS = """
 SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name
 FROM customer
 WHERE c_custkey NOT IN (
@@ -695,7 +697,7 @@ QUERIES = {
     "triangles_per_vertex": q_triangles_per_vertex,
     "pagerank": q_pagerank,
     "label_propagation": q_label_propagation,
-    "customers_without_orders": q_customers_without_orders,
+    "customers_without_urgent_orders": q_customers_without_urgent_orders,
     "event_props_hourly": q_event_props_hourly,
     "rollup_lineitem": q_rollup_lineitem,
     "dedup_exact": q_dedup_exact,
@@ -722,7 +724,7 @@ ORACLES = {
     "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
     "pagerank": SQL_PAGERANK,
     "label_propagation": SQL_LABEL_PROPAGATION,
-    "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+    "customers_without_urgent_orders": SQL_CUSTOMERS_WITHOUT_URGENT_ORDERS,
     "event_props_hourly": SQL_EVENT_PROPS_HOURLY,
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,
     "dedup_exact": SQL_DEDUP_EXACT,
