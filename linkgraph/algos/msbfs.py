@@ -197,60 +197,33 @@ def _bitmap_build_kernel(n_limbs_v: int):
     return fn
 
 
-def _closed_bitmap(state: DataFrame, closed_pred: str, max_vid: int):
-    """K3 mid-range side-channel: the CLOSED vertex set as a broadcast
-    |V|-bit bitmap (vid-indexed int64 limbs).
+def _closed_limb_table(state: DataFrame, closed_pred: str, max_vid: int) -> DataFrame:
+    """K3 mid-range side-channel: the CLOSED vertex set as a bitmap packed
+    into a (idx, limb) table — limb i holds the closed-bits of vertices
+    [64i, 64i+64).
 
     The broadcast-set strategies cap out at autoBroadcastJoinThreshold rows
-    of (dst) keys; a bitmap is 3 orders of magnitude denser (1 bit vs ~24
-    bytes/row), so the mid-range regime — open AND closed sets both beyond
-    the row-broadcast threshold — still fits executor memory easily
-    (10^9 vertices = 125 MB).  Built distributedly: per-task partial
-    bitmaps -> bit_or merge on limb index -> driver assembly -> TorrentBroadcast.
-    """
-    spark = state.sparkSession
+    of (dst) keys; the limb table is 64 vertices per row (1 bit vs ~24
+    bytes per closed vertex), so the mid-range regime — open AND closed
+    sets both beyond the row-broadcast threshold — still broadcasts easily
+    (10^9 vertices = 15.6M rows / 125 MB of limbs, within
+    spark.linkgraph.msbfs.bitmapMaxBytes).  Built distributedly: per-task
+    partial bitmaps (mapInArrow, numpy bitwise_or.at) -> bit_or merge on
+    limb index; only NONZERO limbs ever exist, so sparsity is free.  The
+    consumer joins it broadcast and tests the bit with pure codegen'd int64
+    arithmetic — no Python, no shuffle (a first-cut mapInArrow message
+    filter was measured 14% SLOWER than the anti-join fallback at bench
+    scale purely from Arrow-serializing every 9-column message row;
+    BENCH/bitmap_bench.py)."""
     n_limbs_v = (max_vid >> 6) + 1
-    rows = (
+    return (
         state.where(closed_pred)
         .select("vid")
         .mapInArrow(_bitmap_build_kernel(n_limbs_v), "idx long, limb long")
         .groupBy("idx")
-        .agg(F.bit_or("limb").alias("limb"))
-        .collect()
+        .agg(F.bit_or("limb").alias("_bm_limb"))
+        .withColumnRenamed("idx", "_bm_idx")
     )
-    arr = np.zeros(n_limbs_v, dtype=np.int64)
-    for r in rows:
-        arr[r["idx"]] = r["limb"]
-    return spark.sparkContext.broadcast(arr.view(np.uint64).tobytes())
-
-
-def _bitmap_open_filter_kernel(bc, nlimbs: int, col: str = "dst"):
-    """mapInArrow filter: keep message rows whose `col` bit is CLEAR in the
-    broadcast closed-bitmap — map-side, before the dst shuffle, so the
-    OR-aggregate's exchange shrinks by the closed fraction with no join at
-    all.  Applied to the message side rather than the edge side on purpose:
-    an edge-side mapInArrow would forfeit the edge cache's known
-    src-partitioning and re-shuffle the filtered edges every level — the
-    exact per-iteration exchange this engine's build eliminates — while the
-    enumeration it would additionally save is codegen-cheap next to the
-    shuffle bytes it keeps."""
-
-    def fn(batches):
-        bm = None
-        for batch in batches:
-            if batch.num_rows == 0:
-                continue
-            if bm is None:
-                bm = np.frombuffer(bc.value, dtype=np.uint64)
-            v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
-            closed = (bm[v >> 6] >> (v & 63).astype(np.uint64)).astype(np.int64) & 1
-            mask = closed == 0
-            if mask.all():
-                yield batch
-            else:
-                yield batch.filter(pa.array(mask))
-
-    return fn
 
 
 def _kernel_or_agg(msgs: DataFrame, nlimbs: int, buckets: int) -> DataFrame:
@@ -377,7 +350,6 @@ def msbfs(
     closed_rows = 0  # K3 gate: fully-seen vertex count, measured per level
     state_rows = 0  # K3 gate: state row count (== |V| once fully covered)
     prev_state = None  # kept cached until the new state is materialized
-    prev_bc = None  # closed-bitmap broadcast alive until its state materializes
     strategies: list[str] = []  # per-level K3 choice (result diagnostics)
 
     from linkgraph.graph import iteration_plan
@@ -447,14 +419,6 @@ def msbfs(
                 except Exception:
                     pass  # localCheckpoint blocks are released by the ContextCleaner
                 prev_state = None
-            if prev_bc is not None:
-                # the accounting scan above materialized the state that read
-                # the bitmap; the broadcast blocks can go
-                try:
-                    prev_bc.unpersist()
-                except Exception:
-                    pass
-                prev_bc = None
 
             if new_total == 0 or (max_levels is not None and level >= max_levels):
                 break
@@ -496,14 +460,14 @@ def msbfs(
             #   3. closed-set BITMAP side-channel — the mid-range regime
             #      where neither the open nor the closed set clears the
             #      row-broadcast threshold: the closed set packs into a
-            #      |V|-bit broadcast bitmap (1 bit vs ~24 bytes per row —
-            #      10^9 vertices = 125 MB, within
-            #      spark.linkgraph.msbfs.bitmapMaxBytes, default 128m) and a
-            #      vectorized map-side filter drops closed-dst messages
-            #      BEFORE the dst shuffle — the aggregation exchange shrinks
-            #      by the closed fraction with no join and no closed-set
-            #      shuffle at all (see _bitmap_open_filter_kernel for why
-            #      the filter sits on the message side, not the edge side).
+            #      64-vertices-per-row (idx, limb) bitmap table (1 bit vs
+            #      ~24 bytes per closed vertex — 10^9 vertices = 125 MB of
+            #      limbs, within spark.linkgraph.msbfs.bitmapMaxBytes,
+            #      default 128m) that broadcast-joins onto the messages on
+            #      dst>>6; a codegen'd bit-test drops closed-dst messages
+            #      map-side BEFORE the dst shuffle — the aggregation
+            #      exchange shrinks by the closed fraction with no
+            #      closed-set shuffle at all and zero Python in the path.
             #   4. fallback message anti-join after the expand — only when
             #      the bitmap is disabled or max_vid exceeds the bitmap
             #      budget (keys on dst, the downstream aggregation key, so
@@ -552,9 +516,9 @@ def msbfs(
                             bottom_up_bitmap
                             and ((max_vid >> 6) + 1) * 8 <= bitmap_budget
                         ):
-                            bc = _closed_bitmap(state, closed_pred, max_vid)
-                            msg_bitmap = _bitmap_open_filter_kernel(bc, nlimbs)
-                            prev_bc = bc  # released after state materializes
+                            msg_bitmap = _closed_limb_table(
+                                state, closed_pred, max_vid
+                            )
                             strategy = "bitmap"
                         else:
                             closed_filter = state.where(closed_pred).select(
@@ -572,9 +536,21 @@ def msbfs(
                 frontier, est_rows=frontier_rows, edges=edges_open
             ).select("dst", *_V)
             if msg_bitmap is not None:
-                msgs = msgs.mapInArrow(
-                    msg_bitmap,
-                    "dst long, " + ", ".join(f"v{i} long" for i in range(nlimbs)),
+                # broadcast limb table + codegen'd bit test: keep a message
+                # iff its dst's closed-bit is CLEAR (absent limb == all open)
+                msgs = (
+                    msgs.join(
+                        F.broadcast(msg_bitmap),
+                        F.expr("shiftright(dst, 6)") == F.col("_bm_idx"),
+                        "left",
+                    )
+                    .where(
+                        F.expr(
+                            "_bm_limb is null or "
+                            "((_bm_limb >> cast((dst & 63) as int)) & 1) = 0"
+                        )
+                    )
+                    .drop("_bm_idx", "_bm_limb")
                 )
             elif closed_filter is not None:
                 msgs = msgs.join(closed_filter, "dst", "left_anti")
