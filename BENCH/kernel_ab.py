@@ -31,12 +31,13 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-V = 300_000
+V = 150_000
 DEG = 64
+MAX_LEVELS = 3  # bound the A/B: identical level budget for both modes
 
 
 def main():
-    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
 
     from pyspark.sql import functions as F
 
@@ -92,8 +93,9 @@ def main():
         for r in range(runs):
             for mode in times:
                 t0 = time.time()
-                res = msbfs(g, srcs, mode=mode, bottom_up=False)
+                res = msbfs(g, srcs, mode=mode, bottom_up=False, max_levels=MAX_LEVELS)
                 times[mode].append(round(time.time() - t0, 2))
+                print(f"[ab] {shape} {mode} run{r}: {times[mode][-1]}s", file=sys.stderr, flush=True)
                 levels[mode] = res.levels
         med = {k: statistics.median(v) for k, v in times.items()}
         out["shapes"][shape] = {
