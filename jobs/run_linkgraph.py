@@ -84,7 +84,8 @@ def main(argv=None):
     elif args.algo == "lpa":
         from linkgraph.algos.labelprop import label_propagation
 
-        out = label_propagation(graph, max_iter=min(args.max_iter, 20))
+        out = label_propagation(graph, max_iter=min(args.max_iter, 20),
+                                checkpoint_mgr=mgr, resume=args.resume)
         metrics = {}
     elif args.algo == "triangles":
         from linkgraph.algos.triangles import triangles_per_vertex

@@ -195,6 +195,48 @@ def test_bottom_up_strategies_bit_exact(spark, er):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_closed_limb_table_bit_math(spark):
+    """Unit-level check of the K3 bitmap packing + the consumer's join/bit
+    test: vid v lands in limb v>>6 at bit v&63, and the filter keeps
+    exactly the non-closed dsts (absent limb == open)."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.algos.msbfs import _closed_limb_table
+
+    closed = {1, 63, 64, 130}
+    rows = [(v, 31 if v in closed else 3) for v in [0, 1, 5, 63, 64, 100, 130, 199]]
+    state = spark.createDataFrame(rows, "vid long, s0 long")
+    limbs = {
+        r["_bm_idx"]: r["_bm_limb"]
+        for r in _closed_limb_table(state, "s0 = 31", max_vid=199).collect()
+    }
+    assert limbs == {
+        0: (1 << 1) | (1 << 63) if False else (1 << 1) | -(1 << 63),  # bit 63 = sign bit
+        1: (1 << 0),
+        2: (1 << (130 - 128)),
+    }
+
+    msgs = spark.createDataFrame(
+        [(v,) for v in [0, 1, 5, 63, 64, 100, 130, 199]], "dst long"
+    )
+    bm = _closed_limb_table(state, "s0 = 31", max_vid=199)
+    kept = sorted(
+        r["dst"]
+        for r in msgs.join(
+            F.broadcast(bm),
+            F.expr("shiftright(dst, 6)") == F.col("_bm_idx"),
+            "left",
+        )
+        .where(
+            F.expr(
+                "_bm_limb is null or ((_bm_limb >> cast((dst & 63) as int)) & 1) = 0"
+            )
+        )
+        .collect()
+    )
+    assert kept == [0, 5, 100, 199]
+
+
 def test_bitmap_budget_falls_back_to_anti_join(spark, er):
     """A max_vid beyond spark.linkgraph.msbfs.bitmapMaxBytes must refuse the
     bitmap (executor memory guard) and take the msg_anti fallback."""
