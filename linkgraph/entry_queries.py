@@ -549,6 +549,36 @@ FROM d, q ORDER BY sim DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: sign-bucket LSH blocking + exact
+    double-cosine verify.  The fixture embeddings are i.i.d. (no planted
+    dups — max all-pairs cosine ≈ 0.51), so the threshold sits at the top
+    of the actual similarity distribution to keep the query non-vacuous
+    (~135 pairs at sf0.01, ~2k at sf0.1)."""
+    from linkgraph.textops.dedup import embedding_near_duplicates
+
+    return embedding_near_duplicates(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, planes=4
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH b AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         (CASE WHEN embedding[1] < 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding[2] < 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[3] < 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN embedding[4] < 0 THEN 8 ELSE 0 END) AS bkt
+  FROM embeddings
+),
+n AS (SELECT vec_id, v, bkt, sqrt(list_dot_product(v, v)) AS nrm FROM b)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, c.v) / (a.nrm * c.nrm), 6) AS cos
+FROM n a JOIN n c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
+WHERE list_dot_product(a.v, c.v) / (a.nrm * c.nrm) >= 0.3
+"""
+
+
 def q_minhash_lsh(spark, sf_dir):
     """Full MinHash+LSH pipeline (signatures → banding → bucket self-join →
     exact-Jaccard verify) with the engine-portable md5 hash family, so every
@@ -706,6 +736,7 @@ QUERIES = {
     "token_totals": q_token_totals,
     "jaccard_pairs": q_jaccard_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_near_dup": q_embedding_near_dup,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
     "fingerprint": q_fingerprint,
@@ -733,6 +764,7 @@ ORACLES = {
     "token_totals": SQL_TOKEN_TOTALS,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "minhash_lsh": SQL_MINHASH_LSH,
     "simhash": SQL_SIMHASH,
     "fingerprint": SQL_FINGERPRINT,

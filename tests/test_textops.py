@@ -260,3 +260,36 @@ def test_minhash_candidate_cache_released(spark, docs):
     assert jsc.getPersistentRDDs().size() <= before + 1
     out.unpersist()
     assert jsc.getPersistentRDDs().size() <= before
+
+
+def test_embedding_near_duplicates_planted(spark):
+    """Sign-bucket LSH + exact verify on constructed vectors: a planted
+    near-dup pair in one bucket is found with the right cosine; a
+    high-cosine pair whose lead signs differ lands in different buckets
+    and is (by LSH semantics) not a candidate; sub-threshold same-bucket
+    pairs are verified away."""
+    from linkgraph.textops.dedup import embedding_near_duplicates
+
+    v = {
+        0: [1.0, 1.0, 1.0, 1.0, 0.0],   # bucket 0
+        1: [1.0, 1.0, 1.0, 0.9, 0.1],   # bucket 0, cos(0,1) ≈ 0.987
+        2: [1.0, 1.0, 1.0, -0.01, 0.0], # bucket 8: near-dup of 0 missed by blocking
+        3: [-1.0, 1.0, -1.0, 1.0, 0.0], # bucket 5, orthogonal-ish to all
+        4: [0.01, 1.0, 1.0, 1.0, -5.0], # bucket 0, cos(0,4) ≈ 0.29 < τ
+    }
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vec]) for i, vec in v.items()],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in embedding_near_duplicates(emb, threshold=0.8, planes=4).collect()
+    }
+    assert set(rows) == {(0, 1)}
+    a, b = np.array(v[0]), np.array(v[1])
+    expected = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert abs(rows[(0, 1)] - expected) < 1e-6
+    # exact (unblocked) truth also has (0,2) and (1,2) — vector 2's flipped
+    # 4th sign hides both from the blocked path; documents the recall trade
+    brute = embedding_near_duplicates(emb, threshold=0.8, planes=0).collect()
+    assert {(r["id_a"], r["id_b"]) for r in brute} == {(0, 1), (0, 2), (1, 2)}
