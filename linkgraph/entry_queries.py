@@ -579,6 +579,35 @@ WHERE list_dot_product(a.v, c.v) / (a.nrm * c.nrm) >= 0.3
 """
 
 
+def q_ivf_cosine_topk(spark, sf_dir):
+    """IVF-ANN end-to-end: spherical-k-means coarse quantizer → inverted
+    file (vec_id → centroid cell) → probe → exact cosine rerank.  Probing
+    every cell (nprobe = n_centroids) makes the result provably identical
+    to brute force, so the whole train/assign/probe pipeline is
+    hash-gated against the DuckDB brute-force oracle; partial-probe
+    recall is covered in tests/test_textops.py."""
+    from linkgraph.textops.simsearch import build_ivf_index, ivf_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = build_ivf_index(emb, n_centroids=8, iters=3)
+    out = ivf_knn(emb, query_id=1, index=idx, k=10, nprobe=8)
+    # drop the cache handle: the returned plan recomputes deterministically
+    idx.unpersist()
+    return out
+
+
+SQL_IVF_COSINE_TOPK = """
+WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id = 1),
+d AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id <> 1)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       ROUND(list_dot_product(v, qv) /
+             (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS sim
+FROM d, q ORDER BY sim DESC, vec_id ASC LIMIT 10
+"""
+
+
 def q_minhash_lsh(spark, sf_dir):
     """Full MinHash+LSH pipeline (signatures → banding → bucket self-join →
     exact-Jaccard verify) with the engine-portable md5 hash family, so every
@@ -736,6 +765,7 @@ QUERIES = {
     "token_totals": q_token_totals,
     "jaccard_pairs": q_jaccard_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ivf_cosine_topk": q_ivf_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
@@ -764,6 +794,7 @@ ORACLES = {
     "token_totals": SQL_TOKEN_TOTALS,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "ivf_cosine_topk": SQL_IVF_COSINE_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "minhash_lsh": SQL_MINHASH_LSH,
     "simhash": SQL_SIMHASH,

@@ -240,3 +240,227 @@ def lsh_knn(
     )
     # query vector must be present in the subset (same bucket by definition)
     return cosine_topk(sub, query_id, k, id_col=id_col, vec_col=vec_col)
+
+
+@dataclass
+class IvfIndex:
+    """IVF (inverted-file) coarse-quantizer index: spherical k-means
+    centroids plus a corpus→centroid assignment table.
+
+    `centroids` is a (k, dim) float64 numpy matrix, unit-normalized rows.
+    It lives on the driver and is closed over into the probe kernels —
+    k·dim doubles (a 4096×768 book is 25 MB) broadcast once per job, the
+    same posture as a Spark broadcast dim table.  `assignments` is the
+    distributed (vec_id, centroid_id) table, persisted and repartitioned
+    on centroid_id so a probe's semi-join touches only the probed
+    partitions; at 100 TB this table is written to storage partitioned by
+    centroid_id and the probe is a partition-pruned scan."""
+
+    assignments: DataFrame
+    centroids: "np.ndarray"
+    dim: int
+    seed: int
+
+    def unpersist(self):
+        try:
+            self.assignments.unpersist()
+        except Exception:
+            pass
+
+
+def _ivf_assign(embeddings, centroids, dim, id_col, vec_col):
+    """Distributed assignment: (vec_id, centroid_id, one partial row of the
+    update statistics).  Arrow-batched matmul against the closed-over
+    centroid book; argmax ties break to the lowest centroid id
+    (np.argmax) so assignment is deterministic."""
+    import pyarrow as pa
+
+    cent = centroids  # capture by value
+
+    def kernel(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            col = batch.column(1)
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            if flat.size == batch.num_rows * dim:
+                mat = flat.reshape(batch.num_rows, dim)
+            else:
+                mat = np.asarray(col.to_pylist(), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0.0] = 1.0
+            unit = mat / norms[:, None]
+            assign = np.argmax(unit @ cent.T, axis=1).astype(np.int64)
+            yield pa.RecordBatch.from_pydict(
+                {"vec_id": pa.array(ids, pa.int64()),
+                 "centroid_id": pa.array(assign, pa.int64())}
+            )
+
+    src = embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    return src.mapInArrow(kernel, "vec_id long, centroid_id long")
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    dim: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfIndex:
+    """Train a spherical-k-means coarse quantizer and materialize the
+    inverted file (vec_id → centroid_id).
+
+    Fully deterministic: init picks the n_centroids rows with the smallest
+    xxhash64(vec_id, seed) (a seeded shuffle-free reservoir), Lloyd
+    assignment breaks ties to the lowest centroid id, and the update step
+    is an exact elementwise mean.  Each Lloyd iteration is ONE distributed
+    job: the Arrow kernel computes per-partition partial sums per centroid
+    (≤ k rows per partition), and the k×P partial rows — bounded, never
+    O(N) — are reduced on the driver.  Empty clusters keep their previous
+    centroid (no re-seeding jitter).
+    """
+    import pyarrow as pa
+
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+
+    src = embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+
+    seed_rows = (
+        src.withColumn("h", F.xxhash64(F.col("vec_id"), F.lit(seed)))
+        .orderBy("h")
+        .limit(n_centroids)
+        .select("v")
+        .collect()
+    )
+    cent = np.asarray([r["v"] for r in seed_rows], dtype=np.float64)
+    norms = np.linalg.norm(cent, axis=1)
+    norms[norms == 0.0] = 1.0
+    cent = cent / norms[:, None]
+    k = cent.shape[0]
+
+    for _ in range(max(0, iters)):
+        c = cent  # capture current book by value
+
+        def partials(batches):
+            sums = np.zeros((k, dim), dtype=np.float64)
+            counts = np.zeros(k, dtype=np.int64)
+            for batch in batches:
+                if batch.num_rows == 0:
+                    continue
+                col = batch.column(1)
+                flat = col.flatten().to_numpy(zero_copy_only=False)
+                if flat.size == batch.num_rows * dim:
+                    mat = flat.reshape(batch.num_rows, dim)
+                else:
+                    mat = np.asarray(col.to_pylist(), dtype=np.float64)
+                nr = np.linalg.norm(mat, axis=1)
+                nr[nr == 0.0] = 1.0
+                unit = mat / nr[:, None]
+                assign = np.argmax(unit @ c.T, axis=1)
+                np.add.at(sums, assign, unit)
+                np.add.at(counts, assign, 1)
+            live = np.nonzero(counts)[0]
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "centroid_id": pa.array(live, pa.int64()),
+                    "count": pa.array(counts[live], pa.int64()),
+                    "vsum": pa.array([sums[i].tolist() for i in live],
+                                     pa.list_(pa.float64())),
+                }
+            )
+
+        rows = src.mapInArrow(
+            partials, "centroid_id long, count long, vsum array<double>"
+        ).collect()  # ≤ k rows per partition — bounded driver reduce
+        sums = np.zeros((k, dim), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in rows:
+            sums[r["centroid_id"]] += np.asarray(r["vsum"])
+            counts[r["centroid_id"]] += r["count"]
+        nxt = cent.copy()  # empty clusters keep their previous centroid
+        live = counts > 0
+        nxt[live] = sums[live] / counts[live, None]
+        nr = np.linalg.norm(nxt, axis=1)
+        nr[nr == 0.0] = 1.0
+        cent = nxt / nr[:, None]
+
+    from pyspark.storagelevel import StorageLevel
+
+    assign = (
+        _ivf_assign(embeddings, cent, dim, id_col, vec_col)
+        .repartition(F.col("centroid_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    assign.count()
+    return IvfIndex(assignments=assign, centroids=cent, dim=dim, seed=seed)
+
+
+def ivf_knn(
+    embeddings: DataFrame,
+    query_id: int,
+    index: IvfIndex,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via the IVF index: exact cosine within the
+    `nprobe` nearest centroid cells of the query's own vector.
+
+    No driver action at serving time: the query's probe list is computed
+    by a 1-row Arrow kernel against the index's centroid book, broadcast
+    into a semi-join on the assignment table, and the surviving candidate
+    subset reranked by the exact `cosine_topk` path (so sims match the
+    brute-force oracle digit-for-digit on whatever it returns).  With
+    nprobe ≥ k_centroids every cell is probed and the result is exactly
+    brute force — the correctness gate the driver checks.
+    """
+    import pyarrow as pa
+
+    cent, dim = index.centroids, index.dim
+    nprobe = min(nprobe, cent.shape[0])
+
+    def probe(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            col = batch.column(0)
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            mat = (
+                flat.reshape(batch.num_rows, dim)
+                if flat.size == batch.num_rows * dim
+                else np.asarray(col.to_pylist(), dtype=np.float64)
+            )
+            nr = np.linalg.norm(mat, axis=1)
+            nr[nr == 0.0] = 1.0
+            sims = (mat / nr[:, None]) @ cent.T
+            # top-nprobe per query row, deterministic: (-sim, centroid_id)
+            ids: set = set()
+            for row in sims:
+                order = np.lexsort((np.arange(cent.shape[0]), -row))
+                ids.update(int(c) for c in order[:nprobe])
+            yield pa.RecordBatch.from_pydict(
+                {"centroid_id": pa.array(sorted(ids), pa.int64())}
+            )
+
+    qv = embeddings.where(F.col(id_col) == query_id).select(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
+    )
+    probes = qv.mapInArrow(probe, "centroid_id long")
+    cand = index.assignments.join(
+        F.broadcast(probes), "centroid_id", "left_semi"
+    ).select("vec_id")
+    sub = embeddings.join(
+        cand.withColumnRenamed("vec_id", id_col), id_col, "left_semi"
+    )
+    return cosine_topk(sub, query_id, k, id_col=id_col, vec_col=vec_col)

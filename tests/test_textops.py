@@ -293,3 +293,55 @@ def test_embedding_near_duplicates_planted(spark):
     # 4th sign hides both from the blocked path; documents the recall trade
     brute = embedding_near_duplicates(emb, threshold=0.8, planes=0).collect()
     assert {(r["id_a"], r["id_b"]) for r in brute} == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_ivf_full_probe_equals_brute_force(emb):
+    """nprobe = n_centroids probes every cell: IVF must reduce to exact
+    brute-force cosine top-k, row-for-row (the driver's correctness gate)."""
+    from linkgraph.textops.simsearch import build_ivf_index, ivf_knn
+
+    idx = build_ivf_index(emb, n_centroids=4, iters=3)
+    try:
+        exact = [(r["vec_id"], r["sim"]) for r in cosine_topk(emb, 0, 10).collect()]
+        full = [
+            (r["vec_id"], r["sim"])
+            for r in ivf_knn(emb, 0, idx, k=10, nprobe=4).collect()
+        ]
+        assert full == exact
+    finally:
+        idx.unpersist()
+
+
+def test_ivf_partial_probe_recall(emb):
+    """nprobe=1 touches one cell yet must still recover the planted
+    near-duplicate (it shares vector 0's cell by construction), and every
+    returned sim must agree with the exact kernel's value."""
+    from linkgraph.textops.simsearch import build_ivf_index, ivf_knn
+
+    idx = build_ivf_index(emb, n_centroids=4, iters=3)
+    try:
+        got = ivf_knn(emb, 0, idx, k=5, nprobe=1).collect()
+        assert got and got[0]["vec_id"] == 7
+        exact = {r["vec_id"]: r["sim"] for r in cosine_topk(emb, 0, 59).collect()}
+        for r in got:
+            assert r["sim"] == exact[r["vec_id"]]
+        # partial probe is a subset of the corpus
+        assert len(got) <= 5
+    finally:
+        idx.unpersist()
+
+
+def test_ivf_build_deterministic(emb):
+    """Same seed → bit-identical centroid book and assignment table."""
+    from linkgraph.textops.simsearch import build_ivf_index
+
+    a = build_ivf_index(emb, n_centroids=4, iters=2, seed=11)
+    b = build_ivf_index(emb, n_centroids=4, iters=2, seed=11)
+    try:
+        assert np.array_equal(a.centroids, b.centroids)
+        ra = sorted(map(tuple, a.assignments.collect()))
+        rb = sorted(map(tuple, b.assignments.collect()))
+        assert ra == rb
+    finally:
+        a.unpersist()
+        b.unpersist()
