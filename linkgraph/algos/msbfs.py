@@ -50,6 +50,7 @@ class MsBfsResult:
     r: np.ndarray  # per-lane reachable count (incl. source)
     s: np.ndarray  # per-lane sum of distances
     wall_sec: float
+    h: np.ndarray | None = None  # per-lane harmonic sum Σ 1/d (excl. source)
     traversed_bit_edges: int = 0
     distances_df: DataFrame | None = None  # distributed (src, vid, dist)
     per_level_new: list[int] = field(default_factory=list)
@@ -294,6 +295,7 @@ def msbfs(
     level = 0
     r = np.zeros(nsrc, dtype=np.int64)
     s = np.zeros(nsrc, dtype=np.int64)
+    h = np.zeros(nsrc, dtype=np.float64)
     traversed = 0
     per_level_new: list[int] = []
     state = None
@@ -323,6 +325,7 @@ def msbfs(
             skip_account = True
             r = np.asarray(m["r"], dtype=np.int64)
             s = np.asarray(m["s"], dtype=np.int64)
+            h = np.asarray(m.get("h", np.zeros(nsrc)), dtype=np.float64)
             traversed = int(m.get("traversed", 0))
             per_level_new = list(m.get("per_level_new", []))
             if emit_distances and m.get("distances_path"):
@@ -403,6 +406,8 @@ def msbfs(
                         lane_arr[lane] = cnt
                     r += lane_arr
                     s += lane_arr * level
+                    if level:
+                        h += lane_arr / level
                 if emit_distances and new_total:
                     # distributed per-level delta append — never through the
                     # driver (n×512 distances at scale is terabytes)
@@ -429,6 +434,7 @@ def msbfs(
                     "level": level,
                     "r": r.tolist(),
                     "s": s.tolist(),
+                    "h": h.tolist(),
                     "traversed": traversed,
                     "per_level_new": per_level_new,
                 }
@@ -611,6 +617,7 @@ def msbfs(
         levels=level,
         r=r,
         s=s,
+        h=h,
         wall_sec=wall,
         traversed_bit_edges=traversed,
         distances_df=distances_df,
@@ -638,6 +645,27 @@ def closeness(graph: LinkGraph, res: MsBfsResult, n: int | None = None) -> DataF
         0.0,
     )
     return graph.spark.createDataFrame(pdf, schema="src long, r long, s long, c double")
+
+
+def harmonic(graph: LinkGraph, res: MsBfsResult, n: int | None = None) -> DataFrame:
+    """Harmonic centrality h(v) = Σ_{u≠v reachable} 1/d(v,u), plus the
+    (n-1)-normalized form — the closeness variant that stays well-defined
+    on disconnected graphs (Boldi & Vigna, "Axioms for Centrality").
+
+    Free given an MS-BFS run: the per-level lane counts the accounting
+    kernel already collects fold into Σ new_d/d on the driver (nsrc
+    doubles — no extra distributed pass), exactly like closeness's r/s.
+    """
+    n = n or graph.num_vertices()
+    h = res.h if res.h is not None else np.zeros(len(res.sources))
+    pdf = pd.DataFrame(
+        {
+            "src": np.asarray(res.sources, dtype=np.int64),
+            "h_raw": np.round(h, 6),
+            "hn": np.round(h / max(n - 1, 1), 6),
+        }
+    )
+    return graph.spark.createDataFrame(pdf, schema="src long, h_raw double, hn double")
 
 
 def batched_closeness(

@@ -196,6 +196,40 @@ FROM rs, n
 """
 
 
+def q_harmonic(spark, sf_dir):
+    """Harmonic centrality from the same 64-source MS-BFS batch shape as
+    closeness — the Σ 1/d variant that stays defined on disconnected
+    graphs.  Runs on the skewed events-user graph (exercises the salted /
+    bottom-up paths on a hubby topology)."""
+    from linkgraph.algos.msbfs import harmonic, msbfs
+
+    g = user_graph(spark, sf_dir)
+    srcs = g.top_degree_vids(64)
+    res = msbfs(g, srcs, max_levels=BFS_MAX_LEVELS + 4)
+    return harmonic(g, res)
+
+
+SQL_HARMONIC = f"""
+WITH RECURSIVE {_USER_E_MAT},
+deg AS (SELECT src AS vid, COUNT(*) AS d FROM e GROUP BY src),
+n AS (SELECT COUNT(*) AS n FROM deg),
+srcs AS (SELECT vid AS s FROM deg ORDER BY d DESC, vid ASC LIMIT 64),
+bfs(src, v, dist) AS (
+  SELECT s, s, 0 FROM srcs
+  UNION
+  SELECT bfs.src, e.dst, bfs.dist + 1 FROM bfs JOIN e ON e.src = bfs.v
+  WHERE bfs.dist < {BFS_MAX_LEVELS + 4}),
+md AS (SELECT src, v, MIN(dist) AS dist FROM bfs GROUP BY src, v),
+lv AS (SELECT src, dist, CAST(COUNT(*) AS DOUBLE) AS cnt
+       FROM md WHERE dist > 0 GROUP BY src, dist),
+hs AS (SELECT src, SUM(cnt / dist) AS h FROM lv GROUP BY src)
+SELECT CAST(srcs.s AS BIGINT) AS src,
+       ROUND(COALESCE(hs.h, 0.0), 6) AS h_raw,
+       ROUND(COALESCE(hs.h, 0.0) / GREATEST(n.n - 1, 1), 6) AS hn
+FROM srcs LEFT JOIN hs ON hs.src = srcs.s, n
+"""
+
+
 def q_connected_components(spark, sf_dir):
     from linkgraph.algos.components import connected_components
 
@@ -751,6 +785,7 @@ QUERIES = {
     "turn_adjacency": q_turn_adjacency,
     "bfs_distances": q_bfs_distances,
     "closeness": q_closeness,
+    "harmonic": q_harmonic,
     "connected_components": q_connected_components,
     "triangle_count": q_triangle_count,
     "triangles_per_vertex": q_triangles_per_vertex,
@@ -780,6 +815,7 @@ ORACLES = {
     "turn_adjacency": SQL_TURN_ADJACENCY,
     "bfs_distances": SQL_BFS_DISTANCES,
     "closeness": SQL_CLOSENESS,
+    "harmonic": SQL_HARMONIC,
     "connected_components": SQL_CONNECTED_COMPONENTS,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,

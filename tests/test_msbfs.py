@@ -252,3 +252,18 @@ def test_bitmap_budget_falls_back_to_anti_join(spark, er):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.conf.unset("spark.linkgraph.msbfs.bitmapMaxBytes")
+
+
+def test_harmonic_vs_oracle(er):
+    from linkgraph.algos.msbfs import harmonic
+
+    pairs = er_edges(120, 0.04)
+    srcs = [0, 1, 5, 17, 63]
+    res = msbfs(er, srcs)
+    n = er.num_vertices()
+    got = {r["src"]: (r["h_raw"], r["hn"]) for r in harmonic(er, res).collect()}
+    for s in srcs:
+        dist = _bfs_oracle(pairs, s)
+        exp = sum(1.0 / d for v, d in dist.items() if d > 0)
+        assert abs(got[s][0] - exp) < 1e-6, f"source {s}"
+        assert abs(got[s][1] - exp / (n - 1)) < 1e-6
