@@ -42,14 +42,27 @@ def pagerank(
     snapshot_every: int = 10,
     resume: bool = False,
     verbose: bool = False,
+    sources: list[int] | None = None,
 ) -> DataFrame:
     """Returns (vid, pr).  Ranks sum to 1 (dangling mass redistributed).
 
     tol <= 0 runs exactly max_iter iterations (fixed-budget benchmark
     mode; the per-iteration stats job still runs — it is the action that
-    materializes the checkpoint and costs ~nothing next to the expand)."""
+    materializes the checkpoint and costs ~nothing next to the expand).
+
+    sources: personalized PageRank — the teleport (and dangling-mass
+    return) distribution is uniform over `sources` instead of over all
+    vertices.  The reset vector rides in the state as a column (rv), so
+    the per-iteration plan is identical to global PR: same expand, same
+    single fused job; only the base term reads rv instead of the 1/n
+    literal.  The source list is embedded as an `isin` literal — it is a
+    seed set (10s-1000s), not a data-scale object; a DataFrame-valued
+    reset vector would join instead."""
     spark = graph.spark
     n = graph.num_vertices()
+    personalized = sources is not None
+    if personalized and not sources:
+        raise ValueError("personalized pagerank needs a non-empty source list")
 
     it0 = 0
     state = None
@@ -78,6 +91,19 @@ def pagerank(
                     F.lit(1.0 / n).alias("pr"),
                 )
             )
+        if personalized:
+            rv = F.when(
+                F.col("vid").isin([int(v) for v in sources]),
+                F.lit(1.0 / len(sources)),
+            ).otherwise(F.lit(0.0))
+            state = state.select("vid", "deg", rv.alias("rv"), rv.alias("pr"))
+    elif personalized and "rv" not in state.columns:
+        # resumed from a snapshot written by a pre-rv layout
+        rv = F.when(
+            F.col("vid").isin([int(v) for v in sources]),
+            F.lit(1.0 / len(sources)),
+        ).otherwise(F.lit(0.0))
+        state = state.select("vid", "deg", rv.alias("rv"), "pr")
     state = state.localCheckpoint(eager=True)
     if dangling_mass is None:
         if graph.symmetric:
@@ -100,15 +126,24 @@ def pagerank(
             contribs = graph.expand(msgs, est_rows=n).groupBy("dst").agg(
                 F.sum("w").alias("acc")
             )
-            base = (1.0 - damping) / n + damping * dangling_mass / n
+            if personalized:
+                # teleport AND dangling mass both return to the seed set
+                base_col = (
+                    F.lit(1.0 - damping) + F.lit(damping * dangling_mass)
+                ) * F.col("st.rv")
+                keep = [F.col("st.rv").alias("rv")]
+            else:
+                base_col = F.lit((1.0 - damping) / n + damping * dangling_mass / n)
+                keep = []
             new_state = (
                 state.alias("st")
                 .join(contribs.alias("cb"), F.col("st.vid") == F.col("cb.dst"), "left")
                 .select(
                     F.col("st.vid").alias("vid"),
                     F.col("st.deg").alias("deg"),
+                    *keep,
                     (
-                        F.lit(base)
+                        base_col
                         + F.lit(damping) * F.coalesce(F.col("cb.acc"), F.lit(0.0))
                     ).alias("pr"),
                     F.col("st.pr").alias("pr_old"),
@@ -141,7 +176,7 @@ def pagerank(
                 print(f"[pagerank] iter {it}: delta={delta}", flush=True)
             if checkpoint_mgr is not None and (it + 1) % snapshot_every == 0:
                 state = checkpoint_mgr.write_state(
-                    state.select("vid", "deg", "pr"),
+                    state.select("vid", "deg", *(["rv"] if personalized else []), "pr"),
                     it + 1,
                     {
                         "iteration": it + 1,

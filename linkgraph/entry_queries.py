@@ -323,6 +323,45 @@ SELECT CAST(vid AS BIGINT) AS vid, ROUND(pr, 9) AS pr FROM pr WHERE it = {PR_ITE
 """
 
 
+PPR_SEEDS = 4  # personalized-PR seed count shared with the SQL oracle
+
+
+def q_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank: teleport (and dangling mass) uniform over
+    the 4 top-degree seeds — fixed-budget, hash-checked against a DuckDB
+    recursive-CTE power iteration with the same restricted reset vector.
+    Same round-9 rationale as q_pagerank."""
+    from linkgraph.algos.pagerank import pagerank
+
+    g = user_graph(spark, sf_dir)
+    seeds = g.top_degree_vids(PPR_SEEDS)
+    pr = pagerank(g, tol=0, max_iter=PR_ITERS, sources=seeds)
+    return pr.select(
+        F.col("vid").cast("long").alias("vid"), F.round("pr", 9).alias("ppr")
+    )
+
+
+SQL_PERSONALIZED_PAGERANK = f"""
+WITH RECURSIVE {_USER_E_MAT},
+deg AS MATERIALIZED (SELECT src AS vid, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY src),
+seeds AS MATERIALIZED (
+  SELECT vid, 1.0/{PPR_SEEDS} AS rv FROM (
+    SELECT vid FROM deg ORDER BY deg DESC, vid ASC LIMIT {PPR_SEEDS})),
+pr(it, vid, pr) AS (
+  SELECT 0, d.vid, COALESCE(s.rv, 0.0)
+  FROM deg d LEFT JOIN seeds s ON s.vid = d.vid
+  UNION ALL
+  SELECT p.it + 1, e.dst,
+         (1.0 - 0.85)*COALESCE(s.rv, 0.0) + 0.85*SUM(p.pr/dd.deg)
+  FROM pr p JOIN deg dd ON dd.vid = p.vid JOIN e ON e.src = p.vid
+       LEFT JOIN seeds s ON s.vid = e.dst
+  WHERE p.it < {PR_ITERS}
+  GROUP BY p.it + 1, e.dst, s.rv
+)
+SELECT CAST(vid AS BIGINT) AS vid, ROUND(pr, 9) AS ppr FROM pr WHERE it = {PR_ITERS}
+"""
+
+
 LPA_ITERS = 5  # fixed budget shared with the SQL oracle (fixpoint-stable:
 #                the Spark loop may stop early at changed==0, after which
 #                further unrolled SQL iterations are identity)
@@ -790,6 +829,7 @@ QUERIES = {
     "triangle_count": q_triangle_count,
     "triangles_per_vertex": q_triangles_per_vertex,
     "pagerank": q_pagerank,
+    "personalized_pagerank": q_personalized_pagerank,
     "label_propagation": q_label_propagation,
     "customers_without_urgent_orders": q_customers_without_urgent_orders,
     "event_props_hourly": q_event_props_hourly,
@@ -820,6 +860,7 @@ ORACLES = {
     "triangle_count": SQL_TRIANGLE_COUNT,
     "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
     "pagerank": SQL_PAGERANK,
+    "personalized_pagerank": SQL_PERSONALIZED_PAGERANK,
     "label_propagation": SQL_LABEL_PROPAGATION,
     "customers_without_urgent_orders": SQL_CUSTOMERS_WITHOUT_URGENT_ORDERS,
     "event_props_hourly": SQL_EVENT_PROPS_HOURLY,

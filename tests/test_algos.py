@@ -185,3 +185,65 @@ def test_fused_iteration_lineage_bounded(er):
     lp = label_propagation(er, max_iter=5)
     plan = lp._jdf.queryExecution().analyzed().toString()
     assert plan.count("Join") == 0 and len(plan) < 4000
+
+
+def test_personalized_pagerank_vs_numpy(spark):
+    """PPR on a directed graph with a sink: teleport AND dangling mass
+    return to the seed set; ranks sum to 1; matches numpy power iteration
+    with a restricted reset vector."""
+    import collections
+
+    from linkgraph.algos.pagerank import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]
+    g = LinkGraph(
+        spark.createDataFrame(edges, "src long, dst long"),
+        num_partitions=4,
+        symmetric=False,
+    )
+    seeds = [0, 3]
+    got = {
+        r["vid"]: r["pr"]
+        for r in pagerank(g, tol=1e-12, max_iter=300, sources=seeds).collect()
+    }
+    assert set(got) == {0, 1, 2, 3, 4}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    out = collections.defaultdict(list)
+    for a, b in edges:
+        out[a].append(b)
+    n, d = 5, 0.85
+    rv = np.array([0.5, 0.0, 0.0, 0.5, 0.0])
+    v = rv.copy()
+    for _ in range(600):
+        nxt = np.zeros(n)
+        dangling = sum(v[x] for x in range(n) if not out[x])
+        for a in range(n):
+            for b in out[a]:
+                nxt[b] += d * v[a] / len(out[a])
+        nxt += (1 - d) * rv + d * dangling * rv
+        v = nxt
+    assert np.allclose([got[i] for i in range(n)], v, atol=1e-9)
+    # mass concentrates on/near the seeds, unlike global PR
+    assert got[0] + got[3] > 0.4
+    g.unpersist()
+
+
+def test_personalized_pagerank_zero_outside_reachable(spark):
+    """Vertices unreachable from the seed set get exactly rank 0."""
+    from linkgraph.algos.pagerank import pagerank
+
+    # two disjoint directed cycles; seed only in the first
+    edges = [(0, 1), (1, 0), (10, 11), (11, 10)]
+    g = LinkGraph(
+        spark.createDataFrame(edges, "src long, dst long"),
+        num_partitions=2,
+        symmetric=False,
+    )
+    got = {
+        r["vid"]: r["pr"]
+        for r in pagerank(g, tol=1e-12, max_iter=100, sources=[0]).collect()
+    }
+    assert got[10] == 0.0 and got[11] == 0.0
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    g.unpersist()
