@@ -251,6 +251,46 @@ FROM reach GROUP BY v
 """
 
 
+KCORE_K = 75  # non-vacuous at the driver SF (1,938/2,000 survive at sf0.01)
+KCORE_ROUNDS = 6  # ≥ measured convergence depth at sf0.01 (4 rounds)
+
+
+def q_k_core(spark, sf_dir):
+    """k-core membership + induced degree via fixed-round peel — both
+    engines run exactly KCORE_ROUNDS rounds so the hash matches whether or
+    not the peel has converged (it has, at sf0.01: 4 rounds)."""
+    from linkgraph.algos.kcore import k_core
+
+    g = copurchase_graph(spark, sf_dir)
+    return k_core(g, KCORE_K, rounds=KCORE_ROUNDS)
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    steps = []
+    for i in range(1, rounds + 1):
+        prev = "c0" if i == 1 else f"c{i - 1}"
+        steps.append(f"""
+c{i} AS MATERIALIZED (
+  SELECT a.src AS vid FROM e a
+  JOIN {prev} s ON s.vid = a.src
+  JOIN {prev} d ON d.vid = a.dst
+  GROUP BY a.src HAVING COUNT(*) >= {k})""")
+    return (
+        f"WITH {_COPURCHASE_E},"
+        "c0 AS MATERIALIZED (SELECT DISTINCT src AS vid FROM e),"
+        + ",".join(steps)
+        + f"""
+SELECT CAST(a.src AS BIGINT) AS vid, CAST(COUNT(*) AS BIGINT) AS core_deg
+FROM e a
+JOIN c{rounds} s ON s.vid = a.src
+JOIN c{rounds} d ON d.vid = a.dst
+GROUP BY a.src"""
+    )
+
+
+SQL_K_CORE = _kcore_oracle_sql(KCORE_K, KCORE_ROUNDS)
+
+
 def q_triangle_count(spark, sf_dir):
     from linkgraph.algos.triangles import triangle_count
 
@@ -826,6 +866,7 @@ QUERIES = {
     "closeness": q_closeness,
     "harmonic": q_harmonic,
     "connected_components": q_connected_components,
+    "k_core": q_k_core,
     "triangle_count": q_triangle_count,
     "triangles_per_vertex": q_triangles_per_vertex,
     "pagerank": q_pagerank,
@@ -857,6 +898,7 @@ ORACLES = {
     "closeness": SQL_CLOSENESS,
     "harmonic": SQL_HARMONIC,
     "connected_components": SQL_CONNECTED_COMPONENTS,
+    "k_core": SQL_K_CORE,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
     "pagerank": SQL_PAGERANK,

@@ -247,3 +247,36 @@ def test_personalized_pagerank_zero_outside_reachable(spark):
     assert got[10] == 0.0 and got[11] == 0.0
     assert abs(sum(got.values()) - 1.0) < 1e-9
     g.unpersist()
+
+
+def test_k_core_vs_peel_oracle(er):
+    """Fixpoint k-core matches a python peel oracle, including induced
+    degrees; fixed-round mode matches the same oracle stopped at R."""
+    from linkgraph.algos.kcore import k_core
+
+    adj = _adj()
+
+    for k in (3, 5, 7):
+        got = {r["vid"]: r["core_deg"] for r in k_core(er, k).collect()}
+        sub = {v: set(ns) for v, ns in adj.items()}
+        while True:
+            drop = {v for v in sub if len(sub[v]) < k}
+            if not drop:
+                break
+            for v in drop:
+                for u in sub[v]:
+                    sub.get(u, set()).discard(v)
+                del sub[v]
+        exp = {v: len(ns) for v, ns in sub.items()}
+        assert got == exp, f"k={k}"
+
+
+def test_k_core_fixed_rounds_monotone(er):
+    """R-round peel shrinks monotonically in R and reaches the fixpoint."""
+    from linkgraph.algos.kcore import k_core
+
+    k = 5
+    sizes = [k_core(er, k, rounds=r).count() for r in (1, 2, 4)]
+    assert sizes[0] >= sizes[1] >= sizes[2]
+    full = k_core(er, k).count()
+    assert sizes[2] >= full
