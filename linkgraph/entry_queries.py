@@ -608,6 +608,11 @@ def q_token_totals(spark, sf_dir):
 SQL_TOKEN_TOTALS = f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN LENGTH(TRIM(text)) > 0
+                THEN len(regexp_split_to_array(TRIM(text), '\\s+'))
+                ELSE 0 END) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+')))
+            AS BIGINT) AS total_bpe_tokens,
        CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
 FROM documents
 """

@@ -67,14 +67,35 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenization classes (GPT-2-style letter/digit/punct runs,
+# minus the space-joining rule).  The three classes are disjoint and have
+# no optional prefixes, so leftmost matching is unambiguous — Java regex
+# (Spark) and RE2 (DuckDB) count identically by construction.
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
+
+
 def token_count_total(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Corpus-level token accounting: (n_docs, total_tokens, total_chars)."""
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    """Corpus-level token accounting under three tokenizers:
+    (n_docs, total_tokens [word regex], total_ws_tokens [whitespace],
+    total_bpe_tokens [BPE-ish letter/digit/punct runs], total_chars).
+    The LLM-budgeting trio: word counts for quality stats, whitespace for
+    legacy parity, BPE-ish for model-token cost estimates."""
+    t = F.col(text_col)
+    toks = F.regexp_extract_all(F.lower(t), F.lit(TOKEN_RE), 0)
+    ws = F.when(
+        F.length(F.trim(t)) > 0, F.size(F.split(F.trim(t), r"\s+"))
+    ).otherwise(F.lit(0))
+    bpe = F.size(F.regexp_extract_all(F.lower(t), F.lit(BPE_RE), 0))
     return docs.select(
-        F.size(toks).alias("nt"), F.length(F.col(text_col)).alias("nc")
+        F.size(toks).alias("nt"),
+        ws.alias("nw"),
+        bpe.alias("nb"),
+        F.length(t).alias("nc"),
     ).agg(
         F.count("*").alias("n_docs"),
         F.sum("nt").cast("long").alias("total_tokens"),
+        F.sum("nw").cast("long").alias("total_ws_tokens"),
+        F.sum("nb").cast("long").alias("total_bpe_tokens"),
         F.sum("nc").cast("long").alias("total_chars"),
     )
 

@@ -345,3 +345,26 @@ def test_ivf_build_deterministic(emb):
     finally:
         a.unpersist()
         b.unpersist()
+
+
+def test_token_count_total_three_tokenizers(spark):
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["Hello, world! 42", "  ", "a-b c_d"],
+            }
+        )
+    )
+    from linkgraph.textops.textstats import token_count_total
+
+    row = token_count_total(docs).first()
+    assert row["n_docs"] == 3
+    # word regex [a-z0-9]+: {hello, world, 42} + {} + {a, b, c, d}
+    assert row["total_tokens"] == 3 + 0 + 4
+    # whitespace: {Hello, world!, 42} + {} (blank) + {a-b, c_d}
+    assert row["total_ws_tokens"] == 3 + 0 + 2
+    # BPE-ish runs: {hello},{,},{world},{!},{42} + {} + {a,-,b,c,_,d}
+    assert row["total_bpe_tokens"] == 5 + 0 + 6
