@@ -1,0 +1,151 @@
+"""Betweenness centrality — sampled Brandes, fully relational (K6 family).
+
+Brandes' algorithm [Brandes 2001] re-expressed as level-synchronous
+DataFrame passes over the batch of sample sources ("roots"), the
+Brandes–Pich sampling estimator (bc ≈ n/|S| · Σ_{s∈S} δ_s) for the
+at-scale path:
+
+* forward: per-level frontier-expand through `LinkGraph.expand` (the
+  same J1/J2 dispatch as MS-BFS/PageRank — broadcast when small, salted
+  shuffle on hubby graphs), shortest-path counts σ as a `sum` aggregate
+  keyed on (root, dst), newly-reached vertices via a compound-key
+  anti-join against the accumulated state;
+* backward: δ accumulation from the deepest level inward — one expand +
+  join + aggregate per level, δ(u) = Σ_{w∈succ(u)} σ_u/σ_w · (1+δ_w);
+* every per-level frame is lazily localCheckpoint'd and materialized by
+  its count action — the one-job-per-iteration shape shared with
+  PR/CC/LPA; lineage never deepens past a level.
+
+σ stays exact in doubles (integer-valued below 2^53); δ is a float sum
+whose only cross-engine divergence vs the unrolled DuckDB oracle is
+summation order (~1e-16 relative), absorbed by round-6 at the driver.
+
+On symmetric (undirected-closure) graphs each unordered pair is counted
+in both directions, i.e. values are 2× the undirected-textbook bc —
+consistent with the oracle, which walks the same directed edge table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph, iteration_plan
+
+
+def betweenness(
+    graph: LinkGraph,
+    roots: list[int],
+    max_levels: int = 8,
+    scale: bool = True,
+) -> DataFrame:
+    """Returns (vid, bc): estimated betweenness from the `roots` sample.
+
+    scale=True applies the Brandes–Pich factor n/|roots| so the estimate
+    targets the full-graph bc; scale=False returns the raw δ sums
+    (exact bc when roots = all vertices).  Vertices on no sampled
+    shortest path are omitted (bc estimate 0).
+    """
+    if not roots:
+        raise ValueError("betweenness needs a non-empty root sample")
+    spark = graph.spark
+    n = graph.num_vertices()
+    factor = (float(n) / len(roots)) if scale else 1.0
+
+    root_df = spark.createDataFrame([(int(r),) for r in roots], "root long")
+    state = root_df.select(
+        "root",
+        F.col("root").alias("vid"),
+        F.lit(0).alias("dist"),
+        F.lit(1.0).alias("sigma"),
+    ).localCheckpoint(eager=True)
+
+    levels = [state]  # per-level (root, vid, dist, sigma) frames
+    with iteration_plan(spark):
+        frontier = state
+        for lvl in range(1, max_levels + 1):
+            msgs = frontier.select(
+                F.col("vid").alias("src"), "root", "sigma"
+            )
+            agg = (
+                graph.expand(msgs, est_rows=len(roots) * 64)
+                .groupBy("root", "dst")
+                .agg(F.sum("sigma").alias("sigma"))
+            )
+            seen = state.select("root", "vid")
+            new = (
+                agg.join(
+                    seen,
+                    (agg.root == seen.root) & (agg.dst == seen.vid),
+                    "left_anti",
+                )
+                .select(
+                    "root",
+                    F.col("dst").alias("vid"),
+                    F.lit(lvl).alias("dist"),
+                    "sigma",
+                )
+                .localCheckpoint(eager=False)
+            )
+            if new.count() == 0:
+                break
+            levels.append(new)
+            state = state.union(new).localCheckpoint(eager=False)
+            frontier = new
+
+        deepest = len(levels) - 1
+        # backward dependency accumulation; w-frame = (root, vid, sigma, delta)
+        wl = levels[deepest].select("root", "vid", "sigma", F.lit(0.0).alias("delta"))
+        parts = [wl.where(F.col("vid") != F.col("root"))]
+        for lvl in range(deepest - 1, -1, -1):
+            u = levels[lvl]
+            msgs = u.select(F.col("vid").alias("src"), "root", "sigma")
+            succ = graph.expand(msgs, est_rows=len(roots) * 64).select(
+                F.col("src").alias("uvid"),
+                F.col("root").alias("uroot"),
+                F.col("sigma").alias("usigma"),
+                "dst",
+            )
+            contrib = (
+                succ.join(
+                    wl,
+                    (succ.uroot == wl.root) & (succ.dst == wl.vid),
+                )
+                .select(
+                    "uroot",
+                    "uvid",
+                    (
+                        F.col("usigma") / F.col("sigma") * (F.lit(1.0) + F.col("delta"))
+                    ).alias("term"),
+                )
+                .groupBy("uroot", "uvid")
+                .agg(F.sum("term").alias("delta"))
+            )
+            wl = (
+                u.join(
+                    contrib,
+                    (u.root == contrib.uroot) & (u.vid == contrib.uvid),
+                    "left",
+                )
+                .select(
+                    "root",
+                    "vid",
+                    "sigma",
+                    F.coalesce(F.col("delta"), F.lit(0.0)).alias("delta"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            wl.count()
+            parts.append(wl.where(F.col("vid") != F.col("root")))
+
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return (
+            out.groupBy("vid")
+            .agg(F.sum("delta").alias("d"))
+            .select(
+                F.col("vid").cast("long").alias("vid"),
+                F.round(F.col("d") * F.lit(factor), 6).alias("bc"),
+            )
+        )

