@@ -305,6 +305,67 @@ FROM srcs LEFT JOIN hs ON hs.src = srcs.s, n
 """
 
 
+KHOP_FANOUTS = [4, 4]
+KHOP_SEED = 42
+
+
+def q_khop_sample(spark, sf_dir):
+    """GraphSAGE-style 2-hop fanout-4 neighborhood sample from the 8
+    lowest part keys.  The rank key is the engine-portable md5 hash, so
+    the sample itself (not just its shape) is hash-checked against the
+    DuckDB mirror — a seeded rand() sample never could be."""
+    from linkgraph.operators.sampling import khop_sample
+
+    g = copurchase_graph(spark, sf_dir)
+    seeds = [
+        r[0]
+        for r in _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("s"))
+        .distinct()
+        .orderBy("s")
+        .limit(8)
+        .collect()
+    ]
+    return khop_sample(g, seeds, KHOP_FANOUTS, seed=KHOP_SEED)
+
+
+def _khop_oracle_sql(fanouts, seed) -> str:
+    parts = [
+        "seeds AS MATERIALIZED (" + _bfs_sources_sql() + ")",
+        "f0 AS MATERIALIZED (SELECT s AS vid FROM seeds)",
+    ]
+    for hop, fanout in enumerate(fanouts, start=1):
+        salt = f"{seed}:{hop}"
+        parts.append(
+            f"""h{hop} AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT e.src, e.dst,
+           ROW_NUMBER() OVER (PARTITION BY e.src ORDER BY
+             CAST('0x' || substr(md5(e.src || ':' || e.dst || ':{salt}'), 1, 15) AS BIGINT) ASC,
+             e.dst ASC) AS rk
+    FROM e JOIN f{hop - 1} f ON f.vid = e.src) t
+  WHERE rk <= {fanout})"""
+        )
+        parts.append(
+            f"f{hop} AS MATERIALIZED (SELECT DISTINCT dst AS vid FROM h{hop})"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {hop} AS hop, src, dst FROM h{hop}"
+        for hop in range(1, len(fanouts) + 1)
+    )
+    return (
+        "WITH " + _COPURCHASE_E + ","
+        + ",".join(parts)
+        + f"""
+SELECT CAST(hop AS INT) AS hop, CAST(src AS BIGINT) AS src,
+       CAST(dst AS BIGINT) AS dst
+FROM ({union})"""
+    )
+
+
+SQL_KHOP_SAMPLE = _khop_oracle_sql(KHOP_FANOUTS, KHOP_SEED)
+
+
 def q_connected_components(spark, sf_dir):
     from linkgraph.algos.components import connected_components
 
@@ -946,6 +1007,7 @@ QUERIES = {
     "betweenness": q_betweenness,
     "closeness": q_closeness,
     "harmonic": q_harmonic,
+    "khop_sample": q_khop_sample,
     "connected_components": q_connected_components,
     "k_core": q_k_core,
     "triangle_count": q_triangle_count,
@@ -979,6 +1041,7 @@ ORACLES = {
     "betweenness": SQL_BETWEENNESS,
     "closeness": SQL_CLOSENESS,
     "harmonic": SQL_HARMONIC,
+    "khop_sample": SQL_KHOP_SAMPLE,
     "connected_components": SQL_CONNECTED_COMPONENTS,
     "k_core": SQL_K_CORE,
     "triangle_count": SQL_TRIANGLE_COUNT,

@@ -1,0 +1,81 @@
+"""Neighborhood sampling — GraphSAGE-style k-hop fanout sampling over the
+distributed edge table (the GNN-training-data operator of the pipeline
+suite).
+
+Per hop: restrict edges to the current frontier (left-semi on src — the
+edge table's own partitioning key, so no edge shuffle), rank each
+vertex's out-neighbors by a deterministic per-(edge, hop) hash, keep the
+`fanout` smallest.  The rank window partitions on src, i.e. on the edge
+table's existing partitioning — Spark plans the window without an extra
+exchange; the only data movement is the (narrow) frontier list.
+
+Determinism: the rank key is `portable_hash60(src:dst#seed:hop)` with
+dst as the tiebreak, so the sample is a pure function of (graph, seeds,
+fanouts, seed) — identical across runs, partitionings and engines (the
+md5-based hash is bit-identical in DuckDB, which is what makes the
+driver query hash-checkable — a seeded `rand()` sample never could be).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
+from linkgraph.textops.dedup import portable_hash60
+
+
+def sample_neighbors(
+    graph: LinkGraph,
+    frontier: DataFrame,
+    fanout: int,
+    salt: str = "0",
+) -> DataFrame:
+    """One hop: ≤ `fanout` deterministic out-neighbors per frontier vertex.
+
+    frontier: DataFrame with a `vid` column.  Returns (src, dst).
+    """
+    e = graph.edges.select("src", "dst").join(
+        frontier.select(F.col("vid").alias("src")), "src", "left_semi"
+    )
+    h = portable_hash60(
+        F.concat_ws(":", F.col("src"), F.col("dst"), F.lit(salt))
+    )
+    w = Window.partitionBy("src").orderBy(h.asc(), F.col("dst").asc())
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= fanout)
+        .select("src", "dst")
+    )
+
+
+def khop_sample(
+    graph: LinkGraph,
+    seeds: list[int],
+    fanouts: list[int],
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-hop sample: returns (hop, src, dst) — hop h edges go from the
+    hop-(h-1) frontier.  The next frontier is the distinct sampled dsts
+    (standard GraphSAGE; revisits allowed, so hop h can re-expand a vertex
+    already seen at an earlier hop — mirrored exactly by the oracle).
+    """
+    if not seeds:
+        raise ValueError("khop_sample needs a non-empty seed list")
+    spark = graph.spark
+    frontier = spark.createDataFrame([(int(s),) for s in seeds], "vid long")
+    frames = []
+    for hop, fanout in enumerate(fanouts, start=1):
+        samp = sample_neighbors(
+            graph, frontier, fanout, salt=f"{seed}:{hop}"
+        ).localCheckpoint(eager=False)
+        frames.append(samp.select(F.lit(hop).alias("hop"), "src", "dst"))
+        frontier = samp.select(F.col("dst").alias("vid")).distinct()
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.union(f)
+    return out.select(
+        F.col("hop").cast("int").alias("hop"),
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )

@@ -117,3 +117,35 @@ def test_relabel_dense_and_degree_desc(tdf):
     # vid 0 is the max-degree vertex (O1 degree-descending relabel)
     deg = g.degrees().toPandas().set_index("vid")["deg"]
     assert deg[0] == deg.max()
+
+
+# ------------------------------------------------------------ khop sampling
+def test_khop_sample_deterministic_and_bounded(spark):
+    from linkgraph.fixtures import edges_df, er_edges
+    from linkgraph.graph import LinkGraph
+    from linkgraph.operators.sampling import khop_sample
+
+    g = LinkGraph.from_undirected(edges_df(spark, er_edges(60, 0.1)), num_partitions=4)
+    seeds = [0, 1, 2]
+    a = khop_sample(g, seeds, [3, 2]).collect()
+    b = khop_sample(g, seeds, [3, 2]).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # pure function
+
+    import collections
+
+    per_src = collections.Counter((r["hop"], r["src"]) for r in a)
+    assert all(
+        c <= (3 if hop == 1 else 2) for (hop, _), c in per_src.items()
+    )  # fanout bound per hop
+    # hop-1 sources are exactly (a subset of) the seeds
+    assert {r["src"] for r in a if r["hop"] == 1} <= set(seeds)
+    # hop-2 sources come from hop-1 destinations
+    h1_dst = {r["dst"] for r in a if r["hop"] == 1}
+    assert {r["src"] for r in a if r["hop"] == 2} <= h1_dst
+    # sampled edges are real edges
+    edges = {(r["src"], r["dst"]) for r in g.edges.select("src", "dst").collect()}
+    assert {(r["src"], r["dst"]) for r in a} <= edges
+    # different seed -> different sample (overwhelmingly likely)
+    c = khop_sample(g, seeds, [3, 2], seed=7).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+    g.unpersist()
