@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from linkgraph.graph import LinkGraph
+from linkgraph.graph import LinkGraph, broadcast_threshold
 from linkgraph.textops.dedup import portable_hash60
 
 
@@ -30,14 +30,24 @@ def sample_neighbors(
     frontier: DataFrame,
     fanout: int,
     salt: str = "0",
+    est_rows: int | None = None,
 ) -> DataFrame:
     """One hop: ≤ `fanout` deterministic out-neighbors per frontier vertex.
 
     frontier: DataFrame with a `vid` column.  Returns (src, dst).
+
+    est_rows: byte-gated broadcast of the frontier (same discipline as
+    LinkGraph.expand): when the estimated frontier size clears the
+    threshold the semi-join broadcasts and the edge table keeps its own
+    src partitioning — the rank window then sorts in place with no
+    exchange.  khop_sample passes the exact bound |seeds|·Π fanouts.
     """
-    e = graph.edges.select("src", "dst").join(
-        frontier.select(F.col("vid").alias("src")), "src", "left_semi"
-    )
+    f = frontier.select(F.col("vid").alias("src"))
+    if est_rows is not None:
+        thresh = broadcast_threshold(graph.spark)
+        if 0 < thresh and est_rows * 16 < thresh:
+            f = F.broadcast(f)
+    e = graph.edges.select("src", "dst").join(f, "src", "left_semi")
     h = portable_hash60(
         F.concat_ws(":", F.col("src"), F.col("dst"), F.lit(salt))
     )
@@ -65,10 +75,12 @@ def khop_sample(
     spark = graph.spark
     frontier = spark.createDataFrame([(int(s),) for s in seeds], "vid long")
     frames = []
+    bound = len(seeds)
     for hop, fanout in enumerate(fanouts, start=1):
         samp = sample_neighbors(
-            graph, frontier, fanout, salt=f"{seed}:{hop}"
+            graph, frontier, fanout, salt=f"{seed}:{hop}", est_rows=bound
         ).localCheckpoint(eager=False)
+        bound *= max(fanout, 1)
         frames.append(samp.select(F.lit(hop).alias("hop"), "src", "dst"))
         frontier = samp.select(F.col("dst").alias("vid")).distinct()
     out = frames[0]
