@@ -668,6 +668,42 @@ def harmonic(graph: LinkGraph, res: MsBfsResult, n: int | None = None) -> DataFr
     return graph.spark.createDataFrame(pdf, schema="src long, h_raw double, hn double")
 
 
+def neighborhood_function(graph: LinkGraph, res: MsBfsResult) -> DataFrame:
+    """ANF over the source sample: (h, nf) where nf = |{(s,v): d(s,v) ≤ h}|.
+
+    Pure post-processing of the per-level accounting MS-BFS already
+    collects (`per_level_new` — the h-th entry is the number of newly
+    reached (source, vertex) pairs at distance h), so the neighborhood
+    function and the effective diameter cost zero extra distributed work
+    on top of a traversal.  [ANF: Palmer/Gibbons/Faloutsos KDD'02 — the
+    exact per-sample form; their probabilistic counters correspond to our
+    A8 sketches when |V| bits per lane is too much state.]
+    """
+    rows = []
+    cum = 0
+    for h, c in enumerate(res.per_level_new):
+        if c == 0:
+            continue
+        cum += int(c)
+        rows.append((h, cum))
+    return graph.spark.createDataFrame(rows, "h int, nf long")
+
+
+def effective_diameter(res: MsBfsResult, q: float = 0.9) -> float:
+    """Smallest h (linearly interpolated) with N(h) ≥ q·N(max) over the
+    source sample — the standard effective-diameter estimator."""
+    counts = [int(c) for c in res.per_level_new if c > 0]
+    if not counts:
+        return 0.0
+    cum = np.cumsum(counts)
+    target = q * cum[-1]
+    h = int(np.searchsorted(cum, target))
+    if h == 0:
+        return 0.0
+    prev = cum[h - 1]
+    return float(h - 1 + (target - prev) / (cum[h] - prev))
+
+
 def batched_closeness(
     graph: LinkGraph,
     sources: list[int] | None = None,

@@ -163,6 +163,43 @@ FROM bfs GROUP BY src, v
 """
 
 
+def q_anf(spark, sf_dir):
+    """Approximate-neighborhood-function over the bfs_distances source
+    sample: cumulative (source, vertex) pairs within distance h.  Zero
+    extra distributed work beyond the MS-BFS accounting; oracle is the
+    running total of the recursive-CTE distance histogram."""
+    from linkgraph.algos.msbfs import msbfs, neighborhood_function
+
+    g = copurchase_graph(spark, sf_dir)
+    srcs = [
+        r[0]
+        for r in _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("s"))
+        .distinct()
+        .orderBy("s")
+        .limit(8)
+        .collect()
+    ]
+    res = msbfs(g, srcs, max_levels=BFS_MAX_LEVELS)
+    return neighborhood_function(g, res)
+
+
+SQL_ANF = f"""
+WITH RECURSIVE {_COPURCHASE_E},
+srcs AS ({_bfs_sources_sql()}),
+bfs(src, v, dist) AS (
+  SELECT s, s, 0 FROM srcs
+  UNION
+  SELECT bfs.src, e.dst, bfs.dist + 1 FROM bfs JOIN e ON e.src = bfs.v
+  WHERE bfs.dist < {BFS_MAX_LEVELS}),
+md AS (SELECT src, v, MIN(dist) AS dist FROM bfs GROUP BY src, v),
+hist AS (SELECT dist AS h, COUNT(*) AS c FROM md GROUP BY dist)
+SELECT CAST(h AS INT) AS h,
+       CAST(SUM(c) OVER (ORDER BY h) AS BIGINT) AS nf
+FROM hist
+"""
+
+
 BETW_LEVELS = 8  # forward-pass unroll depth shared with the SQL oracle
 BETW_ROOTS = 8  # Brandes-Pich sample: the 8 lowest part keys (as bfs_distances)
 
@@ -1004,6 +1041,7 @@ QUERIES = {
     "edges_events_user": q_edges_events_user,
     "turn_adjacency": q_turn_adjacency,
     "bfs_distances": q_bfs_distances,
+    "anf": q_anf,
     "betweenness": q_betweenness,
     "closeness": q_closeness,
     "harmonic": q_harmonic,
@@ -1038,6 +1076,7 @@ ORACLES = {
     "edges_events_user": SQL_EDGES_EVENTS_USER,
     "turn_adjacency": SQL_TURN_ADJACENCY,
     "bfs_distances": SQL_BFS_DISTANCES,
+    "anf": SQL_ANF,
     "betweenness": SQL_BETWEENNESS,
     "closeness": SQL_CLOSENESS,
     "harmonic": SQL_HARMONIC,

@@ -267,3 +267,26 @@ def test_harmonic_vs_oracle(er):
         exp = sum(1.0 / d for v, d in dist.items() if d > 0)
         assert abs(got[s][0] - exp) < 1e-6, f"source {s}"
         assert abs(got[s][1] - exp / (n - 1)) < 1e-6
+
+
+def test_anf_and_effective_diameter(grid):
+    """ANF on the 8x8 grid from corner 0: N(h) = #cells with manhattan
+    distance ≤ h; effective diameter interpolates the 0.9 quantile."""
+    from linkgraph.algos.msbfs import effective_diameter, neighborhood_function
+
+    res = msbfs(grid, [0])
+    nf = {r["h"]: r["nf"] for r in neighborhood_function(grid, res).collect()}
+    import itertools
+
+    exp = {}
+    cum = 0
+    for h in range(15):
+        cnt = sum(
+            1 for r, c in itertools.product(range(8), range(8)) if r + c == h
+        )
+        cum += cnt
+        exp[h] = cum
+    assert nf == exp
+    ed = effective_diameter(res)
+    assert 0 < ed <= 14
+    assert nf[14] == 64
