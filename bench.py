@@ -90,6 +90,23 @@ def run_suite(spark, sf_dir: str, sf: str) -> tuple[dict, dict]:
     with timed("triangles_copurchase"):
         extras["triangles_copurchase"] = triangle_count(g1, by_degree=True)
 
+    # ---- round-4 analytics on the same graph (keys new in BENCH_r04)
+    from linkgraph.algos.betweenness import betweenness
+    from linkgraph.algos.kcore import k_core
+    from linkgraph.operators.sampling import khop_sample
+
+    with timed("betweenness8_copurchase"):
+        roots = sorted(g1.top_degree_vids(8))
+        extras["betweenness_rows"] = betweenness(g1, roots).count()
+
+    with timed("kcore_copurchase"):
+        extras["kcore_rows"] = k_core(g1, 75).count()
+
+    with timed("khop_sample_copurchase"):
+        extras["khop_rows"] = khop_sample(
+            g1, sorted(g1.top_degree_vids(64)), [8, 8]
+        ).count()
+
     g1.unpersist()
 
     # ---- graph 2: Zipf hub-tool transcript graph (skew stress, salted path)
