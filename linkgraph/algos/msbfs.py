@@ -51,6 +51,7 @@ class MsBfsResult:
     s: np.ndarray  # per-lane sum of distances
     wall_sec: float
     h: np.ndarray | None = None  # per-lane harmonic sum Σ 1/d (excl. source)
+    ecc: np.ndarray | None = None  # per-lane eccentricity (max finite distance)
     traversed_bit_edges: int = 0
     distances_df: DataFrame | None = None  # distributed (src, vid, dist)
     per_level_new: list[int] = field(default_factory=list)
@@ -296,6 +297,7 @@ def msbfs(
     r = np.zeros(nsrc, dtype=np.int64)
     s = np.zeros(nsrc, dtype=np.int64)
     h = np.zeros(nsrc, dtype=np.float64)
+    ecc = np.zeros(nsrc, dtype=np.int64)
     traversed = 0
     per_level_new: list[int] = []
     state = None
@@ -326,6 +328,7 @@ def msbfs(
             r = np.asarray(m["r"], dtype=np.int64)
             s = np.asarray(m["s"], dtype=np.int64)
             h = np.asarray(m.get("h", np.zeros(nsrc)), dtype=np.float64)
+            ecc = np.asarray(m.get("ecc", np.zeros(nsrc)), dtype=np.int64)
             traversed = int(m.get("traversed", 0))
             per_level_new = list(m.get("per_level_new", []))
             if emit_distances and m.get("distances_path"):
@@ -408,6 +411,7 @@ def msbfs(
                     s += lane_arr * level
                     if level:
                         h += lane_arr / level
+                        ecc = np.where(lane_arr > 0, level, ecc)
                 if emit_distances and new_total:
                     # distributed per-level delta append — never through the
                     # driver (n×512 distances at scale is terabytes)
@@ -435,6 +439,7 @@ def msbfs(
                     "r": r.tolist(),
                     "s": s.tolist(),
                     "h": h.tolist(),
+                    "ecc": ecc.tolist(),
                     "traversed": traversed,
                     "per_level_new": per_level_new,
                 }
@@ -618,6 +623,7 @@ def msbfs(
         r=r,
         s=s,
         h=h,
+        ecc=ecc,
         wall_sec=wall,
         traversed_bit_edges=traversed,
         distances_df=distances_df,
@@ -666,6 +672,27 @@ def harmonic(graph: LinkGraph, res: MsBfsResult, n: int | None = None) -> DataFr
         }
     )
     return graph.spark.createDataFrame(pdf, schema="src long, h_raw double, hn double")
+
+
+def eccentricity(graph: LinkGraph, res: MsBfsResult) -> DataFrame:
+    """Per-source eccentricity over the reachable set: (src, ecc, r).
+
+    ecc(s) = max finite d(s,·) — free from the same lane accounting as
+    closeness/harmonic (the last level at which a lane gained vertices).
+    max(ecc) over a full-coverage batch is the exact graph diameter;
+    min(ecc) the radius.  When the run stops at max_levels the value is
+    the truncated eccentricity (a lower bound), same caveat as the
+    distance oracles.
+    """
+    e = res.ecc if res.ecc is not None else np.zeros(len(res.sources))
+    pdf = pd.DataFrame(
+        {
+            "src": np.asarray(res.sources, dtype=np.int64),
+            "ecc": np.asarray(e, dtype=np.int64),
+            "r": res.r.astype(np.int64),
+        }
+    )
+    return graph.spark.createDataFrame(pdf, schema="src long, ecc long, r long")
 
 
 def neighborhood_function(graph: LinkGraph, res: MsBfsResult) -> DataFrame:

@@ -163,6 +163,41 @@ FROM bfs GROUP BY src, v
 """
 
 
+def q_eccentricity(spark, sf_dir):
+    """Per-source truncated eccentricity + reach over the bfs_distances
+    sample — free from the MS-BFS lane accounting (diameter/radius come
+    from max/min over a full-coverage batch)."""
+    from linkgraph.algos.msbfs import eccentricity, msbfs
+
+    g = copurchase_graph(spark, sf_dir)
+    srcs = [
+        r[0]
+        for r in _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("s"))
+        .distinct()
+        .orderBy("s")
+        .limit(8)
+        .collect()
+    ]
+    res = msbfs(g, srcs, max_levels=BFS_MAX_LEVELS)
+    return eccentricity(g, res)
+
+
+SQL_ECCENTRICITY = f"""
+WITH RECURSIVE {_COPURCHASE_E},
+srcs AS ({_bfs_sources_sql()}),
+bfs(src, v, dist) AS (
+  SELECT s, s, 0 FROM srcs
+  UNION
+  SELECT bfs.src, e.dst, bfs.dist + 1 FROM bfs JOIN e ON e.src = bfs.v
+  WHERE bfs.dist < {BFS_MAX_LEVELS}),
+md AS (SELECT src, v, MIN(dist) AS dist FROM bfs GROUP BY src, v)
+SELECT CAST(src AS BIGINT) AS src, CAST(MAX(dist) AS BIGINT) AS ecc,
+       CAST(COUNT(*) AS BIGINT) AS r
+FROM md GROUP BY src
+"""
+
+
 def q_anf(spark, sf_dir):
     """Approximate-neighborhood-function over the bfs_distances source
     sample: cumulative (source, vertex) pairs within distance h.  Zero
@@ -1042,6 +1077,7 @@ QUERIES = {
     "turn_adjacency": q_turn_adjacency,
     "bfs_distances": q_bfs_distances,
     "anf": q_anf,
+    "eccentricity": q_eccentricity,
     "betweenness": q_betweenness,
     "closeness": q_closeness,
     "harmonic": q_harmonic,
@@ -1077,6 +1113,7 @@ ORACLES = {
     "turn_adjacency": SQL_TURN_ADJACENCY,
     "bfs_distances": SQL_BFS_DISTANCES,
     "anf": SQL_ANF,
+    "eccentricity": SQL_ECCENTRICITY,
     "betweenness": SQL_BETWEENNESS,
     "closeness": SQL_CLOSENESS,
     "harmonic": SQL_HARMONIC,

@@ -40,6 +40,7 @@ def test_msbfs_resume_equals_uninterrupted(spark, grid, tmp_path):
     assert np.array_equal(resumed.r, full.r)
     assert np.array_equal(resumed.s, full.s)
     assert np.array_equal(resumed.h, full.h)  # harmonic sums survive resume
+    assert np.array_equal(resumed.ecc, full.ecc)  # eccentricities too
     da = full.distances.sort_values(["src", "vid"]).reset_index(drop=True)
     db = resumed.distances.sort_values(["src", "vid"]).reset_index(drop=True)
     assert da.astype("int64").equals(db.astype("int64"))

@@ -290,3 +290,16 @@ def test_anf_and_effective_diameter(grid):
     ed = effective_diameter(res)
     assert 0 < ed <= 14
     assert nf[14] == 64
+
+
+def test_eccentricity_grid(grid):
+    """Corner 0 of the 8x8 grid: ecc = 14 (opposite corner); center-ish
+    vertex 27 (row 3,col 3): ecc = max manhattan = 4+4 = 8... computed
+    exactly from the grid metric."""
+    from linkgraph.algos.msbfs import eccentricity
+
+    res = msbfs(grid, [0, 27])
+    got = {r["src"]: (r["ecc"], r["r"]) for r in eccentricity(grid, res).collect()}
+    assert got[0] == (14, 64)
+    # vid 27 = (3, 3): max |r-3|+|c-3| over the grid = 4+4 = 8
+    assert got[27] == (8, 64)
