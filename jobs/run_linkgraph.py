@@ -22,7 +22,9 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--input", required=True, help="iceberg ident or parquet path (transcripts)")
     p.add_argument("--algo", required=True,
-                   choices=["msbfs", "closeness", "pagerank", "cc", "lpa", "triangles", "degree"])
+                   choices=["msbfs", "closeness", "harmonic", "eccentricity", "anf",
+                            "pagerank", "ppr", "cc", "lpa", "triangles",
+                            "kcore", "betweenness", "khop", "degree"])
     p.add_argument("--edge-key", default="tool", help="shared-key column for conv-conv edges")
     p.add_argument("--hub-cap", type=int, default=100_000,
                    help="0 = plan from sketch stats (suggest_hub_cap, A8)")
@@ -35,6 +37,11 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--output", default=None, help="iceberg ident or parquet path")
     p.add_argument("--partitions", type=int, default=None)
+    p.add_argument("--k", type=int, default=10,
+                   help="kcore: core order; khop: per-hop fanout")
+    p.add_argument("--hops", type=int, default=2, help="khop hop count")
+    p.add_argument("--seeds", type=int, default=8,
+                   help="ppr/betweenness/khop: top-degree seed count")
     args = p.parse_args(argv)
 
     from linkgraph.checkpoint import CheckpointManager
@@ -61,19 +68,30 @@ def main(argv=None):
         graph.enable_salting()
     mgr = CheckpointManager(spark, args.checkpoint) if args.checkpoint else None
 
-    if args.algo in ("msbfs", "closeness"):
-        from linkgraph.algos.msbfs import closeness, msbfs
+    if args.algo in ("msbfs", "closeness", "harmonic", "eccentricity", "anf"):
+        from linkgraph.algos.msbfs import (
+            closeness,
+            eccentricity,
+            harmonic,
+            msbfs,
+            neighborhood_function,
+        )
 
         srcs = graph.top_degree_vids(args.sources)
         res = msbfs(graph, srcs, track_teps=True, checkpoint_mgr=mgr, resume=args.resume)
-        out = closeness(graph, res)
+        out = {
+            "harmonic": harmonic,
+            "eccentricity": eccentricity,
+            "anf": neighborhood_function,
+        }.get(args.algo, closeness)(graph, res)
         metrics = {"levels": res.levels, "gteps": res.gteps(),
                    "bit_edge_traversals": res.traversed_bit_edges}
-    elif args.algo == "pagerank":
+    elif args.algo in ("pagerank", "ppr"):
         from linkgraph.algos.pagerank import pagerank
 
+        sources = graph.top_degree_vids(args.seeds) if args.algo == "ppr" else None
         out = pagerank(graph, tol=args.tol, max_iter=args.max_iter,
-                       checkpoint_mgr=mgr, resume=args.resume)
+                       checkpoint_mgr=mgr, resume=args.resume, sources=sources)
         metrics = {}
     elif args.algo == "cc":
         from linkgraph.algos.components import connected_components
@@ -86,6 +104,22 @@ def main(argv=None):
 
         out = label_propagation(graph, max_iter=min(args.max_iter, 20),
                                 checkpoint_mgr=mgr, resume=args.resume)
+        metrics = {}
+    elif args.algo == "kcore":
+        from linkgraph.algos.kcore import k_core
+
+        out = k_core(graph, args.k)
+        metrics = {}
+    elif args.algo == "betweenness":
+        from linkgraph.algos.betweenness import betweenness
+
+        out = betweenness(graph, sorted(graph.top_degree_vids(args.seeds)))
+        metrics = {}
+    elif args.algo == "khop":
+        from linkgraph.operators.sampling import khop_sample
+
+        out = khop_sample(graph, sorted(graph.top_degree_vids(args.seeds)),
+                          [args.k] * args.hops)
         metrics = {}
     elif args.algo == "triangles":
         from linkgraph.algos.triangles import triangles_per_vertex
