@@ -1,0 +1,76 @@
+"""Whole-graph summary statistics (size, degree moments, assortativity).
+
+One row out: |V|, directed |E|, mean/max degree, and the degree
+assortativity coefficient (Newman 2002) — the Pearson correlation of
+(deg(src), deg(dst)) over the directed edge list.  Assortativity is the
+standard first diagnostic on a web-scale link graph (social graphs are
+assortative, web/co-occurrence graphs disassortative) and drives the
+engine's own tuning choices (hub caps, salting thresholds).
+
+Scale shape — the naive plan joins the degree table onto the edge list
+twice and correlates |E| rows; the dst-side join would shuffle the whole
+edge table.  Instead the correlation is decomposed into exact integer
+moment sums with one co-partitioned join and one |V|-sized join:
+
+  1. join deg(src) onto edges — co-partitioned on src, no edge shuffle;
+  2. per-dst partial aggregate (map-side combine): count, Σdx, Σdx² —
+     the shuffle carries |V| partial rows, never |E|;
+  3. join deg(dst) onto the |V|-row partials and fold the cross moments:
+     Σdy = Σ c·dy, Σdy² = Σ c·dy², Σdxdy = Σ s1·dy.
+
+Moment sums accumulate as double, NOT long: at 10^12 edges Σdeg² can
+exceed int64, which Spark wraps silently while SQL engines promote to
+int128 — a silent cross-engine divergence.  Double sums are exact below
+2^53 and a correlation coefficient only needs ~1e-10 relative accuracy
+above that, so the rounded value stays engine-portable at every scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
+
+
+def graph_stats(graph: LinkGraph, round_to: int = 6) -> DataFrame:
+    """Returns one row: (n_vertices, n_edges, avg_deg, max_deg, assortativity)."""
+    deg = graph.degrees()
+    edges = graph.edges.select("src", "dst")
+
+    ez = edges.join(deg.select(F.col("vid").alias("src"), "deg"), "src")
+    dx = F.col("deg").cast("double")
+    partial = ez.groupBy("dst").agg(
+        F.count(F.lit(1)).cast("double").alias("c"),
+        F.sum(dx).alias("s1"),
+        F.sum(dx * dx).alias("s2"),
+    )
+    dy = F.col("dy").cast("double")
+    moments = (
+        partial.join(deg.select(F.col("vid").alias("dst"), F.col("deg").alias("dy")), "dst")
+        .agg(
+            F.sum("c").alias("m"),
+            F.sum("s1").alias("sx"),
+            F.sum("s2").alias("sxx"),
+            F.sum(F.col("c") * dy).alias("sy"),
+            F.sum(F.col("c") * dy * dy).alias("syy"),
+            F.sum(F.col("s1") * dy).alias("sxy"),
+        )
+    )
+    n = graph.num_vertices()
+    max_deg = deg.agg(F.max("deg").alias("d")).first()["d"]
+    r = moments.select(
+        F.lit(n).cast("long").alias("n_vertices"),
+        F.col("m").cast("long").alias("n_edges"),
+        F.round(F.col("m").cast("double") / F.lit(float(n)), round_to).alias("avg_deg"),
+        F.lit(int(max_deg)).cast("long").alias("max_deg"),
+        F.round(
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            round_to,
+        ).alias("assortativity"),
+    )
+    return r

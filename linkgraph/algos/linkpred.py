@@ -1,0 +1,89 @@
+"""Neighborhood-overlap link prediction (common neighbors / Adamic-Adar).
+
+Classic training-data op for link-graph ML: for every non-adjacent vertex
+pair (u, v) that shares at least one neighbor, emit the common-neighbor
+count and the Adamic-Adar score  AA(u,v) = Σ_z 1 / ln(deg(z))  over the
+shared neighbors z (Adamic & Adar 2003, public formulation).
+
+Shape and scale posture:
+
+* the wedge enumeration is a SELF-join of the edge table on `src` — both
+  sides carry the graph's existing src hash-partitioning, so the join is
+  co-partitioned and shuffles neither side (the same plan shape as the
+  S7 derivation self-join);
+* wedge fanout is quadratic in deg(z), so the z side is HUB-CAPPED
+  (`hub_cap`): centers with deg > hub_cap are excluded from scoring, the
+  standard cap used by co-occurrence/link-prediction pipelines at scale
+  (a z with 10^6 neighbors contributes ~0 per-pair signal at a cost of
+  10^12 wedges).  The cap is part of the operator contract and is
+  mirrored exactly by the SQL oracle;
+* deg(z) comes from the graph's cached degree table, joined onto the
+  edge table BEFORE the self-join (co-partitioned on src again), so the
+  weight rides the wedge rows and the final aggregate needs no second
+  pass;
+* existing edges are removed with a keyed left-anti join (J3), never a
+  full-row except.
+
+Determinism: scores are rounded (`round_to`) and the top-k order sorts by
+the ROUNDED score with (cn, u, v) tie-breaks, so Spark's and an oracle's
+float summation orders cannot flip ranks inside a rounding bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
+
+
+def link_prediction(
+    graph: LinkGraph,
+    hub_cap: int,
+    min_cn: int = 1,
+    topk: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Returns (u, v, cn, aa) with u < v over non-adjacent pairs.
+
+    Requires a symmetric (undirected-closure) edge table: each wedge
+    z—u, z—v is enumerated once via dst ordering, so every unordered
+    candidate pair appears exactly once.
+    """
+    if hub_cap < 2:
+        raise ValueError("hub_cap must be >= 2 (a center needs two neighbors)")
+    edges = graph.edges.select("src", "dst")
+    # deg >= 2: a center with one neighbor forms no wedge; also keeps
+    # 1/ln(deg) finite.  deg <= hub_cap: scale cap, see module docstring.
+    zw = (
+        graph.degrees()
+        .where((F.col("deg") >= 2) & (F.col("deg") <= hub_cap))
+        .select(F.col("vid").alias("src"), (F.lit(1.0) / F.log(F.col("deg"))).alias("zw"))
+    )
+    ez = edges.join(zw, "src")  # co-partitioned on src; weight rides the edge row
+    a, b = ez.alias("a"), ez.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.src") == F.col("b.src")) & (F.col("a.dst") < F.col("b.dst")),
+        )
+        .groupBy(F.col("a.dst").alias("u"), F.col("b.dst").alias("v"))
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.round(F.sum(F.col("a.zw")), round_to).alias("aa"),
+        )
+        .where(F.col("cn") >= min_cn)
+    )
+    out = pairs.join(
+        edges, (pairs.u == edges.src) & (pairs.v == edges.dst), "left_anti"
+    ).select(
+        F.col("u").cast("long").alias("u"),
+        F.col("v").cast("long").alias("v"),
+        F.col("cn").cast("long").alias("cn"),
+        "aa",
+    )
+    if topk is not None:
+        out = out.orderBy(
+            F.col("aa").desc(), F.col("cn").desc(), F.col("u").asc(), F.col("v").asc()
+        ).limit(topk)
+    return out

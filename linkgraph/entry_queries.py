@@ -1070,6 +1070,240 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, sha256(text) AS sha FROM documents
 """
 
 
+# --------------------------------------------------- round-4 analytics widening
+LINKPRED_HUB_CAP = 150  # non-vacuous at sf0.01 (degrees 42-206, median 115)
+LINKPRED_TOPK = 100
+
+
+def q_link_prediction(spark, sf_dir):
+    """Common-neighbor / Adamic-Adar link prediction, hub-capped wedge
+    enumeration, top-100 non-adjacent pairs by rounded score."""
+    from linkgraph.algos.linkpred import link_prediction
+
+    g = copurchase_graph(spark, sf_dir)
+    return link_prediction(
+        g, hub_cap=LINKPRED_HUB_CAP, min_cn=1, topk=LINKPRED_TOPK
+    )
+
+
+SQL_LINK_PREDICTION = f"""
+WITH {_COPURCHASE_E},
+d AS MATERIALIZED (SELECT src AS z, COUNT(*) AS deg FROM e GROUP BY src),
+zw AS MATERIALIZED (
+  SELECT z, 1.0 / LN(deg) AS w FROM d WHERE deg >= 2 AND deg <= {LINKPRED_HUB_CAP}),
+wed AS MATERIALIZED (
+  SELECT e1.dst AS u, e2.dst AS v, COUNT(*) AS cn, ROUND(SUM(zw.w), 6) AS aa
+  FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  JOIN zw ON zw.z = e1.src
+  GROUP BY e1.dst, e2.dst)
+SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+       CAST(cn AS BIGINT) AS cn, aa
+FROM wed w
+WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = w.u AND e.dst = w.v)
+ORDER BY aa DESC, cn DESC, u ASC, v ASC LIMIT {LINKPRED_TOPK}
+"""
+
+
+def q_graph_stats(spark, sf_dir):
+    """Whole-graph summary: |V|, |E|, mean/max degree, assortativity."""
+    from linkgraph.algos.gstats import graph_stats
+
+    return graph_stats(copurchase_graph(spark, sf_dir))
+
+
+SQL_GRAPH_STATS = f"""
+WITH {_COPURCHASE_E},
+d AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS deg FROM e GROUP BY src),
+ed AS MATERIALIZED (
+  SELECT CAST(ds.deg AS DOUBLE) AS dx, CAST(dd.deg AS DOUBLE) AS dy
+  FROM e JOIN d ds ON ds.vid = e.src JOIN d dd ON dd.vid = e.dst),
+mo AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS m, SUM(dx) AS sx, SUM(dx*dx) AS sxx,
+         SUM(dy) AS sy, SUM(dy*dy) AS syy, SUM(dx*dy) AS sxy
+  FROM ed)
+SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_vertices,
+       CAST(m AS BIGINT) AS n_edges,
+       ROUND(m / (SELECT COUNT(*) FROM d), 6) AS avg_deg,
+       CAST((SELECT MAX(deg) FROM d) AS BIGINT) AS max_deg,
+       ROUND((m*sxy - sx*sy) / SQRT((m*sxx - sx*sx) * (m*syy - sy*sy)), 6)
+         AS assortativity
+FROM mo
+"""
+
+
+HITS_ROUNDS = 8
+
+
+def q_hits(spark, sf_dir):
+    """HITS hubs/authorities on the ORIENTED (src < dst) co-purchase
+    graph — orientation makes hub and authority genuinely distinct (on a
+    symmetric graph both collapse to eigenvector centrality)."""
+    from linkgraph.algos.hits import hits
+
+    g = copurchase_graph(spark, sf_dir)
+    oriented = LinkGraph(
+        g.edges.where(F.col("src") < F.col("dst")).select("src", "dst"),
+        materialize=False,
+    )
+    out = hits(oriented, rounds=HITS_ROUNDS).localCheckpoint(eager=True)
+    oriented.unpersist()
+    return out
+
+
+def _hits_oracle_sql(rounds: int) -> str:
+    parts = [
+        "ed AS MATERIALIZED (SELECT src, dst FROM e WHERE src < dst)",
+        "v AS MATERIALIZED (SELECT DISTINCT vid FROM "
+        "(SELECT src AS vid FROM ed UNION ALL SELECT dst AS vid FROM ed))",
+        "h0 AS MATERIALIZED (SELECT vid, 1.0 / SQRT((SELECT COUNT(*) FROM v)) AS x FROM v)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f"""ra{i} AS MATERIALIZED (
+  SELECT v.vid, COALESCE(s.acc, 0) AS x FROM v LEFT JOIN (
+    SELECT ed.dst AS vid, SUM(h.x) AS acc FROM ed JOIN h{i - 1} h ON h.vid = ed.src
+    GROUP BY ed.dst) s USING (vid))""")
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT vid, x / SQRT((SELECT SUM(x*x) FROM ra{i})) AS x FROM ra{i})"
+        )
+        parts.append(f"""rh{i} AS MATERIALIZED (
+  SELECT v.vid, COALESCE(s.acc, 0) AS x FROM v LEFT JOIN (
+    SELECT ed.src AS vid, SUM(a.x) AS acc FROM ed JOIN a{i} a ON a.vid = ed.dst
+    GROUP BY ed.src) s USING (vid))""")
+        parts.append(
+            f"h{i} AS MATERIALIZED (SELECT vid, x / SQRT((SELECT SUM(x*x) FROM rh{i})) AS x FROM rh{i})"
+        )
+    return (
+        f"WITH {_COPURCHASE_E},"
+        + ",".join(parts)
+        + f"""
+SELECT CAST(v.vid AS BIGINT) AS vid, ROUND(h.x, 6) AS hub, ROUND(a.x, 6) AS auth
+FROM v JOIN h{rounds} h USING (vid) JOIN a{rounds} a USING (vid)"""
+    )
+
+
+SQL_HITS = _hits_oracle_sql(HITS_ROUNDS)
+
+
+SSSP_ROUNDS = 6  # >= measured convergence depth at sf0.01 (4 rounds)
+# integer inverse-strength cost: rare co-occurrence = expensive edge, so
+# shortest paths genuinely trade hop count against tie strength
+_SSSP_COST = "(100 + w - 1)"
+
+
+def q_sssp(spark, sf_dir):
+    """Weighted shortest paths (frontier Bellman-Ford) over the
+    co-purchase graph with integer inverse-strength costs."""
+    from linkgraph.algos.sssp import sssp
+
+    ew = derive.copurchase_weighted_edges(_t(spark, sf_dir, "lineitem")).select(
+        "src", "dst", F.expr("CAST((100 + w - 1) DIV w AS BIGINT)").alias("w")
+    )
+    g = LinkGraph(ew, symmetric=True)
+    seeds = [
+        r[0]
+        for r in _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("s"))
+        .distinct()
+        .orderBy("s")
+        .limit(4)
+        .collect()
+    ]
+    out = sssp(g, seeds, rounds=SSSP_ROUNDS).localCheckpoint(eager=True)
+    g.unpersist()
+    return out
+
+
+def _sssp_oracle_sql(rounds: int) -> str:
+    parts = [
+        """ew AS MATERIALIZED (
+  SELECT src, dst, (100 + w - 1) // w AS w FROM (
+    SELECT a.p AS src, b.p AS dst, COUNT(*) AS w
+    FROM pk a JOIN pk b ON a.k = b.k AND a.p <> b.p
+    GROUP BY a.p, b.p))""",
+        "seeds AS MATERIALIZED (SELECT DISTINCT l_partkey AS s FROM lineitem ORDER BY s ASC LIMIT 4)",
+        "d0 AS MATERIALIZED (SELECT s AS vid, CAST(0 AS BIGINT) AS dist FROM seeds)",
+        "f0 AS MATERIALIZED (SELECT vid, dist FROM d0)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f"""c{i} AS MATERIALIZED (
+  SELECT ew.dst AS vid, MIN(f.dist + ew.w) AS nd
+  FROM ew JOIN f{i - 1} f ON f.vid = ew.src GROUP BY ew.dst)""")
+        parts.append(f"""m{i} AS MATERIALIZED (
+  SELECT COALESCE(d.vid, c.vid) AS vid,
+         LEAST(COALESCE(d.dist, c.nd), COALESCE(c.nd, d.dist)) AS dist,
+         (d.dist IS NULL OR c.nd < d.dist) AS improved
+  FROM d{i - 1} d FULL OUTER JOIN c{i} c ON d.vid = c.vid)""")
+        parts.append(f"d{i} AS MATERIALIZED (SELECT vid, dist FROM m{i})")
+        parts.append(f"f{i} AS MATERIALIZED (SELECT vid, dist FROM m{i} WHERE improved)")
+    return (
+        f"WITH {_COPURCHASE_E},"
+        + ",".join(parts)
+        + f"""
+SELECT CAST(vid AS BIGINT) AS vid, CAST(dist AS BIGINT) AS dist FROM d{rounds}"""
+    )
+
+
+SQL_SSSP = _sssp_oracle_sql(SSSP_ROUNDS)
+
+
+WALKS_PER_SEED = 4
+WALK_LEN = 6
+WALK_SEED = 42
+
+
+def q_random_walks(spark, sf_dir):
+    """Deterministic DeepWalk-style random-walk corpus: the hash-argmin
+    step choice makes the WALKS THEMSELVES hash-checkable against the
+    DuckDB mirror."""
+    from linkgraph.operators.walks import random_walks
+
+    g = copurchase_graph(spark, sf_dir)
+    seeds = [
+        r[0]
+        for r in _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("s"))
+        .distinct()
+        .orderBy("s")
+        .limit(8)
+        .collect()
+    ]
+    return random_walks(
+        g, seeds, walk_len=WALK_LEN, walks_per_seed=WALKS_PER_SEED, seed=WALK_SEED
+    )
+
+
+def _walks_oracle_sql(walk_len: int, walks_per_seed: int, seed: int) -> str:
+    parts = [
+        "seeds AS MATERIALIZED (" + _bfs_sources_sql() + ")",
+        f"""w0 AS MATERIALIZED (
+  SELECT s AS seed, gs.w AS walk, s AS vid FROM seeds
+  CROSS JOIN (SELECT UNNEST(range({walks_per_seed})) AS w) gs)""",
+    ]
+    for i in range(1, walk_len + 1):
+        parts.append(f"""w{i} AS MATERIALIZED (
+  SELECT seed, walk, dst AS vid FROM (
+    SELECT c.seed, c.walk, e.dst,
+           ROW_NUMBER() OVER (PARTITION BY c.seed, c.walk ORDER BY
+             CAST('0x' || substr(md5(e.src || ':' || e.dst || ':' || c.walk || ':{seed}:{i}'), 1, 15) AS BIGINT) ASC,
+             e.dst ASC) AS rk
+    FROM e JOIN w{i - 1} c ON c.vid = e.src) t
+  WHERE rk = 1)""")
+    union = " UNION ALL ".join(
+        f"SELECT seed, walk, {i} AS step, vid FROM w{i}" for i in range(walk_len + 1)
+    )
+    return (
+        f"WITH {_COPURCHASE_E},"
+        + ",".join(parts)
+        + f"""
+SELECT CAST(seed AS BIGINT) AS seed, CAST(walk AS BIGINT) AS walk,
+       CAST(step AS INT) AS step, CAST(vid AS BIGINT) AS vid
+FROM ({union})"""
+    )
+
+
+SQL_RANDOM_WALKS = _walks_oracle_sql(WALK_LEN, WALKS_PER_SEED, WALK_SEED)
+
+
 QUERIES = {
     "degree_topk": q_degree_topk,
     "edges_shared_key": q_edges_shared_key,
@@ -1104,6 +1338,11 @@ QUERIES = {
     "simhash": q_simhash,
     "fingerprint": q_fingerprint,
     "text_integrity": q_text_integrity,
+    "link_prediction": q_link_prediction,
+    "graph_stats": q_graph_stats,
+    "hits": q_hits,
+    "sssp_weighted": q_sssp,
+    "random_walks": q_random_walks,
 }
 
 ORACLES = {
@@ -1140,6 +1379,11 @@ ORACLES = {
     "simhash": SQL_SIMHASH,
     "fingerprint": SQL_FINGERPRINT,
     "text_integrity": SQL_TEXT_INTEGRITY,
+    "link_prediction": SQL_LINK_PREDICTION,
+    "graph_stats": SQL_GRAPH_STATS,
+    "hits": SQL_HITS,
+    "sssp_weighted": SQL_SSSP,
+    "random_walks": SQL_RANDOM_WALKS,
 }
 
 

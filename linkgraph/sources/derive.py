@@ -115,6 +115,25 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def copurchase_weighted_edges(lineitem: DataFrame) -> DataFrame:
+    """g_copurchase with an integer weight: (src, dst, w) where w = number
+    of distinct orders the two parts co-occur in.  Same self-join shape as
+    `copurchase_edges` with the distinct replaced by a count aggregate
+    (identical shuffle profile); symmetric directed output, w symmetric by
+    construction.  Integer weights keep downstream shortest-path state
+    exactly hash-comparable across engines.
+    """
+    pk = lineitem.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = pk.alias("a"), pk.alias("b")
+    return (
+        a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.p") != F.col("b.p")))
+        .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+
+
 def cust_supp_edges(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     """g_cust_supp: bipartite customer—supplier edges via orders⋈lineitem.
 

@@ -1,0 +1,225 @@
+"""Link prediction / graph stats / HITS / weighted SSSP / random walks
+vs exact pure-Python oracles (round-4 analytics widening)."""
+
+import collections
+import heapq
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.algos.gstats import graph_stats
+from linkgraph.algos.hits import hits
+from linkgraph.algos.linkpred import link_prediction
+from linkgraph.algos.sssp import sssp
+from linkgraph.fixtures import edges_df, er_edges
+from linkgraph.graph import LinkGraph
+from linkgraph.operators.walks import random_walks
+
+PAIRS = er_edges(120, 0.05, seed=7)
+
+
+@pytest.fixture(scope="module")
+def er(spark):
+    return LinkGraph.from_undirected(edges_df(spark, PAIRS), num_partitions=8)
+
+
+def _adj():
+    adj = collections.defaultdict(set)
+    for a, b in PAIRS:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    return adj
+
+
+def test_link_prediction_vs_bruteforce(er):
+    adj = _adj()
+    deg = {v: len(ns) for v, ns in adj.items()}
+    cap = max(deg.values())  # uncapped reference
+    exp = {}
+    for z, ns in adj.items():
+        if not (2 <= deg[z] <= cap):
+            continue
+        ns_sorted = sorted(ns)
+        for i, u in enumerate(ns_sorted):
+            for v in ns_sorted[i + 1 :]:
+                if v in adj[u]:
+                    continue
+                cn, aa = exp.get((u, v), (0, 0.0))
+                exp[(u, v)] = (cn + 1, aa + 1.0 / math.log(deg[z]))
+    got = {
+        (r["u"], r["v"]): (r["cn"], r["aa"])
+        for r in link_prediction(er, hub_cap=cap).collect()
+    }
+    assert set(got) == set(exp)
+    for k, (cn, aa) in exp.items():
+        assert got[k][0] == cn
+        assert abs(got[k][1] - round(aa, 6)) < 1e-9
+
+    # hub cap actually restricts the wedge centers
+    small_cap = sorted(deg.values())[len(deg) // 2]
+    capped = {
+        (r["u"], r["v"]): r["cn"]
+        for r in link_prediction(er, hub_cap=small_cap).collect()
+    }
+    exp_capped = collections.Counter()
+    for z, ns in adj.items():
+        if not (2 <= deg[z] <= small_cap):
+            continue
+        ns_sorted = sorted(ns)
+        for i, u in enumerate(ns_sorted):
+            for v in ns_sorted[i + 1 :]:
+                if v not in adj[u]:
+                    exp_capped[(u, v)] += 1
+    assert capped == dict(exp_capped)
+    assert len(capped) < len(got)
+
+
+def test_link_prediction_topk_order(er):
+    adj = _adj()
+    cap = max(len(ns) for ns in adj.values())
+    rows = link_prediction(er, hub_cap=cap, topk=15).collect()
+    assert len(rows) == 15
+    keys = [(-r["aa"], -r["cn"], r["u"], r["v"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_graph_stats_vs_numpy(er):
+    adj = _adj()
+    deg = {v: len(ns) for v, ns in adj.items()}
+    dx, dy = [], []
+    for v, ns in adj.items():
+        for u in ns:
+            dx.append(deg[v])
+            dy.append(deg[u])
+    r = np.corrcoef(np.array(dx, dtype=float), np.array(dy, dtype=float))[0, 1]
+    row = graph_stats(er).collect()[0]
+    assert row["n_vertices"] == len(adj)
+    assert row["n_edges"] == len(dx)
+    assert abs(row["avg_deg"] - round(len(dx) / len(adj), 6)) < 1e-9
+    assert row["max_deg"] == max(deg.values())
+    assert abs(row["assortativity"] - r) < 1e-5
+
+
+def test_hits_vs_numpy(spark):
+    # oriented (src < dst) directed graph from the ER pair set
+    # (edges_df symmetrizes, so build the directed frame directly)
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in PAIRS if a != b})
+    g = LinkGraph(
+        spark.createDataFrame(pairs, "src long, dst long"), num_partitions=8
+    )
+    vids = sorted({v for p in pairs for v in p})
+    idx = {v: i for i, v in enumerate(vids)}
+    n = len(vids)
+    A = np.zeros((n, n))
+    for a, b in pairs:
+        A[idx[a], idx[b]] = 1.0
+    h = np.full(n, 1.0 / math.sqrt(n))
+    for _ in range(8):
+        a = A.T @ h
+        a /= np.linalg.norm(a)
+        h = A @ a
+        h /= np.linalg.norm(h)
+    got = {r["vid"]: (r["hub"], r["auth"]) for r in hits(g, rounds=8, round_to=None).collect()}
+    gh = np.array([got[v][0] for v in vids])
+    ga = np.array([got[v][1] for v in vids])
+    assert np.allclose(gh, h, atol=1e-9)
+    assert np.allclose(ga, a, atol=1e-9)
+    g.unpersist()
+
+
+def _weighted_pairs():
+    # deterministic symmetric integer weights on the ER pair set
+    return {
+        (min(a, b), max(a, b)): 1 + (min(a, b) * 7 + max(a, b) * 13) % 9
+        for a, b in PAIRS
+        if a != b
+    }
+
+
+@pytest.fixture(scope="module")
+def erw(spark):
+    wp = _weighted_pairs()
+    rows = [(a, b, w) for (a, b), w in wp.items()] + [
+        (b, a, w) for (a, b), w in wp.items()
+    ]
+    df = spark.createDataFrame(rows, "src long, dst long, w long")
+    return LinkGraph(df, num_partitions=8, symmetric=True)
+
+
+def test_sssp_vs_dijkstra(erw):
+    wp = _weighted_pairs()
+    adj = collections.defaultdict(list)
+    for (a, b), w in wp.items():
+        adj[a].append((b, w))
+        adj[b].append((a, w))
+    sources = sorted(adj)[:3]
+    dist = {s: 0 for s in sources}
+    pq = [(0, s) for s in sources]
+    heapq.heapify(pq)
+    while pq:
+        d, v = heapq.heappop(pq)
+        if d > dist.get(v, 1 << 60):
+            continue
+        for u, w in adj[v]:
+            nd = d + w
+            if nd < dist.get(u, 1 << 60):
+                dist[u] = nd
+                heapq.heappush(pq, (nd, u))
+    got = {r["vid"]: r["dist"] for r in sssp(erw, sources).collect()}
+    assert got == dist
+
+
+def test_sssp_fixed_rounds_identity_after_convergence(erw):
+    sources = sorted({v for p in _weighted_pairs() for v in p})[:3]
+    fix = sssp(erw, sources)
+    fr = sssp(erw, sources, rounds=40)  # well past convergence
+    assert fix.subtract(fr).count() == 0 and fr.subtract(fix).count() == 0
+
+
+def test_sssp_validations(erw, er):
+    with pytest.raises(ValueError):
+        sssp(erw, [])
+    with pytest.raises(ValueError):
+        sssp(er, [1])  # no weight column
+
+
+def test_random_walks_deterministic_and_edge_valid(er):
+    seeds = sorted(_adj())[:4]
+    out = random_walks(er, seeds, walk_len=5, walks_per_seed=2, seed=3)
+    rows = out.collect()
+    # symmetric graph: no sinks, every walk runs the full length
+    assert len(rows) == len(seeds) * 2 * 6
+    adj = _adj()
+    pos = {(r["seed"], r["walk"], r["step"]): r["vid"] for r in rows}
+    for (s, w, t), v in pos.items():
+        if t == 0:
+            assert v == s
+        else:
+            assert v in adj[pos[(s, w, t - 1)]]
+    # pure function of inputs: a second run is identical
+    again = {
+        (r["seed"], r["walk"], r["step"]): r["vid"]
+        for r in random_walks(er, seeds, walk_len=5, walks_per_seed=2, seed=3).collect()
+    }
+    assert again == pos
+    # different seed changes at least one step
+    other = {
+        (r["seed"], r["walk"], r["step"]): r["vid"]
+        for r in random_walks(er, seeds, walk_len=5, walks_per_seed=2, seed=4).collect()
+    }
+    assert other != pos
+
+
+def test_random_walks_stop_at_sink(spark):
+    # directed path 1 -> 2 -> 3: walks of length 5 stop at the sink
+    g = LinkGraph(
+        spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long"),
+        num_partitions=2,
+    )
+    rows = random_walks(g, [1], walk_len=5).collect()
+    got = sorted((r["step"], r["vid"]) for r in rows)
+    assert got == [(0, 1), (1, 2), (2, 3)]
+    g.unpersist()
