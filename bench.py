@@ -107,7 +107,48 @@ def run_suite(spark, sf_dir: str, sf: str) -> tuple[dict, dict]:
             g1, sorted(g1.top_degree_vids(64)), [8, 8]
         ).count()
 
+    # ---- round-4 second wave (keys new in BENCH_r04 refresh)
+    from linkgraph.algos.gstats import graph_stats
+    from linkgraph.algos.hits import hits
+    from linkgraph.algos.linkpred import link_prediction
+    from linkgraph.algos.sssp import sssp
+    from linkgraph.operators.walks import random_walks
+    from linkgraph.sources.derive import copurchase_weighted_edges
+
+    with timed("graph_stats_copurchase"):
+        extras["graph_stats"] = graph_stats(g1).first().asDict()
+
+    with timed("hits8_copurchase"):
+        oriented = LinkGraph(
+            g1.edges.where(F.col("src") < F.col("dst")).select("src", "dst"),
+            materialize=False,
+        )
+        extras["hits_rows"] = hits(oriented, rounds=8).count()
+        oriented.unpersist()
+
+    with timed("linkpred_copurchase"):
+        extras["linkpred_rows"] = link_prediction(
+            g1, hub_cap=150, min_cn=1, topk=100
+        ).count()
+
+    with timed("walks512_copurchase"):
+        extras["walk_rows"] = random_walks(
+            g1, sorted(g1.top_degree_vids(min(512, nv1))),
+            walk_len=6, walks_per_seed=4, seed=42,
+        ).count()
+
     g1.unpersist()
+
+    with timed("sssp_weighted_copurchase"):
+        ew = copurchase_weighted_edges(
+            read_testdata(spark, sf_dir, "lineitem")
+        ).select(
+            "src", "dst",
+            F.expr("CAST((100 + w - 1) DIV w AS BIGINT)").alias("w"),
+        )
+        gw = LinkGraph(ew, symmetric=True)
+        extras["sssp_rows"] = sssp(gw, sorted(gw.top_degree_vids(4))).count()
+        gw.unpersist()
 
     # ---- graph 2: Zipf hub-tool transcript graph (skew stress, salted path)
     # Input preparation is untimed: the production input is a transcripts

@@ -43,6 +43,7 @@ def pagerank(
     resume: bool = False,
     verbose: bool = False,
     sources: list[int] | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Returns (vid, pr).  Ranks sum to 1 (dangling mass redistributed).
 
@@ -57,7 +58,14 @@ def pagerank(
     single fused job; only the base term reads rv instead of the 1/n
     literal.  The source list is embedded as an `isin` literal — it is a
     seed set (10s-1000s), not a data-scale object; a DataFrame-valued
-    reset vector would join instead."""
+    reset vector would join instead.
+
+    weight_col: weighted PageRank — each out-edge carries its share
+    w/strength(src) of the source's rank (strength = Σ out-weights,
+    replacing out-degree).  The iteration plan is IDENTICAL to the
+    unweighted path — same expand, same single fused job per iteration —
+    only the seed aggregate (sum(w) instead of count) and the
+    contribution term (w·msg instead of msg) change."""
     spark = graph.spark
     n = graph.num_vertices()
     personalized = sources is not None
@@ -74,20 +82,32 @@ def pagerank(
             it0 = int(snap["metrics"]["iteration"])
             dangling_mass = float(snap["metrics"].get("dangling_mass", 0.0))
 
+    if weight_col is None:
+        degt = graph.degrees()
+        deg_type = "long"
+    else:
+        # out-strength replaces out-degree; double (weights may be fractional)
+        degt = (
+            graph.edges.groupBy("src")
+            .agg(F.sum(F.col(weight_col)).cast("double").alias("deg"))
+            .select(F.col("src").alias("vid"), "deg")
+        )
+        deg_type = "double"
+
     if state is None:
         # (vid, deg, pr); deg null -> 0 marks the static dangling set
         if graph.symmetric:
             # every vertex has out-edges: the degree table IS the state seed
-            state = graph.degrees().select(
-                "vid", F.col("deg").cast("long").alias("deg"), F.lit(1.0 / n).alias("pr")
+            state = degt.select(
+                "vid", F.col("deg").cast(deg_type).alias("deg"), F.lit(1.0 / n).alias("pr")
             )
         else:
             state = (
                 graph.vertices()
-                .join(graph.degrees(), "vid", "left")
+                .join(degt, "vid", "left")
                 .select(
                     "vid",
-                    F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("deg"),
+                    F.coalesce(F.col("deg"), F.lit(0)).cast(deg_type).alias("deg"),
                     F.lit(1.0 / n).alias("pr"),
                 )
             )
@@ -120,11 +140,17 @@ def pagerank(
 
     with iteration_plan(spark):
         for it in range(it0, max_iter):
+            # message alias "m" never clashes with an edge weight column
             msgs = state.where(F.col("deg") > 0).select(
-                F.col("vid").alias("src"), (F.col("pr") / F.col("deg")).alias("w")
+                F.col("vid").alias("src"), (F.col("pr") / F.col("deg")).alias("m")
+            )
+            contrib = (
+                F.sum("m")
+                if weight_col is None
+                else F.sum(F.col(weight_col) * F.col("m"))
             )
             contribs = graph.expand(msgs, est_rows=n).groupBy("dst").agg(
-                F.sum("w").alias("acc")
+                contrib.alias("acc")
             )
             if personalized:
                 # teleport AND dangling mass both return to the seed set

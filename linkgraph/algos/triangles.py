@@ -56,3 +56,41 @@ def triangles_per_vertex(graph: LinkGraph, by_degree: bool = False) -> DataFrame
         .union(t.select(F.col("c").alias("vid")))
     )
     return corners.groupBy("vid").agg(F.count("*").alias("tri"))
+
+
+def clustering_coefficients(graph: LinkGraph, by_degree: bool = True) -> DataFrame:
+    """(vid, deg, tri, lcc) over all vertices of the symmetric graph:
+    lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), 0 for deg < 2.
+
+    One extra left join over `triangles_per_vertex` — the triangle plan
+    (degree-ordered wedges + closing semi-join) dominates; the join is
+    |V|-row × |V|-row on vid."""
+    deg = graph.degrees()
+    tri = triangles_per_vertex(graph, by_degree)
+    return (
+        deg.join(tri, "vid", "left")
+        .select(
+            F.col("vid").cast("long").alias("vid"),
+            F.col("deg").cast("long").alias("deg"),
+            F.coalesce(F.col("tri"), F.lit(0)).cast("long").alias("tri"),
+            F.when(
+                F.col("deg") >= 2,
+                2.0 * F.coalesce(F.col("tri"), F.lit(0)) / (F.col("deg") * (F.col("deg") - 1)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+    )
+
+
+def transitivity(graph: LinkGraph, by_degree: bool = True) -> float:
+    """Global transitivity = 3·triangles / wedges, where wedges =
+    Σ_v deg(v)·(deg(v)−1)/2.  Two scalar aggregates (the triangle count
+    and the degree-moment sum) — no per-vertex join needed."""
+    tri3 = 3 * triangle_count(graph, by_degree)
+    wedges = (
+        graph.degrees()
+        .agg(F.sum(F.col("deg") * (F.col("deg") - 1) / 2).alias("w"))
+        .first()["w"]
+    )
+    return float(tri3 / wedges) if wedges else 0.0

@@ -1304,6 +1304,83 @@ FROM ({union})"""
 SQL_RANDOM_WALKS = _walks_oracle_sql(WALK_LEN, WALKS_PER_SEED, WALK_SEED)
 
 
+def q_clustering_coeff(spark, sf_dir):
+    """Per-vertex local clustering coefficient over the co-purchase graph:
+    lcc(v) = 2·tri(v)/(deg(v)·(deg(v)−1)).  Triangle counts are
+    orientation-invariant, so the degree-ordered Spark plan and the plain
+    src<dst oracle enumeration agree exactly."""
+    from linkgraph.algos.triangles import clustering_coefficients
+
+    g = copurchase_graph(spark, sf_dir)
+    out = clustering_coefficients(g, by_degree=True)
+    return out.select("vid", "deg", "tri", F.round("lcc", 6).alias("lcc"))
+
+
+SQL_CLUSTERING_COEFF = f"""
+WITH {_COPURCHASE_E},
+d AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS deg FROM e GROUP BY src),
+ot AS MATERIALIZED (SELECT src AS a, dst AS b FROM e WHERE src < dst),
+tr AS MATERIALIZED (
+  SELECT t1.a, t1.b, t2.b AS c
+  FROM ot t1 JOIN ot t2 ON t2.a = t1.b
+  JOIN ot t3 ON t3.a = t1.a AND t3.b = t2.b),
+tpv AS MATERIALIZED (
+  SELECT vid, COUNT(*) AS tri FROM (
+    SELECT a AS vid FROM tr
+    UNION ALL SELECT b FROM tr
+    UNION ALL SELECT c FROM tr)
+  GROUP BY vid)
+SELECT CAST(d.vid AS BIGINT) AS vid, CAST(d.deg AS BIGINT) AS deg,
+       CAST(COALESCE(t.tri, 0) AS BIGINT) AS tri,
+       ROUND(CASE WHEN d.deg >= 2
+                  THEN 2.0 * COALESCE(t.tri, 0) / (d.deg * (d.deg - 1))
+                  ELSE 0.0 END, 6) AS lcc
+FROM d LEFT JOIN tpv t USING (vid)
+"""
+
+
+PRW_ITERS = 10
+
+
+def q_pagerank_weighted(spark, sf_dir):
+    """Fixed-budget WEIGHTED PageRank over the weighted co-purchase graph
+    (edge weight = co-occurrence count; rank flows ∝ w/strength).  Same
+    recursive-CTE mirror + round-9 determinism argument as `pagerank`."""
+    from linkgraph.algos.pagerank import pagerank
+
+    ew = derive.copurchase_weighted_edges(_t(spark, sf_dir, "lineitem"))
+    g = LinkGraph(ew, symmetric=True)
+    pr = pagerank(g, tol=0, max_iter=PRW_ITERS, weight_col="w").localCheckpoint(
+        eager=True
+    )
+    g.unpersist()
+    return pr.select(
+        F.col("vid").cast("long").alias("vid"), F.round("pr", 9).alias("pr")
+    )
+
+
+SQL_PAGERANK_WEIGHTED = f"""
+WITH RECURSIVE pk AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+ew AS MATERIALIZED (
+  SELECT a.p AS src, b.p AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM pk a JOIN pk b ON a.k = b.k AND a.p <> b.p
+  GROUP BY a.p, b.p),
+st AS MATERIALIZED (SELECT src AS vid, SUM(w) AS s FROM ew GROUP BY src),
+nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM st),
+pr(it, vid, pr) AS (
+  SELECT 0, vid, 1.0/(SELECT n FROM nv) FROM st
+  UNION ALL
+  SELECT p.it + 1, ew.dst,
+         (1.0 - 0.85)/(SELECT n FROM nv) + 0.85*SUM(p.pr * ew.w / st.s)
+  FROM pr p JOIN st ON st.vid = p.vid JOIN ew ON ew.src = p.vid
+  WHERE p.it < {PRW_ITERS}
+  GROUP BY p.it + 1, ew.dst
+)
+SELECT CAST(vid AS BIGINT) AS vid, ROUND(pr, 9) AS pr FROM pr WHERE it = {PRW_ITERS}
+"""
+
+
 QUERIES = {
     "degree_topk": q_degree_topk,
     "edges_shared_key": q_edges_shared_key,
@@ -1343,6 +1420,8 @@ QUERIES = {
     "hits": q_hits,
     "sssp_weighted": q_sssp,
     "random_walks": q_random_walks,
+    "clustering_coeff": q_clustering_coeff,
+    "pagerank_weighted": q_pagerank_weighted,
 }
 
 ORACLES = {
@@ -1384,6 +1463,8 @@ ORACLES = {
     "hits": SQL_HITS,
     "sssp_weighted": SQL_SSSP,
     "random_walks": SQL_RANDOM_WALKS,
+    "clustering_coeff": SQL_CLUSTERING_COEFF,
+    "pagerank_weighted": SQL_PAGERANK_WEIGHTED,
 }
 
 

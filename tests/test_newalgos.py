@@ -213,6 +213,54 @@ def test_random_walks_deterministic_and_edge_valid(er):
     assert other != pos
 
 
+def test_clustering_coefficients_vs_bruteforce(er):
+    from linkgraph.algos.triangles import clustering_coefficients, transitivity
+
+    adj = _adj()
+    tri = collections.Counter()
+    n_tri = 0
+    for v, ns in adj.items():
+        ns_sorted = sorted(ns)
+        for i, u in enumerate(ns_sorted):
+            for w in ns_sorted[i + 1 :]:
+                if w in adj[u]:
+                    tri[v] += 1
+                    n_tri += 1  # counts each triangle once per corner
+    got = {r["vid"]: r for r in clustering_coefficients(er).collect()}
+    assert set(got) == set(adj)
+    for v, ns in adj.items():
+        d = len(ns)
+        assert got[v]["deg"] == d
+        assert got[v]["tri"] == tri[v]
+        exp_lcc = 2.0 * tri[v] / (d * (d - 1)) if d >= 2 else 0.0
+        assert abs(got[v]["lcc"] - exp_lcc) < 1e-12
+    wedges = sum(len(ns) * (len(ns) - 1) / 2 for ns in adj.values())
+    assert abs(transitivity(er) - n_tri / wedges) < 1e-12
+
+
+def test_pagerank_weighted_vs_numpy(erw):
+    from linkgraph.algos.pagerank import pagerank
+
+    wp = _weighted_pairs()
+    vids = sorted({v for p in wp for v in p})
+    idx = {v: i for i, v in enumerate(vids)}
+    n = len(vids)
+    W = np.zeros((n, n))
+    for (a, b), w in wp.items():
+        W[idx[a], idx[b]] = w
+        W[idx[b], idx[a]] = w
+    P = W / W.sum(axis=1, keepdims=True)  # row-stochastic: w/strength
+    pr = np.full(n, 1.0 / n)
+    for _ in range(10):
+        pr = (1 - 0.85) / n + 0.85 * (P.T @ pr)
+    got = {
+        r["vid"]: r["pr"]
+        for r in pagerank(erw, tol=0, max_iter=10, weight_col="w").collect()
+    }
+    assert np.allclose(np.array([got[v] for v in vids]), pr, atol=1e-12)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
 def test_random_walks_stop_at_sink(spark):
     # directed path 1 -> 2 -> 3: walks of length 5 stop at the sink
     g = LinkGraph(
