@@ -1381,6 +1381,77 @@ SELECT CAST(vid AS BIGINT) AS vid, ROUND(pr, 9) AS pr FROM pr WHERE it = {PRW_IT
 """
 
 
+KTRUSS_K = 12
+KTRUSS_ROUNDS = 6  # measured fixpoint at 5 rounds on sf0.01; +1 identity round
+
+
+def q_k_truss(spark, sf_dir):
+    """k-truss of the co-purchase graph (k=12): edges in ≥10 triangles
+    within the surviving subgraph, peeled for a fixed SQL-mirrorable
+    round budget (fixpoint at 5 rounds on the driver SF, 1127 edges)."""
+    from linkgraph.algos.ktruss import k_truss
+
+    g = copurchase_graph(spark, sf_dir)
+    return k_truss(g, KTRUSS_K, rounds=KTRUSS_ROUNDS)
+
+
+def _ktruss_oracle_sql(k: int, rounds: int) -> str:
+    parts = ["t0 AS MATERIALIZED (SELECT src, dst FROM e WHERE src < dst)"]
+    for i in range(1, rounds + 1):
+        parts.append(f"""tr{i} AS MATERIALIZED (
+  SELECT t1.src AS a, t1.dst AS b, t2.dst AS c
+  FROM t{i - 1} t1 JOIN t{i - 1} t2 ON t2.src = t1.dst
+  JOIN t{i - 1} t3 ON t3.src = t1.src AND t3.dst = t2.dst)""")
+        parts.append(f"""s{i} AS MATERIALIZED (
+  SELECT t.src, t.dst, COALESCE(c.cnt, 0) AS sup
+  FROM t{i - 1} t LEFT JOIN (
+    SELECT u, v, COUNT(*) AS cnt FROM (
+      SELECT a AS u, b AS v FROM tr{i}
+      UNION ALL SELECT b, c FROM tr{i}
+      UNION ALL SELECT a, c FROM tr{i}) x
+    GROUP BY u, v) c ON c.u = t.src AND c.v = t.dst)""")
+        parts.append(
+            f"t{i} AS MATERIALIZED (SELECT src, dst FROM s{i} WHERE sup >= {k - 2})"
+        )
+    return (
+        f"WITH {_COPURCHASE_E},"
+        + ",".join(parts)
+        + f"""
+SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+       CAST(sup AS BIGINT) AS support
+FROM s{rounds} WHERE sup >= {k - 2}"""
+    )
+
+
+SQL_K_TRUSS = _ktruss_oracle_sql(KTRUSS_K, KTRUSS_ROUNDS)
+
+
+TFIDF_K = 5
+
+
+def q_tfidf(spark, sf_dir):
+    """Top-5 TF-IDF terms per document (shared TOKEN_RE tokenization,
+    rounded-score rank so the top-k frontier is engine-portable)."""
+    from linkgraph.textops.textstats import tfidf_topk
+
+    return tfidf_topk(_t(spark, sf_dir, "documents"), k=TFIDF_K)
+
+
+SQL_TFIDF = f"""
+WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents),
+tf AS MATERIALIZED (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+dfq AS MATERIALIZED (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+sc AS (SELECT doc_id, term, tf,
+              ROUND(tf * LN((SELECT n FROM nd) / df), 6) AS score
+       FROM tf JOIN dfq USING (term))
+SELECT CAST(doc_id AS BIGINT) AS doc_id, term, CAST(tf AS BIGINT) AS tf, score
+FROM (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk FROM sc)
+WHERE rk <= {TFIDF_K}
+"""
+
+
 QUERIES = {
     "degree_topk": q_degree_topk,
     "edges_shared_key": q_edges_shared_key,
@@ -1422,6 +1493,8 @@ QUERIES = {
     "random_walks": q_random_walks,
     "clustering_coeff": q_clustering_coeff,
     "pagerank_weighted": q_pagerank_weighted,
+    "k_truss": q_k_truss,
+    "tfidf_topk": q_tfidf,
 }
 
 ORACLES = {
@@ -1465,6 +1538,8 @@ ORACLES = {
     "random_walks": SQL_RANDOM_WALKS,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "pagerank_weighted": SQL_PAGERANK_WEIGHTED,
+    "k_truss": SQL_K_TRUSS,
+    "tfidf_topk": SQL_TFIDF,
 }
 
 

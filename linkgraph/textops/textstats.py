@@ -100,6 +100,57 @@ def token_count_total(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf_topk(docs: DataFrame, k: int = 5, text_col: str = "text") -> DataFrame:
+    """Top-k TF-IDF terms per document: (doc_id, term, tf, score) with
+    score = tf · ln(N/df), rounded to 6 before ranking.
+
+    Plan shape at corpus scale:
+
+    * the token explode carries only (doc_id, term) — the text column is
+      pruned before the shuffle;
+    * tf is a partial+final count on (doc_id, term) — map-side combine
+      collapses each partition's repeats before the exchange;
+    * df aggregates the tf table (already one row per (doc, term)), so the
+      document-frequency table is |vocabulary| rows — a broadcastable dim
+      for the score join on any natural-language corpus;
+    * ranking ties are broken on the ROUNDED score then term — exact
+      mathematical ties (e.g. 2·ln(25) = ln(625)) may differ by 1 ulp
+      across engines, but agree after round-6, so the top-k frontier is
+      engine-portable;
+    * the per-document top-k filter compiles to WindowGroupLimit: each
+      partition forwards at most k rows per doc_id to the final rank.
+
+    N (corpus size) is a bounded scalar driver action.
+    """
+    tokens = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+        ).alias("term"),
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "score"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "term", "tf", "score")
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", window: int = 16) -> DataFrame:
     """Winnowing-style document fingerprint: min rolling polynomial hash over
     `window`-byte windows (doc_id, fp).

@@ -261,6 +261,80 @@ def test_pagerank_weighted_vs_numpy(erw):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
+def test_k_truss_vs_bruteforce(er):
+    from linkgraph.algos.ktruss import k_truss
+
+    edges = {(min(a, b), max(a, b)) for a, b in PAIRS if a != b}
+
+    def peel(k):
+        es = set(edges)
+        while True:
+            adj = collections.defaultdict(set)
+            for a, b in es:
+                adj[a].add(b)
+                adj[b].add(a)
+            sup = {(a, b): len(adj[a] & adj[b]) for a, b in es}
+            nxt = {e for e in es if sup[e] >= k - 2}
+            if nxt == es:
+                return {e: sup[e] for e in es}
+            es = nxt
+
+    for k in (3, 4):
+        exp = peel(k)
+        got = {
+            (r["src"], r["dst"]): r["support"] for r in k_truss(er, k).collect()
+        }
+        assert got == exp, f"k={k}"
+
+    # fixed-round mode: past convergence, identical to fixpoint
+    fix = {(r["src"], r["dst"]): r["support"] for r in k_truss(er, 3).collect()}
+    fr = {
+        (r["src"], r["dst"]): r["support"]
+        for r in k_truss(er, 3, rounds=30).collect()
+    }
+    assert fix == fr
+
+    with pytest.raises(ValueError):
+        k_truss(er, 1)
+
+
+def test_tfidf_topk_vs_bruteforce(spark):
+    import re
+
+    from linkgraph.textops.textstats import tfidf_topk
+
+    docs = [
+        (1, "the cat sat on the mat the cat"),
+        (2, "dogs and cats and dogs"),
+        (3, "a mat for the dog"),
+        (4, "cat cat cat dog dog mat"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    n = len(docs)
+    tf = collections.Counter()
+    dfreq = collections.Counter()
+    for did, text in docs:
+        toks = re.findall("[a-z0-9]+", text.lower())
+        for t in set(toks):
+            dfreq[t] += 1
+        for t in toks:
+            tf[(did, t)] += 1
+    scored = collections.defaultdict(list)
+    for (did, t), c in tf.items():
+        scored[did].append((round(c * math.log(n / dfreq[t]), 6), t, c))
+    exp = set()
+    for did, rows in scored.items():
+        rows.sort(key=lambda r: (-r[0], r[1]))
+        for s, t, c in rows[:3]:
+            exp.add((did, t, c, s))
+    got = {
+        (r["doc_id"], r["term"], r["tf"], r["score"])
+        for r in tfidf_topk(df, k=3).collect()
+    }
+    assert got == exp
+
+
 def test_random_walks_stop_at_sink(spark):
     # directed path 1 -> 2 -> 3: walks of length 5 stop at the sink
     g = LinkGraph(
