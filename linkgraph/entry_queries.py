@@ -955,8 +955,10 @@ def q_minhash_lsh(spark, sf_dir):
 # portable token hash: identical in Spark (conv/substr/md5) and DuckDB
 _SQL_H60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
 
-SQL_MINHASH_LSH = f"""
-WITH tok AS (
+# shared MinHash pair-pipeline CTE chain (signatures → banding → bucket
+# self-join → exact-Jaccard verify); consumed by SQL_MINHASH_LSH and by the
+# dedup_clusters oracle (which runs components over the same pair graph)
+_SQL_MINHASH_CTES = f"""tok AS (
   SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS w FROM documents),
 th AS (
   SELECT doc_id, s.seed,
@@ -984,7 +986,10 @@ jac AS (
          ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE)
                / (sa.sz + sb.sz - COALESCE(i.i, 0)), 6) AS jac
   FROM cand c LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
-  JOIN sizes sa ON sa.doc_id = c.a JOIN sizes sb ON sb.doc_id = c.b)
+  JOIN sizes sa ON sa.doc_id = c.a JOIN sizes sb ON sb.doc_id = c.b)"""
+
+SQL_MINHASH_LSH = f"""
+WITH {_SQL_MINHASH_CTES}
 SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, jac
 FROM jac WHERE jac >= 0.3
 """
@@ -1452,6 +1457,153 @@ WHERE rk <= {TFIDF_K}
 """
 
 
+SESSION_GAP_S = 28800  # 8h: near the sf0.01 median inter-event gap (7.3h)
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the events stream (one shuffle, two
+    windows on one sort, one aggregate — see operators/events.py)."""
+    from linkgraph.operators.events import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), gap_seconds=SESSION_GAP_S)
+
+
+SQL_SESSIONIZE = f"""
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events),
+f AS (
+  SELECT *, CASE WHEN ep - lag(ep) OVER w > {SESSION_GAP_S} THEN 1 ELSE 0 END AS nw
+  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sno
+  FROM f)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(ep) - MIN(ep) AS BIGINT) AS duration_s,
+       ROUND(SUM(value), 6) AS total_value
+FROM s GROUP BY user_id, sno
+"""
+
+
+FUNNEL_STEPS = ["signup", "click", "purchase"]
+
+
+def q_funnel(spark, sf_dir):
+    """Ordered funnel signup→click→purchase per user, each step strictly
+    after the previous step's first completion."""
+    from linkgraph.operators.events import funnel_steps
+
+    return funnel_steps(_t(spark, sf_dir, "events"), FUNNEL_STEPS)
+
+
+SQL_FUNNEL = f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+t1 AS (SELECT user_id, MIN(ts) AS t FROM events
+       WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id),
+t2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+       JOIN t1 ON t1.user_id = e.user_id
+       WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > t1.t
+       GROUP BY e.user_id),
+t3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+       JOIN t2 ON t2.user_id = e.user_id
+       WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > t2.t
+       GROUP BY e.user_id)
+SELECT CAST(u.user_id AS BIGINT) AS user_id,
+       CAST(CASE WHEN t3.t IS NOT NULL THEN 3 WHEN t2.t IS NOT NULL THEN 2
+                 WHEN t1.t IS NOT NULL THEN 1 ELSE 0 END AS INT) AS steps_completed
+FROM u LEFT JOIN t1 ON t1.user_id = u.user_id
+       LEFT JOIN t2 ON t2.user_id = u.user_id
+       LEFT JOIN t3 ON t3.user_id = u.user_id
+"""
+
+
+def q_asof_view_purchase(spark, sf_dir):
+    """As-of attribution: each purchase joined to the user's latest
+    strictly-prior view (union-tag + single-shuffle window, never a range
+    join).  NULL-free output: -1 / 0.0 sentinels keep the value hash
+    engine-portable."""
+    from linkgraph.operators.events import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    res = asof_join(
+        purch, views, on="user_id", ts_col="ts",
+        right_cols=["event_id", "value"], strict=True, tiebreak="event_id",
+    )
+    lag = F.unix_timestamp("ts") - F.unix_timestamp("ts_asof")
+    return res.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("value").alias("purchase_value"),
+        F.coalesce(F.col("event_id_asof"), F.lit(-1)).cast("long").alias("view_event_id"),
+        F.coalesce(F.col("value_asof"), F.lit(0.0)).alias("view_value"),
+        F.coalesce(lag, F.lit(-1)).cast("long").alias("lag_s"),
+    )
+
+
+SQL_ASOF = """
+WITH t AS (
+  SELECT event_id, user_id, ts, value, 0 AS tag FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT event_id, user_id, ts, value, 1 AS tag FROM events WHERE event_type = 'view'),
+w AS (
+  SELECT *,
+    last_value(CASE WHEN tag = 1 THEN event_id END IGNORE NULLS) OVER win AS v_id,
+    last_value(CASE WHEN tag = 1 THEN value END IGNORE NULLS) OVER win AS v_val,
+    last_value(CASE WHEN tag = 1 THEN ts END IGNORE NULLS) OVER win AS v_ts
+  FROM t
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, tag, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,
+       value AS purchase_value,
+       CAST(COALESCE(v_id, -1) AS BIGINT) AS view_event_id,
+       COALESCE(v_val, 0.0) AS view_value,
+       CAST(COALESCE(CAST(floor(epoch(ts)) AS BIGINT)
+                     - CAST(floor(epoch(v_ts)) AS BIGINT), -1) AS BIGINT) AS lag_s
+FROM w WHERE tag = 0
+"""
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-duplicate clusters: connected components over the verified
+    MinHash pair graph + singletons, cluster = min doc_id, with sizes."""
+    from linkgraph.textops.dedup import near_duplicate_clusters
+
+    return near_duplicate_clusters(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.3, num_hashes=64, bands=16, hash_family="md5",
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SQL_MINHASH_CTES},
+p AS (SELECT a, b FROM jac WHERE jac >= 0.3),
+e2 AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+verts AS (SELECT DISTINCT src AS v FROM e2),
+reach(v, u) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT reach.v, e2.dst FROM reach JOIN e2 ON e2.src = reach.u),
+cmp AS (SELECT v AS doc_id, MIN(u) AS cluster FROM reach GROUP BY v),
+allm AS (
+  SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN cmp c ON c.doc_id = d.doc_id),
+sz AS (SELECT cluster, COUNT(*) AS csize FROM allm GROUP BY cluster)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_id, CAST(a.cluster AS BIGINT) AS cluster,
+       CAST(s.csize AS BIGINT) AS csize
+FROM allm a JOIN sz s ON s.cluster = a.cluster
+"""
+
+
 QUERIES = {
     "degree_topk": q_degree_topk,
     "edges_shared_key": q_edges_shared_key,
@@ -1495,6 +1647,10 @@ QUERIES = {
     "pagerank_weighted": q_pagerank_weighted,
     "k_truss": q_k_truss,
     "tfidf_topk": q_tfidf,
+    "sessionize": q_sessionize,
+    "funnel_steps": q_funnel,
+    "asof_view_purchase": q_asof_view_purchase,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 ORACLES = {
@@ -1540,6 +1696,10 @@ ORACLES = {
     "pagerank_weighted": SQL_PAGERANK_WEIGHTED,
     "k_truss": SQL_K_TRUSS,
     "tfidf_topk": SQL_TFIDF,
+    "sessionize": SQL_SESSIONIZE,
+    "funnel_steps": SQL_FUNNEL,
+    "asof_view_purchase": SQL_ASOF,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
 }
 
 

@@ -1,0 +1,183 @@
+"""Event-stream relational operators: sessionization, funnel analysis,
+as-of join (SURVEY.md §2.5 window family — the event-analytics surface a
+link-graph pipeline needs around its graphs).
+
+All three are single-shuffle plans: one exchange on the entity key, then
+pure window/aggregate work inside each partition — no self-joins, no
+per-row Python.  Timestamp arithmetic is done on per-event FLOORED epoch
+seconds (`unix_timestamp` semantics) so engine-portable oracles agree:
+`floor(a)-floor(b)` and `floor(a-b)` differ on sub-second tails, so both
+sides floor FIRST, and absolute epochs never appear in output (session
+timezone offsets cancel in differences; rendered times use date_format
+strings like the rest of the query surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 28800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-based sessions: a new session starts when the inter-event gap
+    within a user exceeds `gap_seconds`.  Returns one row per session:
+    (user_id, session_start, n_events, duration_s, total_value).
+
+    Plan: one exchange on user_col, then two windows over the SAME
+    (user, ts, id) sort — Spark plans them in a single WindowExec pair on
+    one sort, no second shuffle — then a partial+final aggregate on
+    (user, session_no).  Scales as |events| with no join; the classic
+    sessionize-by-self-join is quadratic per user and never needed.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    ep = F.unix_timestamp(F.col(ts_col))
+    flagged = events.select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.col(id_col),
+        F.col(value_col),
+        F.when(ep - F.lag(ep).over(w) > gap_seconds, 1)
+        .otherwise(0)
+        .alias("_new"),
+    )
+    sess = flagged.withColumn(
+        "_sno", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy(user_col, "_sno").agg(
+        F.date_format(F.min(ts_col), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.unix_timestamp(F.col(ts_col))) - F.min(F.unix_timestamp(F.col(ts_col))))
+        .cast("long")
+        .alias("duration_s"),
+        F.round(F.sum(value_col), 6).alias("total_value"),
+    ).select(user_col, "session_start", "n_events", "duration_s", "total_value")
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel: per user, how many of `steps` were completed in
+    order, each step strictly after the previous step's first completion.
+    Returns (user_id, steps_completed).
+
+    Plan: one aggregate per step over the events table, each producing a
+    |users|-row table joined back broadcast-style — step k's minimum
+    qualifying timestamp needs step k-1's, so the chain is inherently
+    sequential, but every intermediate is user-cardinality (broadcastable
+    at any events:users ratio worth analyzing).  Strict `>` on raw
+    timestamps — no epoch conversion, so sub-second ordering is exact.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    users = events.select(F.col(user_col)).distinct()
+    reached = users.withColumn("_t0", F.lit(None).cast("timestamp"))
+    prev_ts = "_t0"
+    for k, step in enumerate(steps, start=1):
+        cur = f"_t{k}"
+        cond = F.col(type_col) == step
+        if k == 1:
+            tk = events.where(cond).groupBy(user_col).agg(F.min(ts_col).alias(cur))
+            reached = reached.join(tk, user_col, "left")
+        else:
+            ev = events.where(cond).select(
+                F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts")
+            )
+            tk = (
+                reached.where(F.col(prev_ts).isNotNull())
+                .select(user_col, prev_ts)
+                .join(ev, F.col(user_col) == F.col("_u"))
+                .where(F.col("_ts") > F.col(prev_ts))
+                .groupBy(user_col)
+                .agg(F.min("_ts").alias(cur))
+            )
+            reached = reached.join(tk, user_col, "left")
+        prev_ts = cur
+    completed = sum(
+        F.when(F.col(f"_t{k}").isNotNull(), 1).otherwise(0)
+        for k in range(1, len(steps) + 1)
+    )
+    return reached.select(
+        F.col(user_col).cast("long").alias(user_col),
+        completed.cast("int").alias("steps_completed"),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    right_cols: list[str] | None = None,
+    strict: bool = True,
+    tiebreak: str | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join: for each left row, attach the LATEST right row with
+    right.ts < left.ts (strict) or <= (strict=False), matched on `on`.
+
+    Plan: the union-tag trick — tag both sides, union, ONE exchange on
+    `on`, one window sort on (ts, tag[, tiebreak]), running
+    last(ignorenulls) of the right-side payload, filter back to left
+    rows.  This is O(|L|+|R|) with a single shuffle; the naive
+    range-join + groupBy-max is a partial cross product per key and dies
+    on exactly the hot keys that matter.  Strictness is encoded in the
+    tag sort order: strict ⟹ left sorts BEFORE right at equal ts, so a
+    simultaneous right row is invisible to it.
+
+    `tiebreak` (a column present in both inputs) makes equal-(ts, tag)
+    ordering deterministic; without it, ties among right rows at the
+    same timestamp pick an arbitrary one.
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in (on, ts_col)]
+    lt, rt = (0, 1) if strict else (1, 0)
+    order = [ts_col, "_tag"] + ([tiebreak] if tiebreak else [])
+    lhs = left.withColumn("_tag", F.lit(lt))
+    rhs = right.withColumn("_tag", F.lit(rt))
+    common = [on, ts_col] + ([tiebreak] if tiebreak else [])
+    lkeep = [c for c in left.columns if c not in common and c != "_tag"]
+    # shared-schema union: left rows carry their own columns and null
+    # payload; right rows carry payload and null left columns
+    l_part = lhs.select(
+        *[F.col(c) for c in common],
+        F.col("_tag"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in right_cols],
+        F.lit(None).cast("timestamp").alias("_p__ts"),
+        *[F.col(c) for c in lkeep],
+    )
+    r_part = rhs.select(
+        *[F.col(c) for c in common],
+        F.col("_tag"),
+        *[F.col(c).alias(f"_p_{c}") for c in right_cols],
+        F.col(ts_col).alias("_p__ts"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lkeep],
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    picked = l_part.unionByName(r_part).select(
+        "*",
+        *[
+            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in right_cols
+        ],
+        F.last("_p__ts", ignorenulls=True).over(w).alias(f"{ts_col}{suffix}"),
+    )
+    return picked.where(F.col("_tag") == lt).select(
+        *[F.col(c) for c in common if c != "_tag"],
+        *[F.col(c) for c in lkeep],
+        *[F.col(f"{c}{suffix}") for c in right_cols],
+        F.col(f"{ts_col}{suffix}"),
+    )
