@@ -148,3 +148,57 @@ def test_lpa_vote_argmax_single_aggregate(spark, small_graph):
     ).select("dst", F.col("m.l").alias("new_label"))
     plan = _plan(winner)
     assert "Window" not in plan
+
+
+def _simple_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+
+
+def _shuffles(df) -> int:
+    """Shuffle-exchange count in the physical plan (broadcasts excluded)."""
+    p = _simple_plan(df)
+    return sum(
+        1 for ln in p.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    )
+
+
+def test_sessionize_single_shuffle(spark):
+    """Sessionize = ONE exchange on user_id: both windows share one sort and
+    the session aggregate reuses the same partitioning."""
+    import datetime as dt
+
+    from linkgraph.operators.events import sessionize
+
+    ev = spark.createDataFrame(
+        [(i, i % 7, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), 1.0)
+         for i in range(100)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = sessionize(ev, gap_seconds=600)
+    assert _shuffles(out) == 1
+    plan = _simple_plan(out)
+    assert plan.count("Sort") <= 2  # one physical sort (tree+detail dupes guarded)
+
+
+def test_asof_join_single_shuffle(spark):
+    """As-of join = union + ONE exchange on the key + one window; never a
+    range join / cross product."""
+    import datetime as dt
+
+    from linkgraph.operators.events import asof_join
+
+    ev = spark.createDataFrame(
+        [(i, i % 7, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), 1.0)
+         for i in range(100)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    left = ev.where(F.col("event_id") % 2 == 0)
+    right = ev.where(F.col("event_id") % 2 == 1)
+    out = asof_join(left, right, on="user_id", ts_col="ts",
+                    right_cols=["event_id", "value"], tiebreak="event_id")
+    assert _shuffles(out) == 1
+    p = _simple_plan(out)
+    assert "Join" not in p  # no join operator at all: union + window
