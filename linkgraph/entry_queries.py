@@ -1604,6 +1604,113 @@ FROM allm a JOIN sz s ON s.cluster = a.cluster
 """
 
 
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split of the documents table — pure
+    projection on a portable md5 bucket, reproducible on any engine or
+    cluster shape (operators/sampling.py)."""
+    from linkgraph.operators.sampling import hash_split
+
+    return hash_split(
+        _t(spark, sf_dir, "documents").select("doc_id"), "doc_id", SPLIT_WEIGHTS
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), "split")
+
+
+SQL_HASH_SPLIT = """
+WITH b AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 15) AS BIGINT)
+         % 10000 AS bkt
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN bkt < 8000 THEN 'train'
+            WHEN bkt < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """~20% deterministic sample per event_type (stratum-salted hash
+    bucket): pure filter, no shuffle, independent draw per stratum."""
+    from linkgraph.operators.sampling import stratified_sample
+
+    ev = _t(spark, sf_dir, "events")
+    return stratified_sample(ev, "event_type", 0.2, "event_id").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       event_type
+FROM events
+WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || '#strata#' || event_type), 1, 15) AS BIGINT)
+      % 10000 < 2000
+"""
+
+
+def q_quantiles_acctbal(spark, sf_dir):
+    """§2.4 exact group quantiles: per-nation customer balance quartiles.
+    Spark `percentile` and DuckDB `quantile_cont` both linearly
+    interpolate on the sorted group, so values agree to FP noise
+    (round-6).  At 100 TB the same query swaps in approx_percentile
+    (t-digest sketch, mergeable partials) — exact percentile buffers each
+    group; group cardinality here is |customers per nation|, fine for any
+    dimensional grouping."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy(F.col("c_nationkey").cast("long").alias("nation")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.expr("percentile(c_acctbal, 0.25)"), 6).alias("q25"),
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 6).alias("q50"),
+        F.round(F.expr("percentile(c_acctbal, 0.75)"), 6).alias("q75"),
+    )
+
+
+SQL_QUANTILES_ACCTBAL = """
+SELECT CAST(c_nationkey AS BIGINT) AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(quantile_cont(c_acctbal, 0.25), 6) AS q25,
+       ROUND(quantile_cont(c_acctbal, 0.5), 6) AS q50,
+       ROUND(quantile_cont(c_acctbal, 0.75), 6) AS q75
+FROM customer GROUP BY c_nationkey
+"""
+
+
+def q_cube_orders(spark, sf_dir):
+    """A9 CUBE surface (alongside the existing ROLLUP row): all grouping
+    sets of (priority, status) in one pass — Spark expands the cube into
+    a single Expand + partial/final aggregate, one shuffle total."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            "n_orders",
+            "sum_price",
+        )
+    )
+
+
+SQL_CUBE_ORDERS = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+"""
+
+
 QUERIES = {
     "degree_topk": q_degree_topk,
     "edges_shared_key": q_edges_shared_key,
@@ -1651,6 +1758,10 @@ QUERIES = {
     "funnel_steps": q_funnel,
     "asof_view_purchase": q_asof_view_purchase,
     "dedup_clusters": q_dedup_clusters,
+    "hash_split": q_hash_split,
+    "stratified_sample": q_stratified_sample,
+    "quantiles_acctbal": q_quantiles_acctbal,
+    "cube_orders": q_cube_orders,
 }
 
 ORACLES = {
@@ -1700,6 +1811,10 @@ ORACLES = {
     "funnel_steps": SQL_FUNNEL,
     "asof_view_purchase": SQL_ASOF,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "hash_split": SQL_HASH_SPLIT,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "quantiles_acctbal": SQL_QUANTILES_ACCTBAL,
+    "cube_orders": SQL_CUBE_ORDERS,
 }
 
 

@@ -1,0 +1,56 @@
+"""Deterministic hash sampling: reproducibility, weight accuracy, stratum
+independence."""
+
+import hashlib
+
+import pytest
+
+from linkgraph.operators.sampling import BUCKETS, hash_split, stratified_sample
+
+
+def _bucket(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % BUCKETS
+
+
+def test_hash_split_matches_reference_and_weights(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+    got = {
+        r["id"]: r["split"]
+        for r in hash_split(df, "id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()
+    }
+    exp = {}
+    for i in range(2000):
+        b = _bucket(f"{i}#split")
+        exp[i] = "train" if b < 8000 else ("val" if b < 9000 else "test")
+    assert got == exp
+    counts = {s: sum(1 for v in got.values() if v == s) for s in ("train", "val", "test")}
+    assert abs(counts["train"] / 2000 - 0.8) < 0.03
+    assert abs(counts["val"] / 2000 - 0.1) < 0.03
+
+    # re-run identical (reproducibility is the whole point)
+    again = {
+        r["id"]: r["split"]
+        for r in hash_split(df, "id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()
+    }
+    assert again == got
+
+    with pytest.raises(ValueError):
+        hash_split(df, "id", {"a": 0.9, "b": 0.2})
+
+
+def test_stratified_sample_per_stratum(spark):
+    rows = [(i, "a" if i % 2 else "b") for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    out = stratified_sample(df, "s", 0.25, "id")
+    got = {(r["id"], r["s"]) for r in out.collect()}
+    exp = {
+        (i, s) for i, s in rows if _bucket(f"{i}#strata#{s}") < 2500
+    }
+    assert got == exp
+    # each stratum individually near 25%
+    for s in ("a", "b"):
+        n = sum(1 for _, t in got if t == s)
+        assert abs(n / 2000 - 0.25) < 0.04
+
+    with pytest.raises(ValueError):
+        stratified_sample(df, "s", 0.0, "id")
