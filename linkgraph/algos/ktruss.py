@@ -120,15 +120,19 @@ def k_truss(
                 "overwrite"
             ).parquet(out_dir)
             nxt = spark.read.parquet(out_dir).persist()
-            n = nxt.count()
             if cur is not None:
                 cur.unpersist()
             cur = nxt
             final_parity = parity
             t = nxt.select("src", "dst")
-            if rounds is None and n == prev_n:
-                break
-            prev_n = n
+            if rounds is None:
+                # fixpoint probe: equal survivor count ⟹ identical set
+                # (monotone shrink).  Fixed-round mode skips the extra
+                # job — the write is already the round's only action.
+                n = nxt.count()
+                if n == prev_n:
+                    break
+                prev_n = n
 
     # the final parity dir backs the returned DataFrame; the other parity
     # dir is two-rounds-stale scratch — FS-API delete (file://, hdfs://,

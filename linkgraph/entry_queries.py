@@ -1711,6 +1711,39 @@ FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
 """
 
 
+SCC_QTY = 43  # sparsifier: >43 gives a 36-vertex SCC + three 2-cycles + tendrils at sf0.01
+
+
+def q_scc(spark, sf_dir):
+    """Strongly connected components of the DIRECTED sequential
+    co-purchase graph (within-order linenumber chains over high-quantity
+    lineitems — cycles arise where different orders traverse parts in
+    opposite sequences).  Coloring algorithm, exact at convergence."""
+    from linkgraph.algos.scc import strongly_connected_components
+    from linkgraph.sources.derive import sequential_copurchase_edges
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > SCC_QTY)
+    return strongly_connected_components(sequential_copurchase_edges(li))
+
+
+SQL_SCC = f"""
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT DISTINCT l_partkey AS src, nxt AS dst FROM (
+    SELECT l_partkey,
+           lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS nxt
+    FROM lineitem WHERE l_quantity > {SCC_QTY})
+  WHERE nxt IS NOT NULL AND nxt <> l_partkey),
+verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+reach(v, u) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT reach.v, e.dst FROM reach JOIN e ON e.src = reach.u)
+SELECT CAST(r1.v AS BIGINT) AS vid, CAST(MIN(r1.u) AS BIGINT) AS comp
+FROM reach r1 JOIN reach r2 ON r2.v = r1.u AND r2.u = r1.v
+GROUP BY r1.v
+"""
+
+
 QUERIES = {
     "degree_topk": q_degree_topk,
     "edges_shared_key": q_edges_shared_key,
@@ -1762,6 +1795,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "quantiles_acctbal": q_quantiles_acctbal,
     "cube_orders": q_cube_orders,
+    "scc": q_scc,
 }
 
 ORACLES = {
@@ -1815,6 +1849,7 @@ ORACLES = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "quantiles_acctbal": SQL_QUANTILES_ACCTBAL,
     "cube_orders": SQL_CUBE_ORDERS,
+    "scc": SQL_SCC,
 }
 
 

@@ -178,3 +178,19 @@ def events_adjacency(events: DataFrame) -> DataFrame:
         )
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def sequential_copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """DIRECTED part→part edges: within each order, linenumber i's part
+    points at linenumber i+1's part (S8-shaped: one window on a stable
+    per-order sort, no self-join).  Different orders traverse parts in
+    different sequences, so the union develops real directed cycles —
+    the fixture the SCC kernel needs, derived purely relationally."""
+    w = Window.partitionBy("l_orderkey").orderBy(F.col("l_linenumber").asc())
+    return (
+        lineitem.select("l_orderkey", "l_linenumber", "l_partkey")
+        .withColumn("nxt", F.lead("l_partkey").over(w))
+        .where(F.col("nxt").isNotNull() & (F.col("nxt") != F.col("l_partkey")))
+        .select(F.col("l_partkey").alias("src"), F.col("nxt").alias("dst"))
+        .distinct()
+    )

@@ -345,3 +345,74 @@ def test_random_walks_stop_at_sink(spark):
     got = sorted((r["step"], r["vid"]) for r in rows)
     assert got == [(0, 1), (1, 2), (2, 3)]
     g.unpersist()
+
+
+def _kosaraju(n, e):
+    fwd, bwd = collections.defaultdict(list), collections.defaultdict(list)
+    for a, b in e:
+        fwd[a].append(b)
+        bwd[b].append(a)
+    seen, order = set(), []
+    for s in range(n):
+        if s in seen:
+            continue
+        stack = [(s, iter(fwd[s]))]
+        seen.add(s)
+        while stack:
+            v, it = stack[-1]
+            adv = False
+            for w in it:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append((w, iter(fwd[w])))
+                    adv = True
+                    break
+            if not adv:
+                order.append(v)
+                stack.pop()
+    comp = {}
+    for s in reversed(order):
+        if s in comp:
+            continue
+        members, stack = [], [s]
+        comp[s] = s
+        while stack:
+            v = stack.pop()
+            members.append(v)
+            for w in bwd[v]:
+                if w not in comp:
+                    comp[w] = s
+                    stack.append(w)
+        m = min(members)
+        for v in members:
+            comp[v] = m
+    return comp
+
+
+def test_scc_vs_kosaraju(spark):
+    import numpy as np
+
+    from linkgraph.algos.scc import strongly_connected_components
+
+    rng = np.random.default_rng(11)
+    n = 80
+    edges = set()
+    for _ in range(260):
+        a, b = int(rng.integers(n)), int(rng.integers(n))
+        if a != b:
+            edges.add((a, b))
+    # planted structures: a decreasing chain (the 1-round coloring case)
+    # and two explicit cycles
+    edges |= {(79, 78), (78, 77), (77, 76)}
+    edges |= {(70, 71), (71, 72), (72, 70), (5, 6), (6, 5)}
+    e = sorted(edges)
+
+    exp = _kosaraju(n, e)
+    df = spark.createDataFrame(e, "src long, dst long")
+    got = {
+        r["vid"]: r["comp"]
+        for r in strongly_connected_components(df).collect()
+    }
+    # SCC operates on vertices that appear in edges only
+    verts = {a for a, _ in e} | {b for _, b in e}
+    assert got == {v: exp[v] for v in verts}
