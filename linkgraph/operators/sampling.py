@@ -1,23 +1,104 @@
-"""Deterministic sampling for training-data pipelines (SURVEY.md §2.2/§A8
-adjacents): hash-based splits and per-stratum sampling.
+"""Neighborhood sampling — GraphSAGE-style k-hop fanout sampling over the
+distributed edge table (the GNN-training-data operator of the pipeline
+suite).
 
-Random sampling (`df.sample`, `rand()`) is partition-order-dependent and
-irreproducible across engines, cluster sizes and retries — exactly what a
-training pipeline cannot tolerate (a retried task resamples, a re-run
-reshuffles the split, train/test leak).  Hash bucketing fixes all of it:
-`split(row) = f(md5(id))` is a pure column expression, so the assignment
-is identical on any cluster shape, any engine (DuckDB oracle included),
-and under task retries; rows never shuffle (no exchange at all — the split
-is a projection, the stratified filter a predicate); and adding a salt
-gives an unlimited family of independent splits.
+Per hop: restrict edges to the current frontier (left-semi on src — the
+edge table's own partitioning key, so no edge shuffle), rank each
+vertex's out-neighbors by a deterministic per-(edge, hop) hash, keep the
+`fanout` smallest.  The rank window partitions on src, i.e. on the edge
+table's existing partitioning — Spark plans the window without an extra
+exchange; the only data movement is the (narrow) frontier list.
+
+Determinism: the rank key is `portable_hash60(src:dst#seed:hop)` with
+dst as the tiebreak, so the sample is a pure function of (graph, seeds,
+fanouts, seed) — identical across runs, partitionings and engines (the
+md5-based hash is bit-identical in DuckDB, which is what makes the
+driver query hash-checkable — a seeded `rand()` sample never could be).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from linkgraph.graph import LinkGraph, broadcast_threshold
 from linkgraph.textops.dedup import portable_hash60
+
+
+def sample_neighbors(
+    graph: LinkGraph,
+    frontier: DataFrame,
+    fanout: int,
+    salt: str = "0",
+    est_rows: int | None = None,
+) -> DataFrame:
+    """One hop: ≤ `fanout` deterministic out-neighbors per frontier vertex.
+
+    frontier: DataFrame with a `vid` column.  Returns (src, dst).
+
+    est_rows: byte-gated broadcast of the frontier (same discipline as
+    LinkGraph.expand): when the estimated frontier size clears the
+    threshold the semi-join broadcasts and the edge table keeps its own
+    src partitioning — the rank window then sorts in place with no
+    exchange.  khop_sample passes the exact bound |seeds|·Π fanouts.
+    """
+    f = frontier.select(F.col("vid").alias("src"))
+    if est_rows is not None:
+        thresh = broadcast_threshold(graph.spark)
+        if 0 < thresh and est_rows * 16 < thresh:
+            f = F.broadcast(f)
+    e = graph.edges.select("src", "dst").join(f, "src", "left_semi")
+    h = portable_hash60(
+        F.concat_ws(":", F.col("src"), F.col("dst"), F.lit(salt))
+    )
+    w = Window.partitionBy("src").orderBy(h.asc(), F.col("dst").asc())
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= fanout)
+        .select("src", "dst")
+    )
+
+
+def khop_sample(
+    graph: LinkGraph,
+    seeds: list[int],
+    fanouts: list[int],
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-hop sample: returns (hop, src, dst) — hop h edges go from the
+    hop-(h-1) frontier.  The next frontier is the distinct sampled dsts
+    (standard GraphSAGE; revisits allowed, so hop h can re-expand a vertex
+    already seen at an earlier hop — mirrored exactly by the oracle).
+    """
+    if not seeds:
+        raise ValueError("khop_sample needs a non-empty seed list")
+    spark = graph.spark
+    frontier = spark.createDataFrame([(int(s),) for s in seeds], "vid long")
+    frames = []
+    bound = len(seeds)
+    for hop, fanout in enumerate(fanouts, start=1):
+        samp = sample_neighbors(
+            graph, frontier, fanout, salt=f"{seed}:{hop}", est_rows=bound
+        ).localCheckpoint(eager=False)
+        bound *= max(fanout, 1)
+        frames.append(samp.select(F.lit(hop).alias("hop"), "src", "dst"))
+        frontier = samp.select(F.col("dst").alias("vid")).distinct()
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.union(f)
+    return out.select(
+        F.col("hop").cast("int").alias("hop"),
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+
+
+# ---------------------------------------------------------------- hash splits
+# Deterministic dataset splitting / per-stratum sampling: hash bucketing
+# as a pure projection/filter (rand()-sampling is partition-order-
+# dependent and irreproducible across engines, cluster shapes and task
+# retries; a salted md5 bucket is identical everywhere, and the same
+# portable hash family keeps the DuckDB oracles bit-exact).
 
 BUCKETS = 10_000
 

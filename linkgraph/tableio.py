@@ -32,3 +32,44 @@ def write_table(df: DataFrame, ident_or_path: str, mode: str = "overwrite") -> N
 
 def read_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int,
+    path: str | None = None,
+    sort: bool = True,
+) -> None:
+    """Bucketed+sorted table write: the storage-level half of co-located
+    joins (SURVEY.md §2.1 S1/S3).
+
+    Two tables bucketed on the same key with the same bucket count join
+    with ZERO Exchange — the shuffle was paid ONCE at write time and is
+    amortized over every subsequent join/aggregate on that key (the
+    Iceberg analog is a bucket partition transform; this is the
+    Spark-native datasource form, which the sandbox's jar-less runtime
+    supports).  sort=True adds per-bucket ordering so the join is also
+    sort-free: a bucketed SMJ reads both sides streaming.  The reader
+    only propagates that ordering behind
+    `spark.sql.legacy.bucketedTableScan.outputOrdering=true`, which is
+    safe exactly when each bucket is ONE file — guaranteed here by the
+    pre-partitioning below.  At 100 TB this
+    is the difference between re-shuffling the edge table every analytics
+    job and reading it join-ready."""
+    # one file per bucket: the reader only trusts sortBy ordering when a
+    # bucket is a single file, so pre-partition on the bucket hash — this
+    # is the write-time shuffle the whole scheme amortizes
+    from pyspark.sql import functions as F
+
+    w = (
+        df.repartition(buckets, F.col(key))
+        .write.mode("overwrite")
+        .bucketBy(buckets, key)
+    )
+    if sort:
+        w = w.sortBy(key)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)

@@ -202,3 +202,41 @@ def test_asof_join_single_shuffle(spark):
     assert _shuffles(out) == 1
     p = _simple_plan(out)
     assert "Join" not in p  # no join operator at all: union + window
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed+sorted on the same key join with zero shuffle
+    Exchange and zero Sort — the write-once co-location contract."""
+    from linkgraph.tableio import write_bucketed
+
+    a = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    write_bucketed(a, "bk_a", "k", 8, path=str(tmp_path / "bk_a"))
+    write_bucketed(b, "bk_b", "k", 8, path=str(tmp_path / "bk_b"))
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_smj = spark.conf.get("spark.sql.join.preferSortMergeJoin", "true")
+    old_bts = spark.conf.get(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+    # sortBy metadata only reaches outputOrdering behind this flag (safe
+    # here: write_bucketed guarantees one file per bucket)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try:
+        ta, tb = spark.table("bk_a"), spark.table("bk_b")
+        joined = ta.join(tb, "k")
+        assert _shuffles(joined) == 0
+        p = _simple_plan(joined)
+        assert "SortMergeJoin" in p
+        assert "Sort " not in p.replace("SortMergeJoin", "SMJ")  # sort-free
+        # and the result is right
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", old_smj)
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", old_bts)
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
