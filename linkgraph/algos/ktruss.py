@@ -99,6 +99,8 @@ def k_truss(
     on a multi-executor cluster."""
     if k < 2:
         raise ValueError("k must be >= 2")
+    if rounds is not None and rounds < 1:
+        raise ValueError("rounds must be >= 1 (or None for fixpoint)")
     spark = graph.spark
     t = graph.edges.where(F.col("src") < F.col("dst")).select("src", "dst")
 

@@ -272,6 +272,15 @@ def strongly_connected_components(
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
     store.cleanup()  # everything kept is eager-checkpointed; scratch only
+    if nv > 0:
+        import warnings
+
+        warnings.warn(
+            f"strongly_connected_components: max_rounds={max_rounds} (or an "
+            f"inner max_iter={max_iter}) exhausted with {nv} vertices still "
+            "unassigned — the returned mapping is INCOMPLETE",
+            stacklevel=2,
+        )
     if not assigned_parts:
         return spark.createDataFrame([], "vid long, comp long")
     out = assigned_parts[0]

@@ -1557,18 +1557,18 @@ WITH t AS (
   SELECT event_id, user_id, ts, value, 1 AS tag FROM events WHERE event_type = 'view'),
 w AS (
   SELECT *,
-    last_value(CASE WHEN tag = 1 THEN event_id END IGNORE NULLS) OVER win AS v_id,
-    last_value(CASE WHEN tag = 1 THEN value END IGNORE NULLS) OVER win AS v_val,
-    last_value(CASE WHEN tag = 1 THEN ts END IGNORE NULLS) OVER win AS v_ts
+    last_value(CASE WHEN tag = 1
+               THEN struct_pack(id := event_id, val := value, t := ts)
+               END IGNORE NULLS) OVER win AS p
   FROM t
   WINDOW win AS (PARTITION BY user_id ORDER BY ts, tag, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
 SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,
        value AS purchase_value,
-       CAST(COALESCE(v_id, -1) AS BIGINT) AS view_event_id,
-       COALESCE(v_val, 0.0) AS view_value,
+       CAST(COALESCE(p.id, -1) AS BIGINT) AS view_event_id,
+       COALESCE(p.val, 0.0) AS view_value,
        CAST(COALESCE(CAST(floor(epoch(ts)) AS BIGINT)
-                     - CAST(floor(epoch(v_ts)) AS BIGINT), -1) AS BIGINT) AS lag_s
+                     - CAST(floor(epoch(p.t)) AS BIGINT), -1) AS BIGINT) AS lag_s
 FROM w WHERE tag = 0
 """
 

@@ -138,46 +138,47 @@ def asof_join(
     `tiebreak` (a column present in both inputs) makes equal-(ts, tag)
     ordering deterministic; without it, ties among right rows at the
     same timestamp pick an arbitrary one.
+
+    The payload travels as ONE struct column picked by a single
+    last(ignorenulls) — per-column lasts would splice fields from
+    DIFFERENT right rows whenever a payload column is NULL in the latest
+    row but set in an older one (the struct is non-null for every right
+    row even when all its fields are NULL, so the latest right ROW
+    always wins atomically).
     """
     right_cols = right_cols or [c for c in right.columns if c not in (on, ts_col)]
     lt, rt = (0, 1) if strict else (1, 0)
     order = [ts_col, "_tag"] + ([tiebreak] if tiebreak else [])
-    lhs = left.withColumn("_tag", F.lit(lt))
-    rhs = right.withColumn("_tag", F.lit(rt))
     common = [on, ts_col] + ([tiebreak] if tiebreak else [])
     lkeep = [c for c in left.columns if c not in common and c != "_tag"]
-    # shared-schema union: left rows carry their own columns and null
-    # payload; right rows carry payload and null left columns
-    l_part = lhs.select(
+    payload = F.struct(
+        *[F.col(c).alias(c) for c in right_cols],
+        F.col(ts_col).alias("__ts"),
+    )
+    # shared-schema union: left rows carry their own columns and a null
+    # payload struct; right rows carry the payload and null left columns
+    l_part = left.select(
         *[F.col(c) for c in common],
-        F.col("_tag"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in right_cols],
-        F.lit(None).cast("timestamp").alias("_p__ts"),
+        F.lit(lt).alias("_tag"),
         *[F.col(c) for c in lkeep],
     )
-    r_part = rhs.select(
+    both = l_part.withColumn(
+        "_p", F.lit(None).cast(right.select(payload.alias("_p")).schema["_p"].dataType)
+    ).unionByName(right.select(
         *[F.col(c) for c in common],
-        F.col("_tag"),
-        *[F.col(c).alias(f"_p_{c}") for c in right_cols],
-        F.col(ts_col).alias("_p__ts"),
+        F.lit(rt).alias("_tag"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lkeep],
-    )
+        payload.alias("_p"),
+    ))
     w = (
         Window.partitionBy(on)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    picked = l_part.unionByName(r_part).select(
-        "*",
-        *[
-            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in right_cols
-        ],
-        F.last("_p__ts", ignorenulls=True).over(w).alias(f"{ts_col}{suffix}"),
-    )
+    picked = both.withColumn("_pp", F.last("_p", ignorenulls=True).over(w))
     return picked.where(F.col("_tag") == lt).select(
         *[F.col(c) for c in common if c != "_tag"],
         *[F.col(c) for c in lkeep],
-        *[F.col(f"{c}{suffix}") for c in right_cols],
-        F.col(f"{ts_col}{suffix}"),
+        *[F.col("_pp")[c].alias(f"{c}{suffix}") for c in right_cols],
+        F.col("_pp")["__ts"].alias(f"{ts_col}{suffix}"),
     )

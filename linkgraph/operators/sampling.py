@@ -123,6 +123,8 @@ def hash_split(
     """
     if not weights:
         raise ValueError("weights must be non-empty")
+    if any(v <= 0 for v in weights.values()):
+        raise ValueError(f"weights must be positive: {weights}")
     total = sum(weights.values())
     if total > 1.0 + 1e-9:
         raise ValueError(f"weights sum to {total} > 1")

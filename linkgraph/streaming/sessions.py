@@ -14,11 +14,13 @@ row (tests/test_streaming_sessions.py).
 State per user is ONE OPEN SESSION SUMMARY (start_us, last_us, n, total) —
 bytes per user, not events per user, so state size is |active users|, the
 same bound the batch operator's single exchange gives.  In-batch events
-are sorted (ts, event_id) and gap-split vectorized in pandas; within-
-watermark cross-batch ordering is the source's append order, the standard
-Structured Streaming sessionization contract (a late event that belongs
-BEFORE the open session's tail cannot reorder a summary — bound lateness
-with the watermark, as any stateful session operator must).
+are sorted (ts, event_id) and gap-split vectorized in pandas; a
+within-watermark CROSS-batch event that lands before the open session's
+tail merges into it when it falls inside or gap-adjacent-before the open
+span (matching batch: adding an event never splits a session) and
+otherwise closes immediately as a best-effort singleton — a summary
+state cannot re-sort history, so bound disorder with the watermark, as
+any stateful session operator must.
 """
 
 from __future__ import annotations
@@ -77,6 +79,19 @@ def _session_fn(gap_seconds: int):
         for t_us, v in zip(ts_us.tolist(), vals.tolist()):
             if start_us is None:
                 start_us, last_us, n, total = t_us, t_us, 1, float(v)
+                continue
+            if t_us < last_us:
+                # in-watermark but out-of-order vs the open session's
+                # tail (cross-batch disorder): a summary state cannot
+                # re-sort history, so merge when the event falls inside
+                # or gap-adjacent-before the open span (batch would keep
+                # one session there too — adding an event never splits
+                # one), else emit it as its own best-effort singleton
+                if t_us // 1_000_000 >= start_us // 1_000_000 - gap_seconds:
+                    start_us = min(start_us, t_us)
+                    n, total = n + 1, total + float(v)
+                else:
+                    closed.append(_emit(user, t_us, t_us, 1, float(v)))
                 continue
             if t_us // 1_000_000 - last_us // 1_000_000 > gap_seconds:
                 closed.append(_emit(user, start_us, last_us, n, total))

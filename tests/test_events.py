@@ -141,3 +141,22 @@ def test_near_duplicate_clusters(spark):
         4: (4, 2), 5: (4, 2),
         6: (6, 1),
     }
+
+
+def test_asof_join_null_payload_no_splice(spark):
+    # the LATEST right row has a NULL payload field: the output must carry
+    # that row's fields atomically, not splice the older row's value in
+    purch = spark.createDataFrame(
+        [(100, 1, _ts(60), 9.0)], SCHEMA.replace("event_type string, ", "")
+    ).select("event_id", "user_id", "ts", "value")
+    views = spark.createDataFrame(
+        [(10, 1, _ts(0), 5.0), (11, 1, _ts(30), None)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    rows = asof_join(purch, views, on="user_id", ts_col="ts",
+                     right_cols=["event_id", "value"],
+                     strict=True, tiebreak="event_id").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["event_id_asof"] == 11          # latest right row wins...
+    assert r["value_asof"] is None           # ...with ITS value, not row 10's

@@ -94,3 +94,58 @@ def test_streaming_sessions_equal_batch(spark, tmp_path):
     assert got == exp
     # sanity: the cross-batch session (user 2) closed as ONE 75-min session
     assert got[(2, "2024-01-01 00:00:00")] == (4, 4500, 4.0)
+
+
+def test_streaming_sessions_out_of_order_within_watermark(spark, tmp_path):
+    """A cross-batch event that lands INSIDE the open session's span (but
+    within the watermark) merges into it, matching the batch operator."""
+    rows = [
+        (1, 7, T0, 1.0),
+        (2, 7, T0 + dt.timedelta(minutes=30), 1.0),
+        # delivered in a LATER batch but timestamped between the two above
+        (3, 7, T0 + dt.timedelta(minutes=15), 2.5),
+    ]
+    drops = [
+        rows[:2],
+        [rows[2]],
+        [(9001, 999, SENTINEL, 0.0)],
+        [(9002, 999, SENTINEL + dt.timedelta(hours=3), 0.0)],
+    ]
+    src = str(tmp_path / "src2")
+    os.makedirs(src)
+    for i, part in enumerate(drops):
+        d = os.path.join(src, f"_tmp{i}")
+        spark.createDataFrame(part, SCHEMA).coalesce(1).write.parquet(d)
+        for fn in os.listdir(d):
+            if fn.endswith(".parquet"):
+                os.rename(os.path.join(d, fn), os.path.join(src, f"drop{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_sessions(stream, gap_seconds=GAP_S, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("sess_ooo")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["user_id"], r["session_start"]): (
+            r["n_events"], r["duration_s"], round(r["total_value"], 6))
+        for r in spark.sql("SELECT * FROM sess_ooo").collect()
+        if r["user_id"] != 999
+    }
+    exp = {
+        (r["user_id"], r["session_start"]): (
+            r["n_events"], r["duration_s"], round(r["total_value"], 6))
+        for r in sessionize(
+            spark.createDataFrame(rows, SCHEMA), gap_seconds=GAP_S
+        ).collect()
+    }
+    assert got == exp == {(7, "2024-01-01 00:00:00"): (3, 1800, 4.5)}
