@@ -253,7 +253,19 @@ def main():
         "gteps": round(statistics.median(gteps_samples), 4),
         "extras": extras,
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # durable copy FIRST: the driver's tail capture has truncated the
+    # stdout line mid-object before (BENCH_r04.json parsed: null) — the
+    # file is the always-parseable artifact, the stdout line the contract
+    os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"),
+                exist_ok=True)
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "last_run.json"),
+        "w",
+    ) as f:
+        f.write(line + "\n")
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

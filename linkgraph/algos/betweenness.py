@@ -61,6 +61,10 @@ def betweenness(
     ).localCheckpoint(eager=True)
 
     levels = [state]  # per-level (root, vid, dist, sigma) frames
+    # Measured row count per level, carried into expand(est_rows=...) exactly
+    # like sssp.py's frontier_rows: a dense middle level is Θ(|roots|·|V|)
+    # rows, and a hardcoded estimate would force-broadcast it (OOM at scale).
+    level_rows = [len(roots)]
     with iteration_plan(spark):
         frontier = state
         for lvl in range(1, max_levels + 1):
@@ -68,7 +72,7 @@ def betweenness(
                 F.col("vid").alias("src"), "root", "sigma"
             )
             agg = (
-                graph.expand(msgs, est_rows=len(roots) * 64)
+                graph.expand(msgs, est_rows=level_rows[-1])
                 .groupBy("root", "dst")
                 .agg(F.sum("sigma").alias("sigma"))
             )
@@ -87,9 +91,11 @@ def betweenness(
                 )
                 .localCheckpoint(eager=False)
             )
-            if new.count() == 0:
+            new_rows = new.count()
+            if new_rows == 0:
                 break
             levels.append(new)
+            level_rows.append(max(int(new_rows), 1))
             state = state.union(new).localCheckpoint(eager=False)
             frontier = new
 
@@ -100,7 +106,7 @@ def betweenness(
         for lvl in range(deepest - 1, -1, -1):
             u = levels[lvl]
             msgs = u.select(F.col("vid").alias("src"), "root", "sigma")
-            succ = graph.expand(msgs, est_rows=len(roots) * 64).select(
+            succ = graph.expand(msgs, est_rows=level_rows[lvl]).select(
                 F.col("src").alias("uvid"),
                 F.col("root").alias("uroot"),
                 F.col("sigma").alias("usigma"),

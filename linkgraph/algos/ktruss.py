@@ -135,6 +135,18 @@ def k_truss(
                 if n == prev_n:
                     break
                 prev_n = n
+        else:
+            if rounds is None:
+                # budget exhausted before the equal-count probe fired: the
+                # peel may not have converged (mirrors scc.py's warning)
+                import warnings
+
+                warnings.warn(
+                    f"k_truss: max_rounds={max_rounds} exhausted before the "
+                    "peel fixpoint — returned edge set may still shrink; "
+                    "raise max_rounds",
+                    stacklevel=2,
+                )
 
     # the final parity dir backs the returned DataFrame; the other parity
     # dir is two-rounds-stale scratch — FS-API delete (file://, hdfs://,

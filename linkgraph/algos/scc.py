@@ -128,6 +128,19 @@ def _min_label_reach(
         if (it + 1) % SEVER_EVERY == 0:
             lbl = store.sever(lbl)  # reset originStats digits (module doc)
             prev = None
+    else:
+        # max_iter exhausted before the label fixpoint: stale labels can
+        # split one SCC across comp values WITHOUT leaving any vertex
+        # unassigned, so the outer incomplete-result warning never fires —
+        # surface the budget exhaustion here (mirrors the outer warn)
+        import warnings
+
+        warnings.warn(
+            f"_min_label_reach: max_iter={max_iter} exhausted with "
+            f"{changed} labels still changing — component labels may be "
+            "split; raise max_iter",
+            stacklevel=2,
+        )
     return lbl
 
 
@@ -215,11 +228,17 @@ def strongly_connected_components(
     # width is pure task overhead (AQE would coalesce, but the iteration
     # profile runs AQE-off), so size the loop's shuffles to the graph
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    loop_p = max(4, min(int(old_sp), nv // 50_000 + 4))
+    try:
+        # the conf can be non-numeric on AQE-auto deployments ("auto");
+        # skip the loop-width override there rather than crash
+        loop_p = max(4, min(int(old_sp), nv // 50_000 + 4))
+    except (TypeError, ValueError):
+        loop_p = None
 
     assigned_parts: list[DataFrame] = []
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_p))
+        if loop_p is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(loop_p))
         with iteration_plan(spark):
             e, verts, nv = _trim(e, verts, nv, store, assigned_parts)
             for _ in range(max_rounds):

@@ -3,10 +3,16 @@ SURVEY.md §2.10, built on `applyInPandasWithState` (Arrow-batched state
 kernel, the Spark-native replacement for a hand-rolled per-key session
 tracker).
 
-Semantics match `linkgraph.operators.events.sessionize` exactly on closed
-sessions: a session closes when event time advances past
-last_event + gap, which in a stream means WATERMARK past that point —
-enforced with an event-time timeout per user key.  Each emitted row is
+Semantics match `linkgraph.operators.events.sessionize` on closed
+sessions PROVIDED disorder is bounded by the open session's span: a
+session closes when event time advances past last_event + gap, which for
+the per-key OPEN session means WATERMARK past that point — enforced with
+an event-time timeout.  In-batch gap SPLITS, however, emit their closed
+prefix immediately (only the newest session stays in state), so a
+within-watermark late event that lands inside an already-emitted span
+diverges from batch as a singleton — see the disorder paragraph below;
+equality with batch requires late events to fall inside or gap-adjacent
+to the still-open session.  Each emitted row is
 (user_id, session_start, n_events, duration_s, total_value), identical to
 the batch operator, so incremental ≡ batch equality is testable row for
 row (tests/test_streaming_sessions.py).

@@ -16,6 +16,13 @@ from linkgraph.checkpoint import _iceberg_available
 
 
 def read_table(spark: SparkSession, ident_or_path: str) -> DataFrame:
+    # A URI scheme (s3a://, hdfs://, file://, gs://, abfss://…) is always a
+    # PATH — it exists on no driver-local filesystem, so the os.path.exists
+    # probe below would fall through and hand it to spark.table(), which
+    # throws an identifier parse error.  Path separators likewise can never
+    # be catalog identifiers.
+    if "://" in ident_or_path or "/" in ident_or_path:
+        return spark.read.parquet(ident_or_path)
     if os.path.exists(ident_or_path) or ident_or_path.endswith(".parquet"):
         return spark.read.parquet(ident_or_path)
     if _iceberg_available(spark):
@@ -24,7 +31,8 @@ def read_table(spark: SparkSession, ident_or_path: str) -> DataFrame:
 
 
 def write_table(df: DataFrame, ident_or_path: str, mode: str = "overwrite") -> None:
-    if _iceberg_available(df.sparkSession) and not ident_or_path.startswith("/"):
+    is_path = "://" in ident_or_path or "/" in ident_or_path
+    if _iceberg_available(df.sparkSession) and not is_path:
         df.writeTo(ident_or_path).createOrReplace()
     else:
         df.write.mode(mode).parquet(ident_or_path)

@@ -240,3 +240,61 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
             "spark.sql.legacy.bucketedTableScan.outputOrdering", old_bts)
         spark.sql("DROP TABLE IF EXISTS bk_a")
         spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_betweenness_expand_est_rows_measured(spark, monkeypatch):
+    """betweenness must feed the MEASURED per-level frontier count into
+    expand(est_rows=...) — a hardcoded |roots|·64 estimate force-broadcasts
+    dense middle levels (Θ(|roots|·|V|) rows at scale → executor OOM).
+    Spy on expand: every est_rows must equal an actual per-level (root,vid)
+    count from a Python BFS oracle, and with the broadcast threshold set
+    below the smallest level's byte estimate no expand plan may broadcast."""
+    import collections
+
+    from linkgraph.algos.betweenness import betweenness
+
+    pairs = [(i, (i + 1) % 40) for i in range(40)] + [(0, i) for i in range(2, 20)]
+    g = LinkGraph.from_undirected(edges_df(spark, pairs), persist=False)
+    roots = [0, 1, 5, 25]
+
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    level_sizes = collections.Counter()
+    for s in roots:
+        dist = {s: 0}
+        q = collections.deque([s])
+        level_sizes[0] += 1
+        while q:
+            v = q.popleft()
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    level_sizes[dist[w]] += 1
+                    q.append(w)
+    expected = set(level_sizes.values())
+    # regression guard: the old hardcoded estimate must be impossible here
+    assert len(roots) * 64 not in expected
+
+    calls = []
+    orig = LinkGraph.expand
+
+    def spy(self, msgs, est_rows=None, edges=None):
+        out = orig(self, msgs, est_rows=est_rows, edges=edges)
+        calls.append((est_rows, _plan(out)))
+        return out
+
+    monkeypatch.setattr(LinkGraph, "expand", spy)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64b")
+    try:
+        betweenness(g, roots, max_levels=30, scale=False).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    assert calls
+    for est, plan in calls:
+        assert est in expected, f"expand got unmeasured est_rows={est}"
+        # measured frontier exceeds the (tiny) threshold → must shuffle
+        assert "BroadcastHashJoin" not in plan
