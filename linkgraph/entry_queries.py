@@ -905,6 +905,43 @@ WHERE list_dot_product(a.v, c.v) / (a.nrm * c.nrm) >= 0.3
 """
 
 
+def q_embedding_near_dup_banded(spark, sf_dir):
+    """Banded random-hyperplane LSH near-dup — the PRODUCTION blocking
+    (recall-amplified, per-bucket cost bounded by 2^r), vs the axis-aligned
+    single-band variant above which exists for engine portability.
+
+    The oracle is the UNBLOCKED all-pairs truth: random hyperplanes are not
+    SQL-portable, but with b=64 bands x r=4 seeded planes the blocking
+    achieves measured recall 1.0 on this fixture at sf0.001 and sf0.01
+    (deterministic seed, so the equality is stable run to run), and
+    precision is structurally 1.0 (exact in-place float64 verify).  Hash
+    equality against the exact SQL therefore checks the verify arithmetic
+    AND evidences full recall at oracle scale; production corpora trade b
+    down / r up per the collision-probability bound in the operator doc."""
+    from linkgraph.textops.dedup import embedding_near_duplicates_banded
+
+    return embedding_near_duplicates_banded(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.3,
+        bands=64,
+        planes_per_band=4,
+        seed=42,
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP_BANDED = """
+WITH b AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM b)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, c.v) / (a.nrm * c.nrm), 6) AS cos
+FROM n a JOIN n c ON a.vec_id < c.vec_id
+WHERE list_dot_product(a.v, c.v) / (a.nrm * c.nrm) >= 0.3
+"""
+
+
 def q_ivf_cosine_topk(spark, sf_dir):
     """IVF-ANN end-to-end: spherical-k-means coarse quantizer → inverted
     file (vec_id → centroid cell) → probe → exact cosine rerank.  Probing
@@ -1774,6 +1811,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ivf_cosine_topk": q_ivf_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_banded": q_embedding_near_dup_banded,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
     "fingerprint": q_fingerprint,
@@ -1828,6 +1866,7 @@ ORACLES = {
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ivf_cosine_topk": SQL_IVF_COSINE_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "embedding_near_dup_banded": SQL_EMBEDDING_NEAR_DUP_BANDED,
     "minhash_lsh": SQL_MINHASH_LSH,
     "simhash": SQL_SIMHASH,
     "fingerprint": SQL_FINGERPRINT,

@@ -368,3 +368,45 @@ def test_token_count_total_three_tokenizers(spark):
     assert row["total_ws_tokens"] == 3 + 0 + 2
     # BPE-ish runs: {hello},{,},{world},{!},{42} + {} + {a,-,b,c,_,d}
     assert row["total_bpe_tokens"] == 5 + 0 + 6
+
+
+def test_embedding_near_dup_banded_beats_single_band(spark):
+    """The banded random-hyperplane blocking recovers the planted pairs the
+    single-band axis-aligned variant provably misses (vector 2's flipped
+    4th sign), and its precision is exactly 1: every returned pair appears
+    in the unblocked truth with the identical verified cosine."""
+    from linkgraph.textops.dedup import (
+        embedding_near_duplicates,
+        embedding_near_duplicates_banded,
+    )
+
+    v = {
+        0: [1.0, 1.0, 1.0, 1.0, 0.0],
+        1: [1.0, 1.0, 1.0, 0.9, 0.1],
+        2: [1.0, 1.0, 1.0, -0.01, 0.0],  # single-band blocking misses (0,2),(1,2)
+        3: [-1.0, 1.0, -1.0, 1.0, 0.0],
+        4: [0.01, 1.0, 1.0, 1.0, -5.0],
+    }
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vec]) for i, vec in v.items()],
+        "vec_id long, embedding array<float>",
+    )
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(emb, threshold=0.8, planes=4).collect()
+    }
+    assert (0, 2) not in single and (1, 2) not in single  # the documented miss
+    banded = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in embedding_near_duplicates_banded(
+            emb, threshold=0.8, bands=8, planes_per_band=4, seed=42
+        ).collect()
+    }
+    truth = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in embedding_near_duplicates(emb, threshold=0.8, planes=0).collect()
+    }
+    assert set(truth) == {(0, 1), (0, 2), (1, 2)}
+    assert set(banded) == set(truth)  # full recall here (seeded, deterministic)
+    for k, c in banded.items():
+        assert abs(c - truth[k]) < 1e-9  # exact in-place verify → precision 1
