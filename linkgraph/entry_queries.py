@@ -235,6 +235,80 @@ FROM hist
 """
 
 
+ANF_FULL_K = 8  # FM lanes shared with the SQL oracle (error ~0.78/sqrt(k))
+ANF_FULL_H = 8  # curve depth shared with the oracle's recursion bound
+
+
+def q_anf_full(spark, sf_dir):
+    """Full-graph ANF: FM probabilistic-counter lanes over ALL vertices
+    (the scale path; `anf` above is exact over an 8-source sample).  The
+    portable md5 hash family makes the sketches bit-identical in DuckDB,
+    so the oracle recomputes them from an all-pairs recursive-CTE distance
+    closure and the ESTIMATES hash-match exactly — the whole sketch
+    pipeline (init, bit_or propagation, lowest-zero-bit estimator) is
+    checked, not just row counts."""
+    from linkgraph.algos.anf import anf_full
+
+    g = copurchase_graph(spark, sf_dir)
+    return anf_full(g, k=ANF_FULL_K, max_h=ANF_FULL_H, hash_mode="portable")
+
+
+def _anf_full_sql(k: int, levels: int) -> str:
+    """Unrolled FM-sketch propagation oracle.
+
+    The first-cut oracle derived sketches from an all-pairs recursive-CTE
+    distance closure — fully independent, but Θ(|V|²·deg) join probes made
+    it 519 s at sf0.01 (1.6 s at sf0.001).  This form instead unrolls the
+    propagation m_h(v) = m_{{h-1}}(v) | bit_or(m_{{h-1}}(neighbors)) level
+    by level, the same MATERIALIZED-step pattern as the betweenness
+    oracle: Θ(levels·|E|·k) — 2 s at sf0.01.  The sketches are provably
+    equal to the ball form (OR is idempotent/monotone), and the bit-level
+    ball-sketch equivalence is independently pytest-checked against a pure
+    numpy all-pairs oracle on the ER fixture (tests/test_newalgos.py)."""
+    steps = []
+    for h in range(1, levels + 1):
+        steps.append(
+            f"""m{h} AS MATERIALIZED (
+  SELECT p.v, p.j, p.m | COALESCE(a.am, 0) AS m
+  FROM m{h - 1} p LEFT JOIN (
+    SELECT e.dst AS v, q.j, bit_or(q.m) AS am
+    FROM e JOIN m{h - 1} q ON q.v = e.src GROUP BY e.dst, q.j) a
+  ON a.v = p.v AND a.j = p.j)"""
+        )
+    per_h = "\nUNION ALL\n".join(
+        f"SELECT {h} AS h, v, j, m FROM m{h}" for h in range(0, levels + 1)
+    )
+    step_sql = ",\n".join(steps)
+    return f"""
+WITH
+pk AS MATERIALIZED (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+e AS MATERIALIZED (SELECT DISTINCT a.p AS src, b.p AS dst FROM pk a JOIN pk b
+      ON a.k = b.k AND a.p <> b.p),
+verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
+js AS (SELECT unnest(generate_series(0, {k - 1})) AS j),
+m0 AS MATERIALIZED (
+  SELECT v, j,
+         CASE WHEN h60 = 0 THEN 1::BIGINT << 59
+              ELSE 1::BIGINT << CAST(bit_count((h60 & -h60) - 1) AS INT) END AS m
+  FROM (SELECT verts.v, js.j,
+               CAST('0x' || substr(md5(CAST(verts.v AS VARCHAR) || '#anf#'
+                                        || CAST(js.j AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS h60
+        FROM verts CROSS JOIN js)),
+{step_sql},
+allm AS ({per_h}),
+rs AS (SELECT h, v, SUM(bit_count(xor(m, m + 1)) - 1) AS S
+       FROM allm GROUP BY h, v),
+hist AS (SELECT h, S, COUNT(*) AS c FROM rs GROUP BY h, S)
+SELECT CAST(h AS INT) AS h,
+       ROUND(SUM(c * POW(2, S / {k}.0)) / 0.77351, 3) AS nf
+FROM hist GROUP BY h ORDER BY h
+"""
+
+
+SQL_ANF_FULL = _anf_full_sql(ANF_FULL_K, ANF_FULL_H)
+
+
 BETW_LEVELS = 8  # forward-pass unroll depth shared with the SQL oracle
 BETW_ROOTS = 8  # Brandes-Pich sample: the 8 lowest part keys (as bfs_distances)
 
@@ -1788,6 +1862,7 @@ QUERIES = {
     "turn_adjacency": q_turn_adjacency,
     "bfs_distances": q_bfs_distances,
     "anf": q_anf,
+    "anf_full": q_anf_full,
     "eccentricity": q_eccentricity,
     "betweenness": q_betweenness,
     "closeness": q_closeness,
@@ -1843,6 +1918,7 @@ ORACLES = {
     "turn_adjacency": SQL_TURN_ADJACENCY,
     "bfs_distances": SQL_BFS_DISTANCES,
     "anf": SQL_ANF,
+    "anf_full": SQL_ANF_FULL,
     "eccentricity": SQL_ECCENTRICITY,
     "betweenness": SQL_BETWEENNESS,
     "closeness": SQL_CLOSENESS,

@@ -416,3 +416,96 @@ def test_scc_vs_kosaraju(spark):
     # SCC operates on vertices that appear in edges only
     verts = {a for a, _ in e} | {b for _, b in e}
     assert got == {v: exp[v] for v in verts}
+
+
+# ----------------------------------------------------------- full-graph ANF
+def _fm_sketches_oracle(adj, k, max_h):
+    """Pure-python all-pairs ball-sketch oracle: md5 lane hashes, FM limbs
+    OR'd over the exact BFS ball — independent of the engine's per-level
+    propagation, so it checks the init/propagation/estimator pipeline at
+    the BIT level, not just the curve shape."""
+    import hashlib
+
+    def limb(v, j):
+        h = int(hashlib.md5(f"{v}#anf#{j}".encode()).hexdigest()[:15], 16)
+        if h == 0:
+            return 1 << 59
+        return 1 << ((h & -h).bit_length() - 1)
+
+    balls = {}
+    for s in adj:
+        dist = {s: 0}
+        q = collections.deque([s])
+        while q:
+            v = q.popleft()
+            if dist[v] >= max_h:
+                continue
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+        balls[s] = dist
+
+    curve = []
+    for h in range(max_h + 1):
+        hist = collections.Counter()
+        for s, dist in balls.items():
+            S = 0
+            for j in range(k):
+                m = 0
+                for v, d in dist.items():
+                    if d <= h:
+                        m |= limb(v, j)
+                # lowest zero bit position
+                r = 0
+                while (m >> r) & 1:
+                    r += 1
+                S += r
+            hist[S] += 1
+        tot = sum(c * math.pow(2.0, s / k) for s, c in sorted(hist.items()))
+        curve.append((h, round(tot / 0.77351, 3)))
+    return curve
+
+
+def test_anf_full_bit_exact_vs_ball_oracle(er):
+    from linkgraph.algos.anf import anf_full
+
+    got = sorted((r["h"], r["nf"]) for r in anf_full(er, k=8, max_h=6).collect())
+    exp = _fm_sketches_oracle(_adj(), k=8, max_h=6)
+    assert got == exp
+
+
+def test_anf_full_error_bound_and_flat_tail(er):
+    """k=64 lanes: the estimate tracks the exact neighborhood function
+    within the FM error band (~0.78/sqrt(64) ≈ 10%; allow 3 sigma), and
+    the curve is emitted flat to max_h after convergence."""
+    from linkgraph.algos.anf import anf_full, effective_diameter_from_curve
+
+    adj = _adj()
+    exact = []
+    for h in range(11):
+        cnt = 0
+        for s in adj:
+            dist = {s: 0}
+            q = collections.deque([s])
+            while q:
+                v = q.popleft()
+                if dist[v] >= h:
+                    continue
+                for w in adj[v]:
+                    if w not in dist:
+                        dist[w] = dist[v] + 1
+                        q.append(w)
+            cnt += len(dist)
+        exact.append(cnt)
+    got = {r["h"]: r["nf"] for r in anf_full(er, k=64, max_h=10).collect()}
+    assert sorted(got) == list(range(11))
+    for h in range(1, 11):
+        rel = abs(got[h] - exact[h]) / exact[h]
+        assert rel < 0.30, f"h={h} est={got[h]} exact={exact[h]} rel={rel:.3f}"
+    # convergence: exact curve is flat well before h=10 on this fixture,
+    # and the emitted tail must be flat too
+    assert exact[9] == exact[10]
+    assert got[9] == got[10]
+    ed = effective_diameter_from_curve(sorted(got.items()))
+    assert 1.0 <= ed <= 6.0
