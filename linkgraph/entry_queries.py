@@ -1420,6 +1420,100 @@ FROM ({union})"""
 SQL_RANDOM_WALKS = _walks_oracle_sql(WALK_LEN, WALKS_PER_SEED, WALK_SEED)
 
 
+N2V_P = 0.25  # return-biased: weights (w_ret, w_tri, w_out) = (16, 4, 1)
+N2V_Q = 4.0
+
+
+def q_node2vec_walks(spark, sf_dir):
+    """node2vec p/q-biased walk corpus: integer-copy hash-argmin races make
+    the BIASED walks themselves hash-checkable against the DuckDB mirror
+    (same determinism argument as random_walks; the copy counts realize
+    the 1/p : 1 : 1/q class weights exactly, no float sampling)."""
+    from linkgraph.operators.walks import node2vec_walks
+
+    g = copurchase_graph(spark, sf_dir)
+    seeds = [
+        r[0]
+        for r in _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("s"))
+        .distinct()
+        .orderBy("s")
+        .limit(8)
+        .collect()
+    ]
+    return node2vec_walks(
+        g,
+        seeds,
+        walk_len=WALK_LEN,
+        p=N2V_P,
+        q=N2V_Q,
+        walks_per_seed=WALKS_PER_SEED,
+        seed=WALK_SEED,
+    )
+
+
+def _node2vec_oracle_sql(
+    walk_len: int, walks_per_seed: int, seed: int, p: float, q: float
+) -> str:
+    from linkgraph.operators.walks import _biased_weights
+
+    w_ret, w_tri, w_out = _biased_weights(p, q)
+
+    def lk(step: int, copies: int) -> str:
+        hs = [
+            "CAST('0x' || substr(md5(src || ':' || dst || ':' || walk || "
+            f"':{seed}:{step}:{c}'), 1, 15) AS BIGINT)"
+            for c in range(copies)
+        ]
+        return hs[0] if len(hs) == 1 else "LEAST(" + ", ".join(hs) + ")"
+
+    parts = [
+        "seeds AS MATERIALIZED (" + _bfs_sources_sql() + ")",
+        f"""w0 AS MATERIALIZED (
+  SELECT s AS seed, gs.w AS walk, s AS vid FROM seeds
+  CROSS JOIN (SELECT UNNEST(range({walks_per_seed})) AS w) gs)""",
+        f"""w1 AS MATERIALIZED (
+  SELECT seed, walk, src AS prev, dst AS vid FROM (
+    SELECT c.*, ROW_NUMBER() OVER (PARTITION BY seed, walk ORDER BY
+             {lk(1, 1)} ASC, dst ASC) AS rk
+    FROM (SELECT p.seed, p.walk, e.src, e.dst
+          FROM e JOIN w0 p ON p.vid = e.src) c) x
+  WHERE rk = 1)""",
+    ]
+    for i in range(2, walk_len + 1):
+        key = (
+            f"CASE WHEN dst = prev THEN {lk(i, w_ret)} "
+            f"WHEN istri THEN {lk(i, w_tri)} "
+            f"ELSE {lk(i, w_out)} END"
+        )
+        parts.append(f"""w{i} AS MATERIALIZED (
+  SELECT seed, walk, src AS prev, dst AS vid FROM (
+    SELECT c.*, ROW_NUMBER() OVER (PARTITION BY seed, walk ORDER BY
+             {key} ASC, dst ASC) AS rk
+    FROM (SELECT p.seed, p.walk, p.prev, e.src, e.dst,
+                 (t.src IS NOT NULL) AS istri
+          FROM e JOIN w{i - 1} p ON p.vid = e.src
+          LEFT JOIN e t ON t.src = p.prev AND t.dst = e.dst) c) x
+  WHERE rk = 1)""")
+    union = " UNION ALL ".join(
+        ["SELECT seed, walk, 0 AS step, vid FROM w0"]
+        + [f"SELECT seed, walk, {i} AS step, vid FROM w{i}" for i in range(1, walk_len + 1)]
+    )
+    return (
+        f"WITH {_COPURCHASE_E},"
+        + ",".join(parts)
+        + f"""
+SELECT CAST(seed AS BIGINT) AS seed, CAST(walk AS BIGINT) AS walk,
+       CAST(step AS INT) AS step, CAST(vid AS BIGINT) AS vid
+FROM ({union})"""
+    )
+
+
+SQL_NODE2VEC_WALKS = _node2vec_oracle_sql(
+    WALK_LEN, WALKS_PER_SEED, WALK_SEED, N2V_P, N2V_Q
+)
+
+
 def q_clustering_coeff(spark, sf_dir):
     """Per-vertex local clustering coefficient over the co-purchase graph:
     lcc(v) = 2·tri(v)/(deg(v)·(deg(v)−1)).  Triangle counts are
@@ -1896,6 +1990,7 @@ QUERIES = {
     "hits": q_hits,
     "sssp_weighted": q_sssp,
     "random_walks": q_random_walks,
+    "node2vec_walks": q_node2vec_walks,
     "clustering_coeff": q_clustering_coeff,
     "pagerank_weighted": q_pagerank_weighted,
     "k_truss": q_k_truss,
@@ -1952,6 +2047,7 @@ ORACLES = {
     "hits": SQL_HITS,
     "sssp_weighted": SQL_SSSP,
     "random_walks": SQL_RANDOM_WALKS,
+    "node2vec_walks": SQL_NODE2VEC_WALKS,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "pagerank_weighted": SQL_PAGERANK_WEIGHTED,
     "k_truss": SQL_K_TRUSS,

@@ -509,3 +509,100 @@ def test_anf_full_error_bound_and_flat_tail(er):
     assert got[9] == got[10]
     ed = effective_diameter_from_curve(sorted(got.items()))
     assert 1.0 <= ed <= 6.0
+
+
+# ----------------------------------------------------------- node2vec walks
+def _n2v_python_oracle(adj, seeds, walk_len, p, q, walks_per_seed, seed):
+    """Pure-python mirror of the integer-copy hash-argmin step rule."""
+    import hashlib
+
+    from linkgraph.operators.walks import _biased_weights
+
+    w_ret, w_tri, w_out = _biased_weights(p, q)
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = set()
+    for s in sorted(set(seeds)):
+        for w in range(walks_per_seed):
+            prev, cur = None, s
+            rows.add((s, w, 0, s))
+            for step in range(1, walk_len + 1):
+                nbrs = sorted(adj.get(cur, ()))
+                if not nbrs:
+                    break
+                best = None
+                for x in nbrs:
+                    if step == 1:
+                        copies = 1
+                    elif x == prev:
+                        copies = w_ret
+                    elif x in adj.get(prev, ()):
+                        copies = w_tri
+                    else:
+                        copies = w_out
+                    k = min(
+                        h60(f"{cur}:{x}:{w}:{seed}:{step}:{c}")
+                        for c in range(copies)
+                    )
+                    if best is None or (k, x) < best:
+                        best = (k, x)
+                prev, cur = cur, best[1]
+                rows.add((s, w, step, cur))
+    return rows
+
+
+def test_node2vec_walks_bit_exact_vs_python(er):
+    from linkgraph.operators.walks import node2vec_walks
+
+    adj = _adj()
+    seeds = sorted(adj)[:6]
+    got = {
+        (r["seed"], r["walk"], r["step"], r["vid"])
+        for r in node2vec_walks(
+            er, seeds, walk_len=5, p=0.25, q=4.0, walks_per_seed=2, seed=11
+        ).collect()
+    }
+    exp = _n2v_python_oracle(adj, seeds, 5, 0.25, 4.0, 2, 11)
+    assert got == exp
+
+
+def test_node2vec_bias_distribution(spark):
+    """Star graph, leaves only connect through the center: at step 2 the
+    only return candidate is the originating leaf, every other leaf is an
+    'out' candidate (no triangles).  P(return) = w_ret/(w_ret+(n-1)·w_out);
+    a return-biased walk (p=0.25, q=4 → weights 16:4:1) must return far
+    more often than the uniform walk, and both must sit inside 4σ binomial
+    bands around their exact probabilities."""
+    from linkgraph.operators.walks import node2vec_walks
+
+    n_leaves = 40
+    pairs = [(0, i) for i in range(1, n_leaves + 1)]
+    g = LinkGraph.from_undirected(edges_df(spark, pairs), num_partitions=4)
+    seeds = list(range(1, n_leaves + 1))
+    wps = 10
+    n_trials = n_leaves * wps
+
+    def return_rate(p, q, seed):
+        rows = node2vec_walks(
+            g, seeds, walk_len=2, p=p, q=q, walks_per_seed=wps, seed=seed
+        ).collect()
+        byw = {}
+        for r in rows:
+            byw.setdefault((r["seed"], r["walk"]), {})[r["step"]] = r["vid"]
+        assert len(byw) == n_trials
+        ret = sum(1 for k, w in byw.items() if w[2] == k[0])
+        return ret
+
+    # biased: weights (16, 4, 1) → P(ret) = 16/(16+39) ≈ 0.2909
+    ret_b = return_rate(0.25, 4.0, 5)
+    p_b = 16 / (16 + (n_leaves - 1))
+    sd_b = math.sqrt(n_trials * p_b * (1 - p_b))
+    assert abs(ret_b - n_trials * p_b) < 4 * sd_b, ret_b
+    # uniform: P(ret) = 1/40
+    ret_u = return_rate(1.0, 1.0, 5)
+    p_u = 1 / n_leaves
+    sd_u = math.sqrt(n_trials * p_u * (1 - p_u))
+    assert abs(ret_u - n_trials * p_u) < 4 * sd_u, ret_u
+    assert ret_b > 3 * ret_u
