@@ -20,7 +20,23 @@ import time
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--input", required=True, help="iceberg ident or parquet path (transcripts)")
+    p.add_argument("--input", default=None, help="iceberg ident or parquet path (transcripts)")
+    p.add_argument("--from-bucketed", default=None, metavar="TABLE",
+                   help="load the graph from a bucketed edge table written by a "
+                        "previous run's --store-bucketed (skips derivation AND "
+                        "the edge-side shuffle: the scan is already "
+                        "HashPartitioning(src))")
+    p.add_argument("--store-bucketed", default=None, metavar="TABLE",
+                   help="after the graph build, persist the shaped edge table as a "
+                        "bucketed+sorted table (plus TABLE_verts with the "
+                        "vid<->name dictionary) so later jobs reload it join-ready")
+    p.add_argument("--store-bucketed-path", default=None,
+                   help="explicit storage path for --store-bucketed (defaults to "
+                        "the warehouse dir)")
+    p.add_argument("--buckets", type=int, default=None,
+                   help="bucket count for --store-bucketed (default: "
+                        "spark.sql.shuffle.partitions); with --from-bucketed it "
+                        "re-registers lost DDL and MUST match the write's count")
     p.add_argument("--algo", required=True,
                    choices=["msbfs", "closeness", "harmonic", "eccentricity", "anf",
                             "pagerank", "ppr", "cc", "lpa", "triangles",
@@ -50,20 +66,43 @@ def main(argv=None):
     from linkgraph.sources.derive import shared_key_conv_edges
     from linkgraph.tableio import read_table, write_table
 
+    if args.from_bucketed is None and args.input is None:
+        p.error("either --input or --from-bucketed is required")
+
     spark = get_spark(app_name=f"linkgraph-{args.algo}")
     t0 = time.time()
 
-    transcripts = read_table(spark, args.input)
-    hub_cap = args.hub_cap
-    if hub_cap == 0:
-        from linkgraph.sources.derive import suggest_hub_cap
+    if args.from_bucketed is not None:
+        # amortized path: the src shuffle was paid once by --store-bucketed.
+        # (path, buckets) re-register the DDL when the local in-memory
+        # catalog lost the identifier between processes (no-op on a cluster
+        # with a durable metastore)
+        graph = LinkGraph.from_bucketed(
+            spark, args.from_bucketed,
+            path=args.store_bucketed_path, buckets=args.buckets,
+        )
+        vertices = None
+    else:
+        transcripts = read_table(spark, args.input)
+        hub_cap = args.hub_cap
+        if hub_cap == 0:
+            from linkgraph.sources.derive import suggest_hub_cap
 
-        hub_cap = suggest_hub_cap(transcripts, key=args.edge_key)
-    pairs = shared_key_conv_edges(transcripts, key=args.edge_key, hub_cap=hub_cap)
-    graph, vertices = LinkGraph.from_string_vertices(
-        pairs, "src_conv", "dst_conv", num_partitions=args.partitions,
-        pairs_canonical=True,
-    )
+            hub_cap = suggest_hub_cap(transcripts, key=args.edge_key)
+        pairs = shared_key_conv_edges(transcripts, key=args.edge_key, hub_cap=hub_cap)
+        graph, vertices = LinkGraph.from_string_vertices(
+            pairs, "src_conv", "dst_conv", num_partitions=args.partitions,
+            pairs_canonical=True,
+        )
+    if args.store_bucketed:
+        graph.store_bucketed(
+            args.store_bucketed, buckets=args.buckets, path=args.store_bucketed_path
+        )
+        if vertices is not None:
+            vw = vertices.write.mode("overwrite")
+            if args.store_bucketed_path:
+                vw = vw.option("path", args.store_bucketed_path + "_verts")
+            vw.saveAsTable(f"{args.store_bucketed}_verts")
     if args.salt:
         graph.enable_salting()
     mgr = CheckpointManager(spark, args.checkpoint) if args.checkpoint else None

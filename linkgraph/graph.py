@@ -185,6 +185,7 @@ class LinkGraph:
         persist: bool = True,
         materialize: bool | None = None,
         symmetric: bool = False,
+        shape: bool = True,
     ):
         """edges: directed (src:long, dst:long); use from_undirected for
         symmetric closure.  Partitioned by src so frontier-expand joins are
@@ -219,13 +220,27 @@ class LinkGraph:
         storage-partitioned join, which is exactly what this emulates.
         """
         spark = edges.sparkSession
-        p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-        shaped = edges.repartition(p, "src").sortWithinPartitions("src", "dst")
         self.symmetric = symmetric
         self._salted = None
         self._salt_checked = False
         self._store = None
         self._vertex_dict = None
+        if not shape:
+            # shape=False: the caller vouches the input already carries the
+            # src co-location (a BUCKETED table scan reports
+            # HashPartitioning(src) natively) — re-repartitioning would add
+            # back the very Exchange the bucketed store amortized away.
+            self.edges = (
+                edges.persist(StorageLevel.MEMORY_AND_DISK) if persist else edges
+            )
+            self._degrees = None
+            self._vertices = None
+            self._num_vertices = None
+            self._num_edges = None
+            self._max_vid = None
+            return
+        p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        shaped = edges.repartition(p, "src").sortWithinPartitions("src", "dst")
         if persist:
             if materialize is None:
                 # round-trip only when the input is a real derivation; a bare
@@ -323,6 +338,71 @@ class LinkGraph:
         pairs.unpersist()
         g._vertex_dict = vertices  # released by g.unpersist()
         return g, vertices.select("vid", "name")
+
+    def store_bucketed(
+        self, table: str, buckets: int | None = None, path: str | None = None
+    ) -> None:
+        """Persist the shaped edge table as a BUCKETED+sorted table — the
+        cross-job amortization of the in-session partitioned cache: the
+        write pays the src shuffle ONCE, and every later session reloads
+        the graph join-ready via from_bucketed (the scan itself reports
+        HashPartitioning(src), so expand joins shuffle only the message
+        side — the Iceberg analog is a bucket partition transform)."""
+        from linkgraph.tableio import write_bucketed
+
+        spark = self.spark
+        if buckets is None:
+            buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        write_bucketed(
+            self.edges.select("src", "dst"),
+            table,
+            "src",
+            buckets,
+            path=path,
+            sort=["src", "dst"],
+        )
+
+    @classmethod
+    def from_bucketed(
+        cls,
+        spark,
+        table: str,
+        symmetric: bool = True,
+        persist: bool = True,
+        path: str | None = None,
+        buckets: int | None = None,
+    ) -> "LinkGraph":
+        """Reload a graph persisted by store_bucketed with ZERO reshaping:
+        shape=False skips the repartition (the bucketed scan already
+        reports HashPartitioning(src); re-repartitioning would add the
+        Exchange back) and the persisted cache preserves that partitioning
+        for every iteration.
+
+        path/buckets: bucket METADATA lives in the session catalog, which
+        is durable on a cluster (Hive/Iceberg metastore) but in-memory by
+        default locally — if the table identifier is gone but the bucketed
+        files survive, passing (path, buckets) re-registers the DDL over
+        them (bucket ids are encoded in the file names, so the re-created
+        table reads bucketed exactly as written)."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            df = spark.table(table)
+        except AnalysisException:
+            if path is None or buckets is None:
+                raise
+            spark.sql(
+                f"CREATE TABLE {table} (src BIGINT, dst BIGINT) USING parquet "
+                f"CLUSTERED BY (src) SORTED BY (src, dst) INTO {buckets} BUCKETS "
+                f"LOCATION '{path}'"
+            )
+            df = spark.table(table)
+        return cls(
+            df.select("src", "dst"),
+            symmetric=symmetric,
+            persist=persist,
+            shape=False,
+        )
 
     # ---------------------------------------------------------------- accessors
     @property

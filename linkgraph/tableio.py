@@ -48,7 +48,7 @@ def write_bucketed(
     key: str,
     buckets: int,
     path: str | None = None,
-    sort: bool = True,
+    sort: bool | list[str] = True,
 ) -> None:
     """Bucketed+sorted table write: the storage-level half of co-located
     joins (SURVEY.md §2.1 S1/S3).
@@ -77,7 +77,10 @@ def write_bucketed(
         .bucketBy(buckets, key)
     )
     if sort:
-        w = w.sortBy(key)
+        # sort=True sorts by the bucket key; a list adds secondary columns
+        # (e.g. ["src", "dst"] gives the neighbor-sorted edge layout S3/O3
+        # expects, CSR-style, straight off the scan)
+        w = w.sortBy(*sort) if isinstance(sort, list) else w.sortBy(key)
     if path:
         w = w.option("path", path)
     w.format("parquet").saveAsTable(table)

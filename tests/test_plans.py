@@ -298,3 +298,47 @@ def test_betweenness_expand_est_rows_measured(spark, monkeypatch):
         assert est in expected, f"expand got unmeasured est_rows={est}"
         # measured frontier exceeds the (tiny) threshold → must shuffle
         assert "BroadcastHashJoin" not in plan
+
+
+def test_bucketed_graph_roundtrip_zero_edge_exchange(spark, tmp_path):
+    """store_bucketed → from_bucketed is the cross-job amortization path:
+    the reloaded graph's expand join must shuffle ONLY the message side
+    (one Exchange; the bucketed scan reports HashPartitioning(src)), and
+    PageRank over the reloaded graph must equal PageRank over the original
+    bit for bit."""
+    from linkgraph.algos.pagerank import pagerank
+
+    pairs = [(i, (i + 3) % 60) for i in range(60)] + [(i, (i + 7) % 60) for i in range(60)]
+    g = LinkGraph.from_undirected(edges_df(spark, pairs), num_partitions=8)
+    g.store_bucketed("bk_edges", buckets=8, path=str(tmp_path / "bk_edges"))
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        g2 = LinkGraph.from_bucketed(spark, "bk_edges", persist=False)
+        msgs = g2.vertices().select(F.col("vid").alias("src"), F.lit(1.0).alias("w"))
+        joined = g2.expand(msgs, est_rows=10**9)
+        # message side shuffles to the bucket layout; edge side must not
+        assert _shuffles(joined) == 1
+        plan = _simple_plan(joined)
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+
+    try:
+        g3 = LinkGraph.from_bucketed(spark, "bk_edges")
+        pr_a = {r["vid"]: r["pr"] for r in pagerank(g, max_iter=5, tol=0.0).collect()}
+        pr_b = {r["vid"]: r["pr"] for r in pagerank(g3, max_iter=5, tol=0.0).collect()}
+        assert pr_a == pr_b
+        g3.unpersist()
+        # catalog-lost recovery: drop the identifier (what a new local
+        # session sees), re-register over the surviving bucketed files
+        spark.sql("DROP TABLE bk_edges")
+        g4 = LinkGraph.from_bucketed(
+            spark, "bk_edges", path=str(tmp_path / "bk_edges"), buckets=8
+        )
+        pr_c = {r["vid"]: r["pr"] for r in pagerank(g4, max_iter=5, tol=0.0).collect()}
+        assert pr_c == pr_a
+        g4.unpersist()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_edges")
