@@ -137,6 +137,23 @@ def run_suite(spark, sf_dir: str, sf: str) -> tuple[dict, dict]:
             walk_len=6, walks_per_seed=4, seed=42,
         ).count()
 
+    # ---- round-5 additions on the same graph
+    from linkgraph.algos.anf import anf_full
+    from linkgraph.operators.walks import node2vec_walks
+
+    with timed("anf_full_copurchase"):
+        # full-graph FM-sketch neighborhood function (fast xxhash lanes)
+        extras["anf_full_curve"] = [
+            (r["h"], r["nf"])
+            for r in anf_full(g1, k=16, max_h=8, hash_mode="fast").collect()
+        ]
+
+    with timed("node2vec512_copurchase"):
+        extras["node2vec_rows"] = node2vec_walks(
+            g1, sorted(g1.top_degree_vids(min(512, nv1))),
+            walk_len=6, p=0.25, q=4.0, walks_per_seed=2, seed=42,
+        ).count()
+
     g1.unpersist()
 
     with timed("sssp_weighted_copurchase"):
@@ -199,6 +216,15 @@ def run_suite(spark, sf_dir: str, sf: str) -> tuple[dict, dict]:
         )
         extras["minhash_pairs"] = dups.count()
         dups.unpersist()
+
+    # ---- embedding near-dup, banded production blocking (round 5)
+    from linkgraph.textops.dedup import embedding_near_duplicates_banded
+
+    with timed("embedding_near_dup_banded"):
+        extras["embedding_near_dup_pairs"] = embedding_near_duplicates_banded(
+            read_testdata(spark, sf_dir, "embeddings"),
+            threshold=0.3, bands=16, planes_per_band=8, seed=42,
+        ).count()
 
     return timings, extras
 

@@ -159,9 +159,25 @@ def node2vec_walks(
         hs = [h_copy(step, c) for c in range(copies)]
         return hs[0] if len(hs) == 1 else F.least(*hs)
 
-    tri_edges = graph.edges.select(
-        F.col("src").alias("_t_prev"), F.col("dst").alias("_t_dst"), F.lit(True).alias("_istri")
-    )
+    from linkgraph.graph import broadcast_threshold
+
+    def tri_edges_for(cur_state):
+        """Edges restricted to the CURRENT prev-set's adjacency.
+
+        The triangle mark joins candidates on (prev, dst); the raw edge
+        table is partitioned on src only, so joining it directly would
+        Exchange the FULL |E| rows every step.  A semi-join on src keeps
+        the edge side on its cached partitioning (zero edge Exchange —
+        the prev-set is byte-gated broadcast like expand's frontier) and
+        only the Σ deg(prev) surviving rows reach the two-column join."""
+        prev_set = cur_state.select(F.col("prev").alias("src")).distinct()
+        if n_walks * 16 < broadcast_threshold(spark):
+            prev_set = F.broadcast(prev_set)
+        return graph.edges.join(prev_set, "src", "left_semi").select(
+            F.col("src").alias("_t_prev"),
+            F.col("dst").alias("_t_dst"),
+            F.lit(True).alias("_istri"),
+        )
 
     cur = spark.createDataFrame(
         [
@@ -190,7 +206,7 @@ def node2vec_walks(
     for step in range(2, walk_len + 1):
         msgs = cur.select(F.col("vid").alias("src"), "seed", "walk", "prev")
         cand = graph.expand(msgs, est_rows=n_walks).join(
-            tri_edges,
+            tri_edges_for(cur),
             (F.col("prev") == F.col("_t_prev")) & (F.col("dst") == F.col("_t_dst")),
             "left",
         )
