@@ -36,7 +36,6 @@ from __future__ import annotations
 
 import math
 
-import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -180,3 +179,113 @@ def effective_diameter_from_curve(curve: list[tuple[int, float]], q: float = 0.9
             lo, hi = nfs[i - 1], v
             return float(hs[i - 1] + (target - lo) / max(hi - lo, 1e-12))
     return float(hs[-1])
+
+
+def _pow2_s_over_k(s: str, k: int, dialect: str) -> str:
+    """2^(s/k) as an exactly cross-engine-reproducible SQL expression.
+
+    `pow(2.0, s/k)` is NOT guaranteed bit-identical between the JVM
+    (Math.pow, 1-ulp spec) and DuckDB (libm), and the driver's value hash
+    compares floats after round(9) — a 1-ulp divergence sitting on a
+    rounding boundary would flake.  Instead decompose exactly:
+
+        2^(s/k) = C[s % k] * 2^(s div k),   C[i] = 2^(i/k)
+
+    The k constants ship as 17-significant-digit STRING literals cast to
+    double (strtod is correctly rounded in both engines → identical bits),
+    the power of two is an exact bigint shift, and double multiplication
+    is IEEE-exact-rounded everywhere — so both engines produce the SAME
+    double, bit for bit, before any rounding.
+    """
+    branches = " ".join(
+        f"WHEN {i} THEN CAST('{2.0 ** (i / k)!r}' AS DOUBLE)" for i in range(k)
+    )
+    if dialect == "spark":
+        shift = f"shiftleft(1L, cast(({s}) div {k} as int))"
+    else:
+        shift = f"(CAST(1 AS BIGINT) << CAST(({s}) // {k} AS INT))"
+    return f"((CASE (({s}) % {k}) {branches} END) * CAST({shift} AS DOUBLE))"
+
+
+def harmonic_projection_sql(k: int, max_h: int, dialect: str) -> str:
+    """hc = round(Σ_h (2^(s_h/k) − 2^(s_{h−1}/k))/h / φ, 6) as one
+    fixed-order expression (left-assoc sum, h ascending) over integer
+    columns s0..s{max_h} — the SAME text shape in Spark and DuckDB modulo
+    shift syntax, so the per-vertex floats agree bit-for-bit (see
+    `_pow2_s_over_k`)."""
+    terms = " + ".join(
+        f"({_pow2_s_over_k(f's{h}', k, dialect)}"
+        f" - {_pow2_s_over_k(f's{h - 1}', k, dialect)}) / {h}"
+        for h in range(1, max_h + 1)
+    )
+    return f"round(({terms}) / CAST('{_FM_PHI}' AS DOUBLE), 6)"
+
+
+def hyperball_harmonic(
+    graph: LinkGraph,
+    k: int = 8,
+    max_h: int = 8,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """(vid, hc): estimated harmonic centrality for EVERY vertex,
+    hc(v) = Σ_{h≥1} (|ball(v,h)| − |ball(v,h−1)|)/h, with ball sizes from
+    the same FM sketch lanes as anf_full — the HyperBall algorithm
+    [Boldi & Vigna, "In-Core Computation of Geometric Centralities with
+    HyperBall", WAW 2013], which is how harmonic centrality is computed on
+    billion-vertex graphs (the exact MS-BFS batch covers ≤512 sources per
+    pass; this covers ALL sources in max_h rounds).  On a symmetric
+    LinkGraph balls are symmetric; for digraph semantics feed the
+    transpose graph (in-balls), as HyperBall does.
+
+    Distributed shape: identical per-round cost to anf_full (one |E|
+    shuffle + one |V| merge).  The per-round integer S = Σ_j R_j is
+    appended to the state as a COLUMN (s0..s{max_h}), so the float
+    estimate arithmetic happens ONCE, in the final projection, as a
+    fixed-order cross-engine-exact expression (`harmonic_projection_sql`)
+    — the per-vertex output stays distributed end to end (no driver
+    collect of |V| rows).  Ball growth is monotone under bit_or, so the
+    estimate differences are nonnegative by construction.
+    """
+    if k < 1:
+        raise ValueError("hyperball_harmonic needs k >= 1 sketch lanes")
+    spark = graph.spark
+    n = graph.num_vertices()
+    mcols = [f"m{j}" for j in range(k)]
+
+    state = graph.vertices().select(
+        "vid", *[_fm_init_limb(j, hash_mode).alias(f"m{j}") for j in range(k)]
+    )
+    state = state.withColumn("s0", _s_expr(k)).localCheckpoint(eager=True)
+
+    with iteration_plan(spark):
+        for h in range(1, max_h + 1):
+            msgs = state.select(F.col("vid").alias("src"), *[
+                F.col(m).alias(f"v{j}") for j, m in enumerate(mcols)
+            ])
+            agg = (
+                graph.expand(msgs, est_rows=n)
+                .groupBy("dst")
+                .agg(*[F.bit_or(f"v{j}").alias(f"a{j}") for j in range(k)])
+            )
+            joined = state.join(agg, state["vid"] == agg["dst"], "left")
+            sel = [state["vid"]] + [
+                F.expr(f"m{j} | coalesce(a{j}, 0L)").alias(f"m{j}") for j in range(k)
+            ]
+            sel += [F.col(f"s{i}") for i in range(h)]
+            prev = state
+            state = (
+                joined.select(*sel)
+                .withColumn(f"s{h}", _s_expr(k))
+                .localCheckpoint(eager=False)
+            )
+            state.count()  # materialize the round; truncates lineage
+            try:
+                prev.unpersist()
+            except Exception:
+                pass
+
+    out = state.select(
+        F.col("vid").cast("long").alias("vid"),
+        F.expr(harmonic_projection_sql(k, max_h, "spark")).alias("hc"),
+    )
+    return out

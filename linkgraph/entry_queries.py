@@ -253,18 +253,11 @@ def q_anf_full(spark, sf_dir):
     return anf_full(g, k=ANF_FULL_K, max_h=ANF_FULL_H, hash_mode="portable")
 
 
-def _anf_full_sql(k: int, levels: int) -> str:
-    """Unrolled FM-sketch propagation oracle.
-
-    The first-cut oracle derived sketches from an all-pairs recursive-CTE
-    distance closure — fully independent, but Θ(|V|²·deg) join probes made
-    it 519 s at sf0.01 (1.6 s at sf0.001).  This form instead unrolls the
-    propagation m_h(v) = m_{{h-1}}(v) | bit_or(m_{{h-1}}(neighbors)) level
-    by level, the same MATERIALIZED-step pattern as the betweenness
-    oracle: Θ(levels·|E|·k) — 2 s at sf0.01.  The sketches are provably
-    equal to the ball form (OR is idempotent/monotone), and the bit-level
-    ball-sketch equivalence is independently pytest-checked against a pure
-    numpy all-pairs oracle on the ER fixture (tests/test_newalgos.py)."""
+def _fm_rs_cte(k: int, levels: int) -> str:
+    """Shared DuckDB prologue for the FM-sketch oracles: copurchase edges,
+    md5 lane init, `levels` unrolled bit_or propagation steps, ending in
+    `rs(h, v, S)` — the per-vertex lowest-zero-bit sum at every depth.
+    Used by both the anf_full and hyperball_harmonic oracles."""
     steps = []
     for h in range(1, levels + 1):
         steps.append(
@@ -298,7 +291,22 @@ m0 AS MATERIALIZED (
 {step_sql},
 allm AS ({per_h}),
 rs AS (SELECT h, v, SUM(bit_count(xor(m, m + 1)) - 1) AS S
-       FROM allm GROUP BY h, v),
+       FROM allm GROUP BY h, v)"""
+
+
+def _anf_full_sql(k: int, levels: int) -> str:
+    """Unrolled FM-sketch propagation oracle.
+
+    The first-cut oracle derived sketches from an all-pairs recursive-CTE
+    distance closure — fully independent, but Θ(|V|²·deg) join probes made
+    it 519 s at sf0.01 (1.6 s at sf0.001).  This form instead unrolls the
+    propagation m_h(v) = m_{h-1}(v) | bit_or(m_{h-1}(neighbors)) level
+    by level, the same MATERIALIZED-step pattern as the betweenness
+    oracle: Θ(levels·|E|·k) — 2 s at sf0.01.  The sketches are provably
+    equal to the ball form (OR is idempotent/monotone), and the bit-level
+    ball-sketch equivalence is independently pytest-checked against a pure
+    numpy all-pairs oracle on the ER fixture (tests/test_newalgos.py)."""
+    return f"""{_fm_rs_cte(k, levels)},
 hist AS (SELECT h, S, COUNT(*) AS c FROM rs GROUP BY h, S)
 SELECT CAST(h AS INT) AS h,
        ROUND(SUM(c * POW(2, S / {k}.0)) / 0.77351, 3) AS nf
@@ -306,7 +314,42 @@ FROM hist GROUP BY h ORDER BY h
 """
 
 
+def _hyperball_sql(k: int, levels: int) -> str:
+    """HyperBall-harmonic oracle: same unrolled FM propagation, then the
+    per-vertex S values pivot into columns s0..s{levels} and feed the SAME
+    fixed-order exact-float projection the Spark side uses
+    (`anf.harmonic_projection_sql` — shift-decomposed 2^(S/k), string-cast
+    constants), so the per-vertex hc doubles agree bit for bit."""
+    from linkgraph.algos.anf import harmonic_projection_sql
+
+    pivots = ",\n       ".join(
+        f"MAX(CASE WHEN h = {h} THEN S END) AS s{h}" for h in range(levels + 1)
+    )
+    return f"""{_fm_rs_cte(k, levels)},
+sv AS (SELECT v,
+       {pivots}
+       FROM rs GROUP BY v)
+SELECT CAST(v AS BIGINT) AS vid,
+       {harmonic_projection_sql(k, levels, 'duck')} AS hc
+FROM sv
+"""
+
+
 SQL_ANF_FULL = _anf_full_sql(ANF_FULL_K, ANF_FULL_H)
+SQL_HYPERBALL = _hyperball_sql(ANF_FULL_K, ANF_FULL_H)
+
+
+def q_hyperball_harmonic(spark, sf_dir):
+    """Per-vertex harmonic centrality over ALL vertices via HyperBall
+    [Boldi & Vigna 2013] FM-sketch lanes — the scale path for "harmonic
+    centrality of every vertex" that the exact 512-source MS-BFS batch
+    cannot give on a 10^9-vertex graph.  Portable md5 hash family + the
+    exact shift-decomposed float projection make the per-vertex estimates
+    hash-match DuckDB bit for bit (same protocol as `anf_full`)."""
+    from linkgraph.algos.anf import hyperball_harmonic
+
+    g = copurchase_graph(spark, sf_dir)
+    return hyperball_harmonic(g, k=ANF_FULL_K, max_h=ANF_FULL_H, hash_mode="portable")
 
 
 BETW_LEVELS = 8  # forward-pass unroll depth shared with the SQL oracle
@@ -1957,6 +2000,7 @@ QUERIES = {
     "bfs_distances": q_bfs_distances,
     "anf": q_anf,
     "anf_full": q_anf_full,
+    "hyperball_harmonic": q_hyperball_harmonic,
     "eccentricity": q_eccentricity,
     "betweenness": q_betweenness,
     "closeness": q_closeness,
@@ -2014,6 +2058,7 @@ ORACLES = {
     "bfs_distances": SQL_BFS_DISTANCES,
     "anf": SQL_ANF,
     "anf_full": SQL_ANF_FULL,
+    "hyperball_harmonic": SQL_HYPERBALL,
     "eccentricity": SQL_ECCENTRICITY,
     "betweenness": SQL_BETWEENNESS,
     "closeness": SQL_CLOSENESS,

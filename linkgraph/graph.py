@@ -164,17 +164,33 @@ def iteration_plan(spark):
     frontier/state side is a bounded hash map (at most |V| rows), and SHJ
     streams the co-partitioned edge side without the per-iteration sort
     SMJ would insert.
+
+    Constraint propagation is OFF in the loop: Catalyst's
+    ``getAllValidConstraints`` substitutes every Project alias into every
+    inherited constraint, and for wide multi-lane state Projects (k sketch
+    limbs each aliased from an expression over the SAME join output, plus
+    a sum column referencing all k of them — the anf/hyperball shape) the
+    alias-combination set grows combinatorially in k.  Measured on a
+    120-vertex fixture: planning ONE hyperball round at k=16 took 8.7s,
+    k=24 OOMed an 8 GiB driver heap inside ExpressionSet.map; with the
+    flag off, the full k=64 × 10-round job runs in 28s end to end.  The
+    constraints only add redundant inferred IsNotNull/filter predicates on
+    hand-shaped plans, so nothing is lost inside the loop; ad-hoc queries
+    keep the session default.
     """
     conf = spark.conf
     old_aqe = conf.get("spark.sql.adaptive.enabled")
     old_smj = conf.get("spark.sql.join.preferSortMergeJoin", "true")
+    old_cp = conf.get("spark.sql.constraintPropagation.enabled", "true")
     conf.set("spark.sql.adaptive.enabled", "false")
     conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    conf.set("spark.sql.constraintPropagation.enabled", "false")
     try:
         yield
     finally:
         conf.set("spark.sql.adaptive.enabled", old_aqe)
         conf.set("spark.sql.join.preferSortMergeJoin", old_smj)
+        conf.set("spark.sql.constraintPropagation.enabled", old_cp)
 
 
 class LinkGraph:

@@ -511,6 +511,105 @@ def test_anf_full_error_bound_and_flat_tail(er):
     assert 1.0 <= ed <= 6.0
 
 
+def test_hyperball_harmonic_bit_exact_vs_ball_oracle(er):
+    """Per-vertex HyperBall hc vs an exact BFS-ball sketch oracle: the
+    sketches come from exact balls (independent of the engine's per-level
+    propagation) and the float projection is recomputed in Python with the
+    SAME exact shift-decomposition — so this checks init, propagation,
+    per-vertex S accounting, and the cross-engine float path at the bit
+    level."""
+    import hashlib
+
+    from linkgraph.algos.anf import hyperball_harmonic
+
+    k, max_h = 8, 6
+    adj = _adj()
+
+    def limb(v, j):
+        h = int(hashlib.md5(f"{v}#anf#{j}".encode()).hexdigest()[:15], 16)
+        if h == 0:
+            return 1 << 59
+        return 1 << ((h & -h).bit_length() - 1)
+
+    consts = [2.0 ** (i / k) for i in range(k)]
+
+    def pow2(s):
+        return consts[s % k] * float(1 << (s // k))
+
+    exp = {}
+    for src in adj:
+        dist = {src: 0}
+        q = collections.deque([src])
+        while q:
+            v = q.popleft()
+            if dist[v] >= max_h:
+                continue
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+        ss = []
+        for h in range(max_h + 1):
+            S = 0
+            for j in range(k):
+                m = 0
+                for v, d in dist.items():
+                    if d <= h:
+                        m |= limb(v, j)
+                r = 0
+                while (m >> r) & 1:
+                    r += 1
+                S += r
+            ss.append(S)
+        hc = 0.0
+        for h in range(1, max_h + 1):
+            hc = hc + (pow2(ss[h]) - pow2(ss[h - 1])) / h
+        exp[src] = hc / 0.77351
+
+    got = {
+        r["vid"]: r["hc"]
+        for r in hyperball_harmonic(er, k=k, max_h=max_h).collect()
+    }
+    assert set(got) == set(exp)
+    for v, hc in exp.items():
+        assert abs(got[v] - round(hc, 6)) < 1e-9, (v, got[v], hc)
+        assert got[v] >= 0.0
+
+
+def test_hyperball_tracks_exact_harmonic_rank(er):
+    """k=64 lanes: HyperBall estimates correlate with the exact per-vertex
+    harmonic centrality (Spearman > 0.8 on the ER fixture) — the
+    estimator-quality claim, separate from the bit-level plumbing test."""
+    from linkgraph.algos.anf import hyperball_harmonic
+
+    adj = _adj()
+    exact = {}
+    for src in adj:
+        dist = {src: 0}
+        q = collections.deque([src])
+        while q:
+            v = q.popleft()
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+        exact[src] = sum(1.0 / d for v, d in dist.items() if d > 0)
+
+    got = {
+        r["vid"]: r["hc"]
+        for r in hyperball_harmonic(er, k=64, max_h=10).collect()
+    }
+
+    def ranks(d):
+        order = sorted(d, key=d.__getitem__)
+        return {v: i for i, v in enumerate(order)}
+    ra, rb = ranks(exact), ranks(got)
+    n = len(ra)
+    num = sum((ra[v] - rb[v]) ** 2 for v in ra)
+    rho = 1 - 6 * num / (n * (n * n - 1))
+    assert rho > 0.8, rho
+
+
 # ----------------------------------------------------------- node2vec walks
 def _n2v_python_oracle(adj, seeds, walk_len, p, q, walks_per_seed, seed):
     """Pure-python mirror of the integer-copy hash-argmin step rule."""
