@@ -74,3 +74,67 @@ def graph_stats(graph: LinkGraph, round_to: int = 6) -> DataFrame:
         ).alias("assortativity"),
     )
     return r
+
+
+def community_modularity(graph: LinkGraph, labels: DataFrame) -> DataFrame:
+    """Per-community Newman modularity decomposition over a symmetric edge
+    table: for each community c,
+
+        q_c = in_c / M  -  (d_c / M)^2
+
+    where M = |directed edges| = 2m, in_c = directed edges with BOTH
+    endpoints in c, d_c = sum of member degrees.  Σ_c q_c is the classic
+    undirected modularity Q — the standard fitness score for any label
+    assignment (LPA, Louvain, metadata communities).
+
+    Returns (label, n_vertices, internal_edges, degree_sum, q_contrib)
+    with q_contrib rounded to 6 (exact BIGINT counts divided as IEEE
+    doubles — same two flops in any engine, so oracle-stable).
+
+    Scale shape: one co-partitioned join puts lab(src) on the edge list
+    (no edge shuffle off the src-partitioned store); the dst-side label
+    arrives by a second hash join whose build side is the |V|-row label
+    table; the per-community counts then map-side combine to ≤|C| rows.
+    M rides in as a broadcast scalar, never a driver round-trip inside
+    the plan.  labels must cover every vertex (LPA/CC output does).
+    """
+    if graph.symmetric is False:
+        raise ValueError("community_modularity expects a symmetric graph")
+    lab = labels.select(F.col("vid").cast("long").alias("vid"), "label")
+    e = graph.edges.select("src", "dst")
+    m_row = e.groupBy().agg(F.count("*").cast("double").alias("M"))
+
+    internal = (
+        e.join(lab.withColumnRenamed("vid", "src").withColumnRenamed("label", "ls"), "src")
+        .join(lab.withColumnRenamed("vid", "dst").withColumnRenamed("label", "ld"), "dst")
+        .where(F.col("ls") == F.col("ld"))
+        .groupBy(F.col("ls").alias("label"))
+        .agg(F.count("*").alias("internal_edges"))
+    )
+    comm = (
+        graph.degrees()
+        .join(lab, "vid")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vertices"),
+            F.sum("deg").alias("degree_sum"),
+        )
+    )
+    return (
+        comm.join(internal, "label", "left")
+        .crossJoin(F.broadcast(m_row))
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.col("n_vertices").cast("long").alias("n_vertices"),
+            F.coalesce(F.col("internal_edges"), F.lit(0))
+            .cast("long")
+            .alias("internal_edges"),
+            F.col("degree_sum").cast("long").alias("degree_sum"),
+            F.round(
+                F.coalesce(F.col("internal_edges"), F.lit(0)) / F.col("M")
+                - (F.col("degree_sum") / F.col("M"))
+                * (F.col("degree_sum") / F.col("M")),
+                6,
+            ).alias("q_contrib"),
+        )
+    )

@@ -1992,6 +1992,306 @@ GROUP BY r1.v
 """
 
 
+# --------------------------------------------------- round-5 widening wave
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-doc repetition/format quality — zero-shuffle
+    pure projection (top-bigram multiplicity is a fold over the sorted
+    bigram array, no explode)."""
+    from linkgraph.textops.textstats import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+SQL_REPETITION_STATS = f"""
+WITH l AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> LENGTH(x) > 0) AS lines,
+         {_SQL_TOKENS} AS ts
+  FROM documents),
+m AS (
+  SELECT doc_id, len(lines) AS n_lines, len(list_distinct(lines)) AS n_dist,
+         len(list_filter(lines, x -> regexp_matches(x, '^[-*•]'))) AS n_bul,
+         len(list_filter(lines, x -> regexp_matches(x, '(\\.\\.\\.|…)$'))) AS n_ell,
+         CASE WHEN len(ts) >= 2
+              THEN list_sort(list_transform(range(1, len(ts)),
+                                            i -> ts[i] || ' ' || ts[i + 1]))
+              ELSE [] END AS bg
+  FROM l),
+bx AS (SELECT doc_id, unnest(bg) AS g FROM m),
+top AS (
+  SELECT doc_id, MAX(c) AS topc FROM (
+    SELECT doc_id, g, COUNT(*) AS c FROM bx GROUP BY doc_id, g)
+  GROUP BY doc_id),
+r AS (
+  SELECT m.doc_id AS doc_id,
+    CAST(n_lines AS BIGINT) AS n_lines,
+    ROUND(CASE WHEN n_lines > 0 THEN (n_lines - n_dist) / CAST(n_lines AS DOUBLE)
+               ELSE 0.0 END, 4) AS dup_line_ratio,
+    ROUND(CASE WHEN len(bg) > 0 THEN COALESCE(t.topc, 0) / CAST(len(bg) AS DOUBLE)
+               ELSE 0.0 END, 4) AS top_bigram_ratio,
+    ROUND(CASE WHEN n_lines > 0 THEN n_bul / CAST(n_lines AS DOUBLE)
+               ELSE 0.0 END, 4) AS bullet_line_ratio,
+    ROUND(CASE WHEN n_lines > 0 THEN n_ell / CAST(n_lines AS DOUBLE)
+               ELSE 0.0 END, 4) AS ellipsis_line_ratio
+  FROM m LEFT JOIN top t ON t.doc_id = m.doc_id)
+SELECT doc_id, n_lines, dup_line_ratio, top_bigram_ratio, bullet_line_ratio,
+       ellipsis_line_ratio,
+       (dup_line_ratio > 0.30 OR top_bigram_ratio > 0.18
+        OR bullet_line_ratio > 0.90 OR ellipsis_line_ratio > 0.30) AS flagged
+FROM r
+"""
+
+
+CONTAM_N = 5  # shared word-n-gram width between engine and oracle
+
+
+def q_contamination(spark, sf_dir):
+    """Cross-split n-gram contamination audit: every eval doc's distinct
+    5-gram overlap with the train split (hash-split 80/20, the same md5
+    buckets as hash_split)."""
+    from linkgraph.textops.dedup import contamination_check
+
+    return contamination_check(
+        _t(spark, sf_dir, "documents"), n=CONTAM_N, train_frac=0.8
+    )
+
+
+SQL_CONTAMINATION = f"""
+WITH base AS (
+  SELECT doc_id,
+    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 15) AS BIGINT)
+      % 10000 < 8000 AS is_train,
+    {_SQL_TOKENS} AS ts
+  FROM documents),
+sh AS (
+  SELECT doc_id, is_train,
+    CASE WHEN len(ts) >= {CONTAM_N}
+         THEN list_transform(range(1, len(ts) - {CONTAM_N} + 2),
+              i -> CAST('0x' || substr(md5(array_to_string(
+                     list_slice(ts, i, i + {CONTAM_N} - 1), ' ')), 1, 15) AS BIGINT))
+         ELSE [] END AS shl
+  FROM base),
+tr AS (SELECT DISTINCT unnest(shl) AS h FROM sh WHERE is_train),
+evs AS (SELECT DISTINCT doc_id, unnest(shl) AS h FROM sh WHERE NOT is_train),
+tot AS (SELECT doc_id, COUNT(*) AS n_sh FROM evs GROUP BY doc_id),
+hit AS (SELECT doc_id, COUNT(*) AS n_hit FROM evs
+        WHERE h IN (SELECT h FROM tr) GROUP BY doc_id)
+SELECT CAST(e.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(t.n_sh, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(ht.n_hit, 0) AS BIGINT) AS n_hit,
+       ROUND(CASE WHEN COALESCE(t.n_sh, 0) > 0
+                  THEN COALESCE(ht.n_hit, 0) / CAST(t.n_sh AS DOUBLE)
+                  ELSE 0.0 END, 4) AS contamination_ratio
+FROM (SELECT doc_id FROM sh WHERE NOT is_train) e
+LEFT JOIN tot t ON t.doc_id = e.doc_id
+LEFT JOIN hit ht ON ht.doc_id = e.doc_id
+"""
+
+
+def q_community_modularity(spark, sf_dir):
+    """Per-community modularity decomposition of the LPA labels on the
+    user graph — Σ q_contrib is Newman's Q for the assignment."""
+    from linkgraph.algos.gstats import community_modularity
+    from linkgraph.algos.labelprop import label_propagation
+
+    # events_user_edges is its own transpose by construction (both
+    # directions of every shared-key pair) — declare it so the symmetric-
+    # graph preconditions of modularity/MIS hold.
+    g = LinkGraph(derive.events_user_edges(_t(spark, sf_dir, "events")), symmetric=True)
+    labels = label_propagation(g, max_iter=LPA_ITERS)
+    return community_modularity(g, labels)
+
+
+def _modularity_oracle_sql(iters: int) -> str:
+    lpa = _lpa_oracle_sql(iters)
+    head, _, _ = lpa.rpartition("\nSELECT")
+    return (
+        head
+        + f""",
+lab AS MATERIALIZED (SELECT vid, label FROM l{iters}),
+mm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS M FROM e),
+deg AS (SELECT src AS vid, COUNT(*) AS deg FROM e GROUP BY src),
+internal AS (
+  SELECT a.label AS label, COUNT(*) AS internal_edges
+  FROM e JOIN lab a ON a.vid = e.src JOIN lab b ON b.vid = e.dst
+  WHERE a.label = b.label GROUP BY a.label),
+comm AS (
+  SELECT label, COUNT(*) AS n_vertices, SUM(deg) AS degree_sum
+  FROM deg JOIN lab ON lab.vid = deg.vid GROUP BY label)
+SELECT CAST(c.label AS BIGINT) AS label,
+       CAST(c.n_vertices AS BIGINT) AS n_vertices,
+       CAST(COALESCE(i.internal_edges, 0) AS BIGINT) AS internal_edges,
+       CAST(c.degree_sum AS BIGINT) AS degree_sum,
+       ROUND(COALESCE(i.internal_edges, 0) / mm.M
+             - (c.degree_sum / mm.M) * (c.degree_sum / mm.M), 6) AS q_contrib
+FROM comm c LEFT JOIN internal i ON i.label = c.label CROSS JOIN mm
+"""
+    )
+
+
+SQL_COMMUNITY_MODULARITY = _modularity_oracle_sql(LPA_ITERS)
+
+
+MIS_ROUNDS = 8  # shared Luby-round budget between engine and unrolled oracle
+
+
+def q_maximal_independent_set(spark, sf_dir):
+    """Deterministic Luby MIS on the user graph — every round is the
+    hash-priority argmin over undecided neighborhoods, so the unrolled
+    DuckDB oracle reproduces the set bit-for-bit."""
+    from linkgraph.algos.mis import maximal_independent_set
+
+    g = LinkGraph(derive.events_user_edges(_t(spark, sf_dir, "events")), symmetric=True)
+    return maximal_independent_set(g, rounds=MIS_ROUNDS)
+
+
+def _mis_oracle_sql(rounds: int) -> str:
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(f"""
+p{r} AS MATERIALIZED (
+  SELECT vid,
+         CAST('0x' || substr(md5('{r}:' || CAST(vid AS VARCHAR)), 1, 15) AS BIGINT) AS p
+  FROM u{r - 1}),
+n{r} AS MATERIALIZED (
+  SELECT e.src AS vid, MIN(b.p) AS mn
+  FROM e JOIN p{r} b ON b.vid = e.dst GROUP BY e.src),
+w{r} AS MATERIALIZED (
+  SELECT a.vid AS vid, {r} AS joined_round
+  FROM p{r} a LEFT JOIN n{r} n ON n.vid = a.vid
+  WHERE n.mn IS NULL OR a.p < n.mn),
+x{r} AS MATERIALIZED (SELECT DISTINCT e.dst AS vid FROM e JOIN w{r} w ON w.vid = e.src),
+u{r} AS MATERIALIZED (
+  SELECT vid FROM u{r - 1}
+  WHERE vid NOT IN (SELECT vid FROM w{r}) AND vid NOT IN (SELECT vid FROM x{r}))""")
+    winners = " UNION ALL ".join(
+        f"SELECT vid, joined_round FROM w{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        f"WITH {_USER_E_MAT},\n"
+        "u0 AS MATERIALIZED (SELECT DISTINCT src AS vid FROM e),"
+        + ",".join(steps)
+        + f"\nSELECT CAST(vid AS BIGINT) AS vid, CAST(joined_round AS INT) AS joined_round"
+        f" FROM ({winners})"
+    )
+
+
+SQL_MAXIMAL_INDEPENDENT_SET = _mis_oracle_sql(MIS_ROUNDS)
+
+
+COLOR_ROUNDS = 8  # shared Jones-Plassmann round budget (engine == oracle)
+
+
+def q_greedy_coloring(spark, sf_dir):
+    """Deterministic Jones-Plassmann greedy coloring on the user graph —
+    fixed md5 priorities, per-round winners are a Luby independent set,
+    smallest-free-color read off a 64-bit used mask; the unrolled DuckDB
+    oracle reproduces every round bit-for-bit."""
+    from linkgraph.algos.coloring import greedy_coloring
+
+    g = LinkGraph(derive.events_user_edges(_t(spark, sf_dir, "events")), symmetric=True)
+    return greedy_coloring(g, rounds=COLOR_ROUNDS)
+
+
+def _coloring_oracle_sql(rounds: int) -> str:
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(f"""
+p{r} AS MATERIALIZED (
+  SELECT vid, used,
+         CAST('0x' || substr(md5('c:' || CAST(vid AS VARCHAR)), 1, 15) AS BIGINT) AS p
+  FROM s{r - 1}),
+n{r} AS MATERIALIZED (
+  SELECT e.src AS vid, MIN(b.p) AS mn
+  FROM e JOIN p{r} b ON b.vid = e.dst GROUP BY e.src),
+w{r} AS MATERIALIZED (
+  SELECT a.vid AS vid,
+         bit_count((~a.used & (a.used + 1)) - 1) AS color,
+         {r} AS colored_round
+  FROM p{r} a LEFT JOIN n{r} n ON n.vid = a.vid
+  WHERE n.mn IS NULL OR a.p < n.mn),
+x{r} AS MATERIALIZED (
+  SELECT e.dst AS vid, bit_or(1::BIGINT << w.color) AS nb
+  FROM e JOIN w{r} w ON w.vid = e.src GROUP BY e.dst),
+s{r} AS MATERIALIZED (
+  SELECT s.vid AS vid, s.used | COALESCE(x.nb, 0) AS used
+  FROM s{r - 1} s LEFT JOIN x{r} x ON x.vid = s.vid
+  WHERE s.vid NOT IN (SELECT vid FROM w{r}))""")
+    winners = " UNION ALL ".join(
+        f"SELECT vid, color, colored_round FROM w{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        f"WITH {_USER_E_MAT},\n"
+        "s0 AS MATERIALIZED (SELECT DISTINCT src AS vid, 0::BIGINT AS used FROM e),"
+        + ",".join(steps)
+        + "\nSELECT CAST(vid AS BIGINT) AS vid, CAST(color AS INT) AS color,"
+        " CAST(colored_round AS INT) AS colored_round"
+        f" FROM ({winners})"
+    )
+
+
+SQL_GREEDY_COLORING = _coloring_oracle_sql(COLOR_ROUNDS)
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction over the documents table — zero-shuffle projection.
+
+    The synthetic corpus carries no organic PII, so the query first
+    plants deterministic doc_id-derived email/IP/phone strings (same
+    expression in the oracle); the hash match then certifies the full
+    regex surface — counts AND scrubbed bytes — is engine-portable."""
+    from linkgraph.textops.pii import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-010"),
+                F.col("doc_id").cast("string"),
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return pii_scrub(docs)
+
+
+SQL_PII_SCRUB = """
+WITH aug AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0
+         THEN text || ' contact u' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-010' || CAST(doc_id AS VARCHAR)
+              || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+         ELSE text END AS text
+  FROM documents),
+s1 AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM aug),
+s2 AS (
+  SELECT doc_id, n_emails,
+    len(regexp_extract_all(t1, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ipv4,
+    regexp_replace(t1, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') AS t2
+  FROM s1)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(n_emails AS BIGINT) AS n_emails,
+  CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(t2, '\\+?[0-9][0-9() -]{6,}[0-9]\\b')) AS BIGINT) AS n_phones,
+  CAST(n_emails + n_ipv4
+       + len(regexp_extract_all(t2, '\\+?[0-9][0-9() -]{6,}[0-9]\\b')) AS BIGINT) AS n_pii,
+  regexp_replace(t2, '\\+?[0-9][0-9() -]{6,}[0-9]\\b', '<PHONE>', 'g') AS clean_text
+FROM s2
+"""
+
+
 QUERIES = {
     "degree_topk": q_degree_topk,
     "edges_shared_key": q_edges_shared_key,
@@ -2048,6 +2348,12 @@ QUERIES = {
     "quantiles_acctbal": q_quantiles_acctbal,
     "cube_orders": q_cube_orders,
     "scc": q_scc,
+    "repetition_stats": q_repetition_stats,
+    "contamination": q_contamination,
+    "community_modularity": q_community_modularity,
+    "maximal_independent_set": q_maximal_independent_set,
+    "pii_scrub": q_pii_scrub,
+    "greedy_coloring": q_greedy_coloring,
 }
 
 ORACLES = {
@@ -2106,6 +2412,12 @@ ORACLES = {
     "quantiles_acctbal": SQL_QUANTILES_ACCTBAL,
     "cube_orders": SQL_CUBE_ORDERS,
     "scc": SQL_SCC,
+    "repetition_stats": SQL_REPETITION_STATS,
+    "contamination": SQL_CONTAMINATION,
+    "community_modularity": SQL_COMMUNITY_MODULARITY,
+    "maximal_independent_set": SQL_MAXIMAL_INDEPENDENT_SET,
+    "pii_scrub": SQL_PII_SCRUB,
+    "greedy_coloring": SQL_GREEDY_COLORING,
 }
 
 

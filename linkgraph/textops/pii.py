@@ -1,0 +1,68 @@
+"""PII detection and redaction over the documents table.
+
+The scrub every LLM training-data pipeline runs before text leaves the
+ingest zone: find emails / IPv4s / phone-shaped digit runs, count them
+per document, and replace them with typed placeholder tokens.
+
+Spark-first shape: the whole operator is ONE pure projection — three
+`regexp_extract_all` counts and three chained `regexp_replace` passes,
+all JVM-side codegen expressions.  Zero shuffle, zero UDF, zero state:
+each document is scrubbed where it already sits, so at 100 TB the plan
+is exactly one mapper wave over the parquet scan with `text` as the
+only wide column read (column pruning keeps the rest out of the scan).
+
+Pattern portability: the three regexes use only syntax shared by Java
+`java.util.regex` (Spark codegen) and RE2 (DuckDB) — character classes,
+bounded repetition, `\\b` word boundaries, no lookaround, no
+backreferences — so the DuckDB oracle (`regexp_replace(..., 'g')`,
+`len(regexp_extract_all(...))`) reproduces counts and scrubbed text
+byte-for-byte.  Replacement order is fixed (email → ipv4 → phone) in
+both engines: an email's digits can never be re-matched as a phone
+because the email token is swapped out first.
+
+Redaction is deliberately pattern-level, not NER-level: names and
+addresses need a model pass (the multimodal-style plug-in point); the
+regex layer is the deterministic, auditable floor that runs on every
+byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Shared Java-regex/RE2 subset — see module docstring.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+# +optional country code, then >=8 total digits allowing separators -, space, ().
+PHONE_RE = r"\+?[0-9][0-9() -]{6,}[0-9]\b"
+
+EMAIL_TOKEN = "<EMAIL>"
+IPV4_TOKEN = "<IP>"
+PHONE_TOKEN = "<PHONE>"
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Returns (doc_id, n_emails, n_ipv4, n_phones, n_pii, clean_text)
+    for every document; `clean_text` has each match replaced by its
+    typed token.  Counts and replacements follow the same chain
+    (email → ipv4 → phone): each stage counts on the previous stage's
+    scrubbed text, so an email's digit run is never double-counted as
+    a phone.  Order-stable across engines."""
+    t = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0))
+    no_email = F.regexp_replace(t, EMAIL_RE, EMAIL_TOKEN)
+    n_ip = F.size(F.regexp_extract_all(no_email, F.lit(IPV4_RE), 0))
+    no_ip = F.regexp_replace(no_email, IPV4_RE, IPV4_TOKEN)
+    n_phone = F.size(F.regexp_extract_all(no_ip, F.lit(PHONE_RE), 0))
+    clean = F.regexp_replace(no_ip, PHONE_RE, PHONE_TOKEN)
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        n_email.cast("long").alias("n_emails"),
+        n_ip.cast("long").alias("n_ipv4"),
+        n_phone.cast("long").alias("n_phones"),
+        (n_email + n_ip + n_phone).cast("long").alias("n_pii"),
+        clean.alias("clean_text"),
+    )

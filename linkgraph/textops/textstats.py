@@ -232,3 +232,86 @@ def fingerprint(docs: DataFrame, text_col: str = "text", window: int = 16) -> Da
     return docs.select(F.col("doc_id").cast("long"), F.col(text_col)).mapInArrow(
         kernel, "doc_id long, fp long"
     )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition / format quality signals:
+    (doc_id, n_lines, dup_line_ratio, top_bigram_ratio, bullet_line_ratio,
+    ellipsis_line_ratio, flagged).
+
+    * dup_line_ratio — fraction of non-blank lines that are repeats of
+      another line in the same document (1 - distinct/total).
+    * top_bigram_ratio — fraction of word-bigram occurrences taken by the
+      single most frequent bigram.  Computed as a fold over the SORTED
+      bigram array (longest equal run == max multiplicity), so the whole
+      operator is a pure projection: zero shuffle, zero explode — each
+      document is scored where it already sits, which is the only shape
+      that holds at corpus scale.
+    * bullet/ellipsis line ratios — the Rae et al. (Gopher, 2021) format
+      heuristics for list-like / truncated scrape artifacts.
+    * flagged — the published Gopher thresholds (dup lines > 0.30,
+      top bigram > 0.18, bullets > 0.90, ellipsis > 0.30).
+
+    All ratios are exact integer-count divisions rounded to 4, so the
+    DuckDB oracle reproduces them bit-for-bit.
+    """
+    t = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    n_lines = F.size(lines)
+    n_dist = F.size(F.array_distinct(lines))
+    dup_ratio = F.when(n_lines > 0, (n_lines - n_dist) / n_lines).otherwise(F.lit(0.0))
+    bullets = F.size(F.filter(lines, lambda x: x.rlike("^[-*•]")))
+    ellipsis = F.size(F.filter(lines, lambda x: x.rlike("(\\.\\.\\.|…)$")))
+    bullet_ratio = F.when(n_lines > 0, bullets / n_lines).otherwise(F.lit(0.0))
+    ellipsis_ratio = F.when(n_lines > 0, ellipsis / n_lines).otherwise(F.lit(0.0))
+
+    toks = F.regexp_extract_all(F.lower(t), F.lit(TOKEN_RE), 0)
+    n_tok = F.size(toks)
+    bigrams = F.when(
+        n_tok >= 2,
+        F.sort_array(
+            F.transform(
+                F.sequence(F.lit(1), n_tok - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # longest equal run in the sorted array = multiplicity of the mode
+    run = F.aggregate(
+        bigrams,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    n_big = F.size(bigrams)
+    top_big = F.when(n_big > 0, run / n_big).otherwise(F.lit(0.0))
+
+    dup_r = F.round(dup_ratio, 4)
+    top_r = F.round(top_big, 4)
+    bul_r = F.round(bullet_ratio, 4)
+    ell_r = F.round(ellipsis_ratio, 4)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n_lines.cast("long").alias("n_lines"),
+        dup_r.alias("dup_line_ratio"),
+        top_r.alias("top_bigram_ratio"),
+        bul_r.alias("bullet_line_ratio"),
+        ell_r.alias("ellipsis_line_ratio"),
+        (
+            (dup_r > 0.30) | (top_r > 0.18) | (bul_r > 0.90) | (ell_r > 0.30)
+        ).alias("flagged"),
+    )
