@@ -2234,6 +2234,67 @@ s{r} AS MATERIALIZED (
 SQL_GREEDY_COLORING = _coloring_oracle_sql(COLOR_ROUNDS)
 
 
+TEMPORAL_W = 600  # contact window (s) shared between engine and oracle
+TEMPORAL_ROUNDS = 6  # shared relaxation budget (fixpoint-stable beyond it)
+
+
+def q_temporal_reach(spark, sf_dir):
+    """Time-respecting earliest-arrival reachability over contact edges
+    (same event_type within 600 s, contact at the later timestamp) from
+    the deterministic source set user_id % 37 == 0.  Static reachability
+    overstates temporal reachability; this is the propagation-question
+    operator.  Banded interval self-join derivation — never a cross
+    product."""
+    from linkgraph.operators.temporal import earliest_arrival, temporal_contact_edges
+
+    ev = _t(spark, sf_dir, "events")
+    te = temporal_contact_edges(ev, window_s=TEMPORAL_W)
+    srcs = (
+        ev.select(F.col("user_id").alias("vid"))
+        .where(F.col("vid") % 37 == 0)
+        .distinct()
+    )
+    return earliest_arrival(te, srcs, rounds=TEMPORAL_ROUNDS)
+
+
+def _temporal_oracle_sql(rounds: int, window_s: int) -> str:
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(f"""
+c{r} AS MATERIALIZED (
+  SELECT te.dst AS vid, MIN(te.t) AS cand
+  FROM te JOIN a{r - 1} f ON f.vid = te.src AND te.t >= f.arr
+  GROUP BY te.dst),
+a{r} AS MATERIALIZED (
+  SELECT COALESCE(a.vid, c.vid) AS vid,
+         CASE WHEN c.cand IS NOT NULL AND (a.arr IS NULL OR c.cand < a.arr)
+              THEN c.cand ELSE a.arr END AS arr
+  FROM a{r - 1} a FULL OUTER JOIN c{r} c ON c.vid = a.vid)""")
+    return (
+        f"""WITH ev AS MATERIALIZED (
+  SELECT user_id AS u, event_type AS k, CAST(floor(epoch(ts)) AS BIGINT) AS e
+  FROM events),
+pairs AS MATERIALIZED (
+  SELECT a.u AS pa, b.u AS pb, greatest(a.e, b.e) AS t
+  FROM ev a JOIN ev b
+    ON a.k = b.k AND a.u < b.u AND abs(a.e - b.e) <= {window_s}
+  GROUP BY 1, 2, 3),
+te AS MATERIALIZED (
+  SELECT pa AS src, pb AS dst, t FROM pairs
+  UNION ALL
+  SELECT pb AS src, pa AS dst, t FROM pairs),
+a0 AS MATERIALIZED (
+  SELECT DISTINCT user_id AS vid, CAST(-1 AS BIGINT) AS arr
+  FROM events WHERE user_id % 37 = 0),"""
+        + ",".join(steps)
+        + f"\nSELECT CAST(vid AS BIGINT) AS vid, CAST(arr AS BIGINT) AS arrival"
+        f" FROM a{rounds}"
+    )
+
+
+SQL_TEMPORAL_REACH = _temporal_oracle_sql(TEMPORAL_ROUNDS, TEMPORAL_W)
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction over the documents table — zero-shuffle projection.
 
@@ -2354,6 +2415,7 @@ QUERIES = {
     "maximal_independent_set": q_maximal_independent_set,
     "pii_scrub": q_pii_scrub,
     "greedy_coloring": q_greedy_coloring,
+    "temporal_reach": q_temporal_reach,
 }
 
 ORACLES = {
@@ -2418,6 +2480,7 @@ ORACLES = {
     "maximal_independent_set": SQL_MAXIMAL_INDEPENDENT_SET,
     "pii_scrub": SQL_PII_SCRUB,
     "greedy_coloring": SQL_GREEDY_COLORING,
+    "temporal_reach": SQL_TEMPORAL_REACH,
 }
 
 

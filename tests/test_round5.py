@@ -329,3 +329,83 @@ def test_coloring_fixed_rounds_is_prefix(er):
         for r in greedy_coloring(er, rounds=3).collect()
     }
     assert three == {t for t in full if t[2] <= 3}
+
+
+def _events_df(spark, rows):
+    """rows: (event_id, epoch_sec, user_id, event_type)"""
+    pdf = pd.DataFrame(rows, columns=["event_id", "e", "user_id", "event_type"])
+    pdf["ts"] = pd.to_datetime(pdf["e"], unit="s")
+    return spark.createDataFrame(pdf[["event_id", "ts", "user_id", "event_type"]])
+
+
+def test_temporal_contact_edges_match_bruteforce(spark):
+    from linkgraph.operators.temporal import temporal_contact_edges
+
+    import itertools
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, 1_700_000_000 + rng.randrange(0, 7200), rng.randrange(0, 12),
+         rng.choice("abc"))
+        for i in range(120)
+    ]
+    w = 600
+    exp = set()
+    for r1, r2 in itertools.combinations(rows, 2):
+        if r1[3] == r2[3] and r1[2] != r2[2] and abs(r1[1] - r2[1]) <= w:
+            a, b2 = sorted((r1[2], r2[2]))
+            t = max(r1[1], r2[1])
+            exp.add((a, b2, t))
+            exp.add((b2, a, t))
+    got = {
+        (r["src"], r["dst"], r["t"])
+        for r in temporal_contact_edges(_events_df(spark, rows), window_s=w).collect()
+    }
+    assert got == exp
+
+
+def test_earliest_arrival_chain_and_antichain(spark):
+    from linkgraph.operators.temporal import earliest_arrival
+
+    # contacts: 1-2 @ t=100, 2-3 @ t=200 (chain works forward),
+    # 4-5 @ t=500, 5-6 @ t=400 (static path 4->6 exists, temporal does NOT)
+    pairs = [(1, 2, 100), (2, 3, 200), (4, 5, 500), (5, 6, 400)]
+    pdf = pd.DataFrame(
+        pairs + [(b, a, t) for a, b, t in pairs], columns=["src", "dst", "t"]
+    )
+    te = spark.createDataFrame(pdf)
+    srcs = spark.createDataFrame(pd.DataFrame({"vid": [1, 4]}))
+    got = {r["vid"]: r["arrival"] for r in earliest_arrival(te, srcs).collect()}
+    assert got == {1: -1, 2: 100, 3: 200, 4: -1, 5: 500}
+    assert 6 not in got  # temporally unreachable despite static path
+
+
+def test_earliest_arrival_python_oracle(spark):
+    from linkgraph.operators.temporal import earliest_arrival, temporal_contact_edges
+
+    import random
+
+    rng = random.Random(9)
+    rows = [
+        (i, 1_700_000_000 + rng.randrange(0, 3600), rng.randrange(0, 20),
+         rng.choice("ab"))
+        for i in range(150)
+    ]
+    ev = _events_df(spark, rows)
+    te = temporal_contact_edges(ev, window_s=300)
+    edges = [(r["src"], r["dst"], r["t"]) for r in te.collect()]
+    sources = sorted({u for _, _, u, _ in rows if u % 5 == 0})
+    srcs = spark.createDataFrame(pd.DataFrame({"vid": sources}))
+
+    # python fixpoint
+    arr = {v: -1 for v in sources}
+    changed = True
+    while changed:
+        changed = False
+        for s, d, t in edges:
+            if s in arr and t >= arr[s] and (d not in arr or t < arr[d]):
+                arr[d] = t
+                changed = True
+    got = {r["vid"]: r["arrival"] for r in earliest_arrival(te, srcs, rounds=64).collect()}
+    assert got == arr
