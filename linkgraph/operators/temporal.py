@@ -65,15 +65,17 @@ def temporal_contact_edges(
     )
     right = ev.select(
         F.col("u").alias("u2"),
-        F.col("k").alias("k2"),
+        F.col("k"),
         F.col("e").alias("e2"),
         b.alias("bkt"),
     )
+    # join KEYS are (k, bkt) — both in the equi-key so the shuffle hashes
+    # on (event_type, bucket), not bucket alone (bucket-only keys would
+    # collide every event type of a time slice onto one reducer)
     pairs = (
-        left.join(right, ["bkt"])
+        left.join(right, ["k", "bkt"])
         .where(
-            (F.col("k") == F.col("k2"))
-            & (F.col("u") < F.col("u2"))
+            (F.col("u") < F.col("u2"))
             & (F.abs(F.col("e") - F.col("e2")) <= window_s)
         )
         .select(
