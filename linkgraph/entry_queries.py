@@ -2234,6 +2234,61 @@ s{r} AS MATERIALIZED (
 SQL_GREEDY_COLORING = _coloring_oracle_sql(COLOR_ROUNDS)
 
 
+def q_ngram_topk(spark, sf_dir):
+    """Corpus-wide top-20 trigrams — explode + one hash aggregate
+    (map-side combined) + TakeOrdered; text never shuffles."""
+    from linkgraph.textops.collocations import ngram_topk
+
+    return ngram_topk(_t(spark, sf_dir, "documents"), n=3, k=20)
+
+
+SQL_NGRAM_TOPK = f"""
+WITH tok AS (SELECT {_SQL_TOKENS} AS ts FROM documents),
+g AS (
+  SELECT unnest(CASE WHEN len(ts) >= 3
+                     THEN list_transform(range(1, len(ts) - 1),
+                          i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])
+                     ELSE [] END) AS gram
+  FROM tok)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM g GROUP BY gram
+ORDER BY cnt DESC, gram ASC LIMIT 20
+"""
+
+
+def q_pmi_collocations(spark, sf_dir):
+    """Top-50 adjacent-bigram PMI collocations (min count 5): bigram
+    counts vs broadcast unigram marginals, ln rounded to 6 (the TF-IDF
+    portability contract)."""
+    from linkgraph.textops.collocations import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf_dir, "documents"), k=50, min_count=5)
+
+
+SQL_PMI_COLLOCATIONS = f"""
+WITH tok AS MATERIALIZED (SELECT {_SQL_TOKENS} AS ts FROM documents),
+tt AS MATERIALIZED (SELECT unnest(ts) AS w FROM tok),
+uni AS MATERIALIZED (SELECT w, COUNT(*) AS nw FROM tt GROUP BY w),
+tot_t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS T FROM tt),
+bi AS MATERIALIZED (
+  SELECT unnest(CASE WHEN len(ts) >= 2
+                     THEN list_transform(range(1, len(ts)),
+                          i -> ts[i] || ' ' || ts[i + 1])
+                     ELSE [] END) AS g
+  FROM tok),
+tot_b AS (SELECT CAST(COUNT(*) AS DOUBLE) AS B FROM bi),
+bic AS (
+  SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2,
+         COUNT(*) AS n_pair
+  FROM bi GROUP BY g HAVING COUNT(*) >= 5)
+SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+       ROUND(ln((n_pair / B) / ((a.nw / T) * (b.nw / T))), 6) AS pmi
+FROM bic JOIN uni a ON a.w = bic.w1 JOIN uni b ON b.w = bic.w2
+CROSS JOIN tot_b CROSS JOIN tot_t
+ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 50
+"""
+
+
 TEMPORAL_W = 600  # contact window (s) shared between engine and oracle
 TEMPORAL_ROUNDS = 6  # shared relaxation budget (fixpoint-stable beyond it)
 
@@ -2416,6 +2471,8 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "greedy_coloring": q_greedy_coloring,
     "temporal_reach": q_temporal_reach,
+    "ngram_topk": q_ngram_topk,
+    "pmi_collocations": q_pmi_collocations,
 }
 
 ORACLES = {
@@ -2481,6 +2538,8 @@ ORACLES = {
     "pii_scrub": SQL_PII_SCRUB,
     "greedy_coloring": SQL_GREEDY_COLORING,
     "temporal_reach": SQL_TEMPORAL_REACH,
+    "ngram_topk": SQL_NGRAM_TOPK,
+    "pmi_collocations": SQL_PMI_COLLOCATIONS,
 }
 
 

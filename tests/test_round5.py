@@ -409,3 +409,58 @@ def test_earliest_arrival_python_oracle(spark):
                 changed = True
     got = {r["vid"]: r["arrival"] for r in earliest_arrival(te, srcs, rounds=64).collect()}
     assert got == arr
+
+
+def test_ngram_topk_exact(spark):
+    from linkgraph.textops.collocations import ngram_topk
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (1, "a b c a b c a b"),
+                (2, "a b x"),
+                (3, "z"),  # too short for trigram
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    rows = [(r["gram"], r["cnt"]) for r in ngram_topk(docs, n=3, k=3).collect()]
+    # doc1 trigrams: "a b c","b c a","c a b","a b c","b c a","c a b" -> 2 each
+    # doc2: "a b x" -> 1;  ties break lexicographically
+    assert rows == [("a b c", 2), ("b c a", 2), ("c a b", 2)]
+
+
+def test_pmi_collocations_known_corpus(spark):
+    import math
+
+    from linkgraph.textops.collocations import pmi_collocations
+
+    # "hong kong" always together (perfect collocation); "the the" frequent
+    # but independent-ish
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (1, "hong kong the cat the dog"),
+                (2, "hong kong the fish the bird"),
+                (3, "hong kong the sun the moon"),
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    rows = pmi_collocations(docs, k=5, min_count=3).collect()
+    top = rows[0]
+    assert (top["w1"], top["w2"]) == ("hong", "kong")
+    # exact: T=18 tokens, B=15 bigrams, n_pair=3, n_hong=n_kong=3
+    exp = math.log((3 / 15) / ((3 / 18) * (3 / 18)))
+    assert top["pmi"] == pytest.approx(round(exp, 6), abs=2e-6)
+    assert top["n_pair"] == 3
+
+
+def test_pmi_min_count_filters(spark):
+    from linkgraph.textops.collocations import pmi_collocations
+
+    docs = spark.createDataFrame(
+        pd.DataFrame([(1, "p q p q r s")], columns=["doc_id", "text"])
+    )
+    got = {(r["w1"], r["w2"]) for r in pmi_collocations(docs, k=10, min_count=2).collect()}
+    assert got == {("p", "q")}  # "q p","q r","r s" occur once -> dropped
