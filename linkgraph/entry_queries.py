@@ -2408,6 +2408,69 @@ FROM s2
 """
 
 
+LOUVAIN_ROUNDS = 6  # fixed local-move budget shared engine <-> oracle
+
+
+def q_louvain(spark, sf_dir):
+    """Deterministic Louvain local moves on the user graph — all-integer
+    modularity gains (argmax exact in any engine), md5-parity move
+    eligibility, 6 unrolled synchronous rounds mirrored bit-for-bit by
+    the DuckDB oracle."""
+    from linkgraph.algos.louvain import louvain_local_move
+
+    g = LinkGraph(derive.events_user_edges(_t(spark, sf_dir, "events")), symmetric=True)
+    return louvain_local_move(g, rounds=LOUVAIN_ROUNDS)
+
+
+def _louvain_oracle_sql(rounds: int) -> str:
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(f"""
+kv{r} AS MATERIALIZED (
+  SELECT e.dst AS vid, lb.label AS c, CAST(COUNT(*) AS BIGINT) AS k
+  FROM e JOIN l{r - 1} lb ON lb.vid = e.src GROUP BY e.dst, lb.label),
+ct{r} AS MATERIALIZED (
+  SELECT l.label AS label, CAST(SUM(d.deg) AS BIGINT) AS dc
+  FROM l{r - 1} l JOIN deg d ON d.vid = l.vid GROUP BY l.label),
+cand{r} AS MATERIALIZED (
+  SELECT kv.vid AS v, kv.c AS b, mm.M * kv.k - d.deg * ct.dc AS score
+  FROM kv{r} kv JOIN l{r - 1} a ON a.vid = kv.vid AND kv.c <> a.label
+  JOIN deg d ON d.vid = kv.vid
+  JOIN ct{r} ct ON ct.label = kv.c CROSS JOIN mm),
+base{r} AS MATERIALIZED (
+  SELECT l.vid AS v,
+         mm.M * COALESCE(ka.k, 0) - d.deg * (cta.dc - d.deg) AS base
+  FROM l{r - 1} l JOIN deg d ON d.vid = l.vid
+  JOIN ct{r} cta ON cta.label = l.label
+  LEFT JOIN kv{r} ka ON ka.vid = l.vid AND ka.c = l.label CROSS JOIN mm),
+best{r} AS MATERIALIZED (
+  SELECT v, b, score FROM (
+    SELECT v, b, score,
+           row_number() OVER (PARTITION BY v ORDER BY score DESC, b ASC) AS rn
+    FROM cand{r}) WHERE rn = 1),
+l{r} AS MATERIALIZED (
+  SELECT l.vid,
+         CASE WHEN bt.b IS NOT NULL AND bt.score > bs.base
+                   AND CAST('0x' || substr(md5('mv{r}:' || CAST(l.vid AS VARCHAR)), 1, 15)
+                            AS BIGINT) % 2 = 0
+              THEN bt.b ELSE l.label END AS label
+  FROM l{r - 1} l JOIN base{r} bs ON bs.v = l.vid
+  LEFT JOIN best{r} bt ON bt.v = l.vid)""")
+    return (
+        f"WITH {_USER_E_MAT},\n"
+        "deg AS MATERIALIZED (SELECT src AS vid, CAST(COUNT(*) AS BIGINT) AS deg"
+        " FROM e GROUP BY src),\n"
+        "mm AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS M FROM e),\n"
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS vid, src AS label FROM e),"
+        + ",".join(steps)
+        + f"\nSELECT CAST(vid AS BIGINT) AS vid, CAST(label AS BIGINT) AS label"
+        f" FROM l{rounds}"
+    )
+
+
+SQL_LOUVAIN = _louvain_oracle_sql(LOUVAIN_ROUNDS)
+
+
 QUERIES = {
     "degree_topk": q_degree_topk,
     "edges_shared_key": q_edges_shared_key,
@@ -2473,6 +2536,7 @@ QUERIES = {
     "temporal_reach": q_temporal_reach,
     "ngram_topk": q_ngram_topk,
     "pmi_collocations": q_pmi_collocations,
+    "louvain": q_louvain,
 }
 
 ORACLES = {
@@ -2540,6 +2604,7 @@ ORACLES = {
     "temporal_reach": SQL_TEMPORAL_REACH,
     "ngram_topk": SQL_NGRAM_TOPK,
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
+    "louvain": SQL_LOUVAIN,
 }
 
 
