@@ -2471,6 +2471,39 @@ l{r} AS MATERIALIZED (
 SQL_LOUVAIN = _louvain_oracle_sql(LOUVAIN_ROUNDS)
 
 
+KATZ_ITERS = 8  # fixed power-iteration budget shared engine <-> oracle
+
+
+def q_katz(spark, sf_dir):
+    """Fixed-budget Katz centrality on the user graph, alpha = the
+    always-convergent 1/(max_deg + 1) computed identically on both
+    sides (integer max, one IEEE division).  Same round-9 portability
+    rationale as q_pagerank."""
+    from linkgraph.algos.katz import katz
+
+    g = user_graph(spark, sf_dir)
+    kz = katz(g, alpha=None, beta=1.0, tol=0, max_iter=KATZ_ITERS)
+    return kz.select(
+        F.col("vid").cast("long").alias("vid"), F.round("katz", 9).alias("katz")
+    )
+
+
+SQL_KATZ = f"""
+WITH RECURSIVE {_USER_E_MAT},
+deg AS MATERIALIZED (SELECT src AS vid, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+al AS (SELECT 1.0/CAST(MAX(deg) + 1 AS DOUBLE) AS a FROM deg),
+kz(it, vid, x) AS (
+  SELECT 0, vid, CAST(1.0 AS DOUBLE) FROM deg
+  UNION ALL
+  SELECT k.it + 1, e.dst, 1.0 + (SELECT a FROM al) * SUM(k.x)
+  FROM kz k JOIN e ON e.src = k.vid
+  WHERE k.it < {KATZ_ITERS}
+  GROUP BY k.it + 1, e.dst
+)
+SELECT CAST(vid AS BIGINT) AS vid, ROUND(x, 9) AS katz FROM kz WHERE it = {KATZ_ITERS}
+"""
+
+
 QUERIES = {
     "degree_topk": q_degree_topk,
     "edges_shared_key": q_edges_shared_key,
@@ -2537,6 +2570,7 @@ QUERIES = {
     "ngram_topk": q_ngram_topk,
     "pmi_collocations": q_pmi_collocations,
     "louvain": q_louvain,
+    "katz": q_katz,
 }
 
 ORACLES = {
@@ -2605,6 +2639,7 @@ ORACLES = {
     "ngram_topk": SQL_NGRAM_TOPK,
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
     "louvain": SQL_LOUVAIN,
+    "katz": SQL_KATZ,
 }
 
 
