@@ -2504,6 +2504,40 @@ SELECT CAST(vid AS BIGINT) AS vid, ROUND(x, 9) AS katz FROM kz WHERE it = {KATZ_
 """
 
 
+SEQ_LEN = 512  # training-sequence width shared engine <-> oracle
+
+
+def q_sequence_pack(spark, sf_dir):
+    """Concat-and-chop training-sequence placement over documents —
+    global token prefix sum via the two-phase range partitioning of
+    graph.py::_dense_ids (never a single-partition window); BPE-ish
+    token counts (the accounting trio's model-cost tokenizer)."""
+    from linkgraph.textops.packing import sequence_pack
+
+    return sequence_pack(_t(spark, sf_dir, "documents"), seq_len=SEQ_LEN)
+
+
+SQL_SEQUENCE_PACK = f"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+'))
+              AS BIGINT) AS n_tokens
+  FROM documents),
+nz AS (SELECT * FROM tok WHERE n_tokens > 0),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT)
+           AS tok_start
+  FROM nz)
+SELECT doc_id, n_tokens, tok_start,
+       tok_start // {SEQ_LEN} AS seq_start,
+       (tok_start + n_tokens - 1) // {SEQ_LEN} AS seq_end,
+       (tok_start + n_tokens - 1) // {SEQ_LEN} - tok_start // {SEQ_LEN} + 1
+         AS n_seqs
+FROM c
+"""
+
+
 QUERIES = {
     "degree_topk": q_degree_topk,
     "edges_shared_key": q_edges_shared_key,
@@ -2571,6 +2605,7 @@ QUERIES = {
     "pmi_collocations": q_pmi_collocations,
     "louvain": q_louvain,
     "katz": q_katz,
+    "sequence_pack": q_sequence_pack,
 }
 
 ORACLES = {
@@ -2640,6 +2675,7 @@ ORACLES = {
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
     "louvain": SQL_LOUVAIN,
     "katz": SQL_KATZ,
+    "sequence_pack": SQL_SEQUENCE_PACK,
 }
 
 
