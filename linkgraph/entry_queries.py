@@ -2538,6 +2538,67 @@ FROM c
 """
 
 
+def q_quality_filter(spark, sf_dir):
+    """Composite C4/Gopher keep/reject decision — one zero-shuffle
+    projection composing the text_stats thresholds and the Gopher
+    repetition flags into a first-failing-rule reason column."""
+    from linkgraph.textops.textstats import quality_filter
+
+    return quality_filter(_t(spark, sf_dir, "documents"))
+
+
+SQL_QUALITY_FILTER = f"""
+WITH tok AS (
+  SELECT doc_id, text, {_SQL_TOKENS} AS ts,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> LENGTH(x) > 0) AS lines
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(ts) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(list_sum(list_transform(ts, x -> LENGTH(x))), 0) AS DOUBLE) AS tok_chars,
+         CAST(LENGTH(text) AS BIGINT) AS n_chars,
+         CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) AS n_punct,
+         len(lines) AS n_lines, len(list_distinct(lines)) AS n_dist,
+         len(list_filter(lines, x -> regexp_matches(x, '^[-*•]'))) AS n_bul,
+         len(list_filter(lines, x -> regexp_matches(x, '(\\.\\.\\.|…)$'))) AS n_ell,
+         CASE WHEN len(ts) >= 2
+              THEN list_sort(list_transform(range(1, len(ts)),
+                                            i -> ts[i] || ' ' || ts[i + 1]))
+              ELSE [] END AS bg
+  FROM tok),
+bx AS (SELECT doc_id, unnest(bg) AS g FROM m),
+top AS (
+  SELECT doc_id, MAX(c) AS topc FROM (
+    SELECT doc_id, g, COUNT(*) AS c FROM bx GROUP BY doc_id, g)
+  GROUP BY doc_id),
+r AS (
+  SELECT m.doc_id AS doc_id, n_tokens,
+    CASE WHEN n_tokens > 0 THEN tok_chars / n_tokens ELSE 0.0 END AS avg_len,
+    CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+    ROUND(CASE WHEN n_lines > 0 THEN (n_lines - n_dist) / CAST(n_lines AS DOUBLE)
+               ELSE 0.0 END, 4) AS dup_r,
+    ROUND(CASE WHEN len(bg) > 0 THEN COALESCE(t.topc, 0) / CAST(len(bg) AS DOUBLE)
+               ELSE 0.0 END, 4) AS top_r,
+    ROUND(CASE WHEN n_lines > 0 THEN n_bul / CAST(n_lines AS DOUBLE)
+               ELSE 0.0 END, 4) AS bul_r,
+    ROUND(CASE WHEN n_lines > 0 THEN n_ell / CAST(n_lines AS DOUBLE)
+               ELSE 0.0 END, 4) AS ell_r
+  FROM m LEFT JOIN top t ON t.doc_id = m.doc_id),
+d AS (
+  SELECT doc_id,
+    CASE WHEN n_tokens < 5 THEN 'too_few_tokens'
+         WHEN n_tokens > 100000 THEN 'too_many_tokens'
+         WHEN avg_len < 3.0 OR avg_len > 12.0 THEN 'bad_avg_token_len'
+         WHEN punct_ratio > 0.2 THEN 'high_punct'
+         WHEN dup_r > 0.30 OR top_r > 0.18 OR bul_r > 0.90 OR ell_r > 0.30
+              THEN 'gopher_repetition'
+         ELSE 'ok' END AS reason
+  FROM r)
+SELECT doc_id, reason = 'ok' AS keep, reason FROM d
+"""
+
+
 QUERIES = {
     "degree_topk": q_degree_topk,
     "edges_shared_key": q_edges_shared_key,
@@ -2606,6 +2667,7 @@ QUERIES = {
     "louvain": q_louvain,
     "katz": q_katz,
     "sequence_pack": q_sequence_pack,
+    "quality_filter": q_quality_filter,
 }
 
 ORACLES = {
@@ -2676,6 +2738,7 @@ ORACLES = {
     "louvain": SQL_LOUVAIN,
     "katz": SQL_KATZ,
     "sequence_pack": SQL_SEQUENCE_PACK,
+    "quality_filter": SQL_QUALITY_FILTER,
 }
 
 

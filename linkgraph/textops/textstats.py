@@ -20,11 +20,9 @@ from linkgraph.textops.dedup import TOKEN_RE
 STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
 
 
-def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, n_chars, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
-    quality) — quality is a deterministic [0,1] score from length/punct/
-    stopword signals (a FineWeb-style heuristic filter)."""
-    t = F.col(text_col)
+def _stats_exprs(t):
+    """Raw (unrounded) per-document signal expressions shared by
+    text_stats and quality_filter — one source of truth for the rules."""
     toks = F.regexp_extract_all(F.lower(t), F.lit(TOKEN_RE), 0)
     n_tok = F.size(toks)
     tok_chars = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
@@ -33,6 +31,15 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     stop_ratio = F.when(n_tok > 0, F.size(sw) / n_tok).otherwise(F.lit(0.0))
     punct_ratio = F.when(F.length(t) > 0, n_punct / F.length(t)).otherwise(F.lit(0.0))
     avg_len = F.when(n_tok > 0, tok_chars / n_tok).otherwise(F.lit(0.0))
+    return n_tok, avg_len, punct_ratio, stop_ratio
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+    quality) — quality is a deterministic [0,1] score from length/punct/
+    stopword signals (a FineWeb-style heuristic filter)."""
+    t = F.col(text_col)
+    n_tok, avg_len, punct_ratio, stop_ratio = _stats_exprs(t)
     # quality: in-range token count, sane avg token length, low punct noise
     quality = (
         F.when((n_tok >= 5) & (n_tok <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
@@ -256,6 +263,23 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     DuckDB oracle reproduces them bit-for-bit.
     """
     t = F.col(text_col)
+    n_lines, dup_r, top_r, bul_r, ell_r = _repetition_exprs(t)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n_lines.cast("long").alias("n_lines"),
+        dup_r.alias("dup_line_ratio"),
+        top_r.alias("top_bigram_ratio"),
+        bul_r.alias("bullet_line_ratio"),
+        ell_r.alias("ellipsis_line_ratio"),
+        (
+            (dup_r > 0.30) | (top_r > 0.18) | (bul_r > 0.90) | (ell_r > 0.30)
+        ).alias("flagged"),
+    )
+
+
+def _repetition_exprs(t):
+    """Rounded-4 Gopher repetition/format ratios shared by
+    repetition_stats and quality_filter."""
     lines = F.filter(
         F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
         lambda x: F.length(x) > 0,
@@ -304,14 +328,40 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     top_r = F.round(top_big, 4)
     bul_r = F.round(bullet_ratio, 4)
     ell_r = F.round(ellipsis_ratio, 4)
+    return n_lines, dup_r, top_r, bul_r, ell_r
+
+
+def quality_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite C4/Gopher-style keep/reject decision per document:
+    (doc_id, keep, reason) with reason = the FIRST failing rule in a
+    fixed audit order (deterministic, so rejection accounting is stable
+    across engines and reruns):
+
+        too_few_tokens | too_many_tokens | bad_avg_token_len |
+        high_punct | gopher_repetition | ok
+
+    Thresholds are the same ones text_stats' quality score and
+    repetition_stats' flagged bit already use — this operator is the
+    pipeline composition of both rule sets into one decision column.
+
+    Scale shape: ONE zero-shuffle projection (both signal families are
+    pure expressions over the text column; the document is scored where
+    it already sits — no join of two stat tables, no second corpus
+    scan)."""
+    t = F.col(text_col)
+    n_tok, avg_len, punct_ratio, _ = _stats_exprs(t)
+    _, dup_r, top_r, bul_r, ell_r = _repetition_exprs(t)
+    rep_flag = (dup_r > 0.30) | (top_r > 0.18) | (bul_r > 0.90) | (ell_r > 0.30)
+    reason = (
+        F.when(n_tok < 5, F.lit("too_few_tokens"))
+        .when(n_tok > 100000, F.lit("too_many_tokens"))
+        .when((avg_len < 3.0) | (avg_len > 12.0), F.lit("bad_avg_token_len"))
+        .when(punct_ratio > 0.2, F.lit("high_punct"))
+        .when(rep_flag, F.lit("gopher_repetition"))
+        .otherwise(F.lit("ok"))
+    )
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        n_lines.cast("long").alias("n_lines"),
-        dup_r.alias("dup_line_ratio"),
-        top_r.alias("top_bigram_ratio"),
-        bul_r.alias("bullet_line_ratio"),
-        ell_r.alias("ellipsis_line_ratio"),
-        (
-            (dup_r > 0.30) | (top_r > 0.18) | (bul_r > 0.90) | (ell_r > 0.30)
-        ).alias("flagged"),
+        (reason == "ok").alias("keep"),
+        reason.alias("reason"),
     )
