@@ -2599,6 +2599,56 @@ SELECT doc_id, reason = 'ok' AS keep, reason FROM d
 """
 
 
+MATCH_ROUNDS = 6  # fixed local-min matching budget shared engine <-> oracle
+
+
+def q_maximal_matching(spark, sf_dir):
+    """Deterministic Israeli-Itai local-min matching on the user graph —
+    fixed md5 edge priorities, 6 unrolled rounds mirrored bit-for-bit
+    by the DuckDB oracle (per-vertex argmin as a rn=1 window there,
+    MIN(struct) here — same strict total order (p, u, v))."""
+    from linkgraph.algos.matching import maximal_matching
+
+    g = LinkGraph(derive.events_user_edges(_t(spark, sf_dir, "events")), symmetric=True)
+    return maximal_matching(g, rounds=MATCH_ROUNDS)
+
+
+def _matching_oracle_sql(rounds: int) -> str:
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(f"""
+mn{r} AS MATERIALIZED (
+  SELECT vid, u, v FROM (
+    SELECT vid, u, v, row_number() OVER (PARTITION BY vid ORDER BY p, u, v) AS rn
+    FROM (SELECT u AS vid, u, v, p FROM a{r - 1}
+          UNION ALL SELECT v AS vid, u, v, p FROM a{r - 1})) WHERE rn = 1),
+m{r} AS MATERIALIZED (
+  SELECT a.u AS u, a.v AS v FROM a{r - 1} a
+  JOIN mn{r} x ON x.vid = a.u AND x.u = a.u AND x.v = a.v
+  JOIN mn{r} y ON y.vid = a.v AND y.u = a.u AND y.v = a.v),
+mv{r} AS MATERIALIZED (SELECT u AS vid FROM m{r} UNION SELECT v FROM m{r}),
+a{r} AS MATERIALIZED (
+  SELECT * FROM a{r - 1}
+  WHERE u NOT IN (SELECT vid FROM mv{r}) AND v NOT IN (SELECT vid FROM mv{r}))""")
+    unions = "\nUNION ALL ".join(
+        f"SELECT u, v, {r} AS matched_round FROM m{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        f"WITH {_USER_E_MAT},\n"
+        "a0 AS MATERIALIZED (\n"
+        "  SELECT src AS u, dst AS v,\n"
+        "         CAST('0x' || substr(md5('me:' || CAST(src AS VARCHAR) || ':' ||\n"
+        "                                 CAST(dst AS VARCHAR)), 1, 15) AS BIGINT) AS p\n"
+        "  FROM e WHERE src < dst),"
+        + ",".join(steps)
+        + f"\nSELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,"
+        f" CAST(matched_round AS INT) AS matched_round FROM ({unions})"
+    )
+
+
+SQL_MAXIMAL_MATCHING = _matching_oracle_sql(MATCH_ROUNDS)
+
+
 QUERIES = {
     "degree_topk": q_degree_topk,
     "edges_shared_key": q_edges_shared_key,
@@ -2668,6 +2718,7 @@ QUERIES = {
     "katz": q_katz,
     "sequence_pack": q_sequence_pack,
     "quality_filter": q_quality_filter,
+    "maximal_matching": q_maximal_matching,
 }
 
 ORACLES = {
@@ -2739,6 +2790,7 @@ ORACLES = {
     "katz": SQL_KATZ,
     "sequence_pack": SQL_SEQUENCE_PACK,
     "quality_filter": SQL_QUALITY_FILTER,
+    "maximal_matching": SQL_MAXIMAL_MATCHING,
 }
 
 
