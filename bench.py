@@ -154,6 +154,18 @@ def run_suite(spark, sf_dir: str, sf: str) -> tuple[dict, dict]:
             walk_len=6, p=0.25, q=4.0, walks_per_seed=2, seed=42,
         ).count()
 
+    from linkgraph.algos.louvain import louvain_local_move
+
+    with timed("louvain6_copurchase"):
+        # co-purchase edges are symmetric by construction; reuse the cached
+        # store without re-materializing (the hits entry's pattern)
+        g1s = LinkGraph(g1.edges, symmetric=True, materialize=False)
+        extras["louvain_communities"] = (
+            louvain_local_move(g1s, rounds=6)
+            .agg(F.countDistinct("label"))
+            .first()[0]
+        )
+
     g1.unpersist()
 
     with timed("sssp_weighted_copurchase"):
