@@ -2649,6 +2649,52 @@ a{r} AS MATERIALIZED (
 SQL_MAXIMAL_MATCHING = _matching_oracle_sql(MATCH_ROUNDS)
 
 
+DSG_ROUNDS = 8  # fixed peel budget shared engine <-> oracle
+
+
+def q_densest_subgraph(spark, sf_dir):
+    """Parallel densest-subgraph peel curve (Bahmani et al., eps=1/2) on
+    the user graph — the per-round peel set is a pure-integer test
+    (2*deg*|S| <= 3*E_dir), so 8 unrolled rounds are mirrored
+    bit-for-bit by the DuckDB oracle; density is one IEEE division."""
+    from linkgraph.algos.densest import densest_subgraph_curve
+
+    g = LinkGraph(derive.events_user_edges(_t(spark, sf_dir, "events")), symmetric=True)
+    return densest_subgraph_curve(g, rounds=DSG_ROUNDS)
+
+
+def _densest_oracle_sql(rounds: int) -> str:
+    steps, rows = [], []
+    for r in range(1, rounds + 1):
+        steps.append(f"""
+d{r} AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+                      FROM e{r - 1} GROUP BY src),
+s{r} AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                             CAST(COALESCE(SUM(deg), 0) AS BIGINT) AS e_dir
+                      FROM d{r}),
+k{r} AS MATERIALIZED (SELECT d.src FROM d{r} d, s{r} s
+                      WHERE 2 * d.deg * s.n > 3 * s.e_dir),
+e{r} AS MATERIALIZED (SELECT x.src, x.dst FROM e{r - 1} x
+                      WHERE x.src IN (SELECT src FROM k{r})
+                        AND x.dst IN (SELECT src FROM k{r}))""")
+        rows.append(
+            f"SELECT {r} AS round, s.n AS n_vertices, s.e_dir AS e_directed,"
+            f" s.e_dir / (2.0 * s.n) AS density,"
+            f" s.n - (SELECT COUNT(DISTINCT src) FROM e{r}) AS peeled"
+            f" FROM s{r} s WHERE s.n > 0"
+        )
+    unions = "\nUNION ALL ".join(rows)
+    return (
+        f"WITH {_USER_E_MAT},\ne0 AS MATERIALIZED (SELECT src, dst FROM e),"
+        + ",".join(steps)
+        + f"\nSELECT CAST(round AS INT) AS round, n_vertices, e_directed,"
+        f" density, peeled FROM ({unions})"
+    )
+
+
+SQL_DENSEST_SUBGRAPH = _densest_oracle_sql(DSG_ROUNDS)
+
+
 QUERIES = {
     "degree_topk": q_degree_topk,
     "edges_shared_key": q_edges_shared_key,
@@ -2719,6 +2765,7 @@ QUERIES = {
     "sequence_pack": q_sequence_pack,
     "quality_filter": q_quality_filter,
     "maximal_matching": q_maximal_matching,
+    "densest_subgraph": q_densest_subgraph,
 }
 
 ORACLES = {
@@ -2791,6 +2838,7 @@ ORACLES = {
     "sequence_pack": SQL_SEQUENCE_PACK,
     "quality_filter": SQL_QUALITY_FILTER,
     "maximal_matching": SQL_MAXIMAL_MATCHING,
+    "densest_subgraph": SQL_DENSEST_SUBGRAPH,
 }
 
 
