@@ -2695,6 +2695,28 @@ e{r} AS MATERIALIZED (SELECT x.src, x.dst FROM e{r - 1} x
 SQL_DENSEST_SUBGRAPH = _densest_oracle_sql(DSG_ROUNDS)
 
 
+def q_lm_quality(spark, sf_dir):
+    """Corpus-unigram LM quality score per document (CCNet-style
+    perplexity-bucket signal) — ln + round-6 portability, the PMI/TF-IDF
+    convention."""
+    from linkgraph.textops.textstats import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+SQL_LM_QUALITY = f"""
+WITH tok AS MATERIALIZED (SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents),
+tt AS MATERIALIZED (SELECT doc_id, unnest(ts) AS term FROM tok),
+tf AS MATERIALIZED (SELECT doc_id, term, COUNT(*) AS tf FROM tt GROUP BY doc_id, term),
+uni AS MATERIALIZED (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY term),
+tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS T FROM uni)
+SELECT tf.doc_id AS doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+       ROUND(SUM(tf.tf * ln(uni.cnt)) / SUM(tf.tf) - ln(tot.T), 6) AS lm_logprob
+FROM tf JOIN uni ON uni.term = tf.term CROSS JOIN tot
+GROUP BY tf.doc_id, tot.T
+"""
+
+
 QUERIES = {
     "degree_topk": q_degree_topk,
     "edges_shared_key": q_edges_shared_key,
@@ -2766,6 +2788,7 @@ QUERIES = {
     "quality_filter": q_quality_filter,
     "maximal_matching": q_maximal_matching,
     "densest_subgraph": q_densest_subgraph,
+    "lm_quality": q_lm_quality,
 }
 
 ORACLES = {
@@ -2839,6 +2862,7 @@ ORACLES = {
     "quality_filter": SQL_QUALITY_FILTER,
     "maximal_matching": SQL_MAXIMAL_MATCHING,
     "densest_subgraph": SQL_DENSEST_SUBGRAPH,
+    "lm_quality": SQL_LM_QUALITY,
 }
 
 

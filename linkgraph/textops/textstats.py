@@ -158,6 +158,56 @@ def tfidf_topk(docs: DataFrame, k: int = 5, text_col: str = "text") -> DataFrame
     )
 
 
+def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet-style corpus-LM quality score: per document the mean token
+    log-probability under the corpus's own unigram MLE,
+
+        lm_logprob(d) = (1/|d|) * sum_t ln(cnt(t)/T)
+                      = (sum_t tf_d(t)*ln(cnt(t))) / |d|  -  ln(T)
+
+    (t ranges over d's distinct terms, cnt = corpus term count, T =
+    corpus token total).  Documents made of rare/garbled tokens score
+    far more negative than documents of common well-formed words — the
+    classic perplexity-bucket filter, with the corpus itself as the LM
+    so no external model ships.  Returns (doc_id, n_tokens, lm_logprob
+    rounded 6); zero-token documents are absent (no distribution to
+    score them under).
+
+    Scale shape: the explode carries only (doc_id, term) — text is
+    pruned before any shuffle; tf is a partial+final count; the unigram
+    table aggregates tf (|vocabulary| rows — the broadcastable dim of
+    tfidf_topk); the score is ONE aggregate per doc over the tf join;
+    T is a bounded scalar driver action."""
+    tokens = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+        ).alias("term"),
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    uni = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = int(uni.agg(F.sum("cnt")).first()[0] or 0)
+    if total == 0:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id long, n_tokens long, lm_logprob double"
+        )
+    return (
+        tf.join(uni, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.log(F.col("cnt"))).alias("s"),
+        )
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_tokens",
+            F.round(
+                F.col("s") / F.col("n_tokens") - F.log(F.lit(float(total))), 6
+            ).alias("lm_logprob"),
+        )
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", window: int = 16) -> DataFrame:
     """Winnowing-style document fingerprint: min rolling polynomial hash over
     `window`-byte windows (doc_id, fp).
