@@ -87,3 +87,79 @@ def link_prediction(
             F.col("aa").desc(), F.col("cn").desc(), F.col("u").asc(), F.col("v").asc()
         ).limit(topk)
     return out
+
+
+def vertex_similarity(
+    graph: LinkGraph,
+    hub_cap: int,
+    min_cn: int = 2,
+    topk: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Structural vertex similarity: (u, v, cn, cosine, jaccard) with u < v.
+
+    cosine  = cn / sqrt(deg(u)·deg(v))   (Salton index)
+    jaccard = cn / (deg(u) + deg(v) − cn)
+
+    cn counts common neighbors reached through centers z with
+    deg(z) ∈ [2, hub_cap] — the same hub cap (and for the same quadratic
+    wedge-fanout reason) as `link_prediction`; the cap is part of the
+    operator contract, mirrored by the SQL oracle.  Unlike link
+    prediction the adjacency of (u, v) is irrelevant — similarity is
+    defined for neighbors and non-neighbors alike — so there is no
+    anti-join.  deg(u)/deg(v) are the FULL degrees from the graph's
+    cached degree table (only the wedge centers are capped).
+
+    Plan shape: one co-partitioned self-join on `src` (zero shuffle on
+    the edge sides), one (u, v) aggregate, then two |V|-row degree joins
+    that AQE broadcasts when small and hash-joins when not.  Determinism:
+    scores round to `round_to` and the top-k order breaks ties on
+    (cn, u, v), so cross-engine float summation cannot flip ranks.
+    """
+    if hub_cap < 2:
+        raise ValueError("hub_cap must be >= 2 (a center needs two neighbors)")
+    edges = graph.edges.select("src", "dst")
+    centers = (
+        graph.degrees()
+        .where((F.col("deg") >= 2) & (F.col("deg") <= hub_cap))
+        .select(F.col("vid").alias("src"))
+    )
+    ez = edges.join(centers, "src")  # co-partitioned on src
+    a, b = ez.alias("a"), ez.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.src") == F.col("b.src")) & (F.col("a.dst") < F.col("b.dst")),
+        )
+        .groupBy(F.col("a.dst").alias("u"), F.col("b.dst").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .where(F.col("cn") >= min_cn)
+    )
+    deg = graph.degrees()
+    du = deg.select(F.col("vid").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("vid").alias("v"), F.col("deg").alias("dv"))
+    out = (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.col("u").cast("long").alias("u"),
+            F.col("v").cast("long").alias("v"),
+            F.col("cn").cast("long").alias("cn"),
+            F.round(
+                F.col("cn") / F.sqrt(F.col("du").cast("double") * F.col("dv")),
+                round_to,
+            ).alias("cosine"),
+            F.round(
+                F.col("cn").cast("double") / (F.col("du") + F.col("dv") - F.col("cn")),
+                round_to,
+            ).alias("jaccard"),
+        )
+    )
+    if topk is not None:
+        out = out.orderBy(
+            F.col("cosine").desc(),
+            F.col("cn").desc(),
+            F.col("u").asc(),
+            F.col("v").asc(),
+        ).limit(topk)
+    return out

@@ -1263,6 +1263,36 @@ ORDER BY aa DESC, cn DESC, u ASC, v ASC LIMIT {LINKPRED_TOPK}
 """
 
 
+def q_vertex_similarity(spark, sf_dir):
+    """Common-neighbor cosine/Jaccard vertex similarity (Salton index),
+    hub-capped wedge enumeration, top-100 pairs by rounded cosine."""
+    from linkgraph.algos.linkpred import vertex_similarity
+
+    g = copurchase_graph(spark, sf_dir)
+    return vertex_similarity(
+        g, hub_cap=LINKPRED_HUB_CAP, min_cn=2, topk=LINKPRED_TOPK
+    )
+
+
+SQL_VERTEX_SIMILARITY = f"""
+WITH {_COPURCHASE_E},
+d AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS deg FROM e GROUP BY src),
+c AS MATERIALIZED (SELECT vid FROM d WHERE deg >= 2 AND deg <= {LINKPRED_HUB_CAP}),
+wed AS MATERIALIZED (
+  SELECT e1.dst AS u, e2.dst AS v, COUNT(*) AS cn
+  FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  JOIN c ON c.vid = e1.src
+  GROUP BY e1.dst, e2.dst
+  HAVING COUNT(*) >= 2)
+SELECT CAST(w.u AS BIGINT) AS u, CAST(w.v AS BIGINT) AS v,
+       CAST(w.cn AS BIGINT) AS cn,
+       ROUND(w.cn / SQRT(CAST(du.deg AS DOUBLE) * dv.deg), 6) AS cosine,
+       ROUND(CAST(w.cn AS DOUBLE) / (du.deg + dv.deg - w.cn), 6) AS jaccard
+FROM wed w JOIN d du ON du.vid = w.u JOIN d dv ON dv.vid = w.v
+ORDER BY cosine DESC, cn DESC, u ASC, v ASC LIMIT {LINKPRED_TOPK}
+"""
+
+
 def q_graph_stats(spark, sf_dir):
     """Whole-graph summary: |V|, |E|, mean/max degree, assortativity."""
     from linkgraph.algos.gstats import graph_stats
@@ -2755,6 +2785,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "text_integrity": q_text_integrity,
     "link_prediction": q_link_prediction,
+    "vertex_similarity": q_vertex_similarity,
     "graph_stats": q_graph_stats,
     "hits": q_hits,
     "sssp_weighted": q_sssp,
@@ -2829,6 +2860,7 @@ ORACLES = {
     "fingerprint": SQL_FINGERPRINT,
     "text_integrity": SQL_TEXT_INTEGRITY,
     "link_prediction": SQL_LINK_PREDICTION,
+    "vertex_similarity": SQL_VERTEX_SIMILARITY,
     "graph_stats": SQL_GRAPH_STATS,
     "hits": SQL_HITS,
     "sssp_weighted": SQL_SSSP,
