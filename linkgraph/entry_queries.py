@@ -1735,6 +1735,46 @@ WHERE rk <= {TFIDF_K}
 """
 
 
+TFIDF_PAIRS_MAX_DF_PCT = 78  # excludes the ~1/3 most corpus-wide terms at sf0.01
+TFIDF_PAIRS_TOPK = 100
+
+
+def q_tfidf_cosine_pairs(spark, sf_dir):
+    """Sparse TF-IDF cosine doc-pair similarity (inverted-index join,
+    integer-arithmetic max_df cap), top-100 pairs by rounded cosine."""
+    from linkgraph.textops.textstats import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(
+        _t(spark, sf_dir, "documents"),
+        max_df_pct=TFIDF_PAIRS_MAX_DF_PCT,
+        topk=TFIDF_PAIRS_TOPK,
+    )
+
+
+SQL_TFIDF_COSINE_PAIRS = f"""
+WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents),
+tf AS MATERIALIZED (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+dfq AS MATERIALIZED (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+  HAVING COUNT(*) >= 2
+     AND COUNT(*) <= (SELECT n FROM nd) * {TFIDF_PAIRS_MAX_DF_PCT} // 100),
+w AS MATERIALIZED (
+  SELECT doc_id, term, tf * LN(CAST((SELECT n FROM nd) AS DOUBLE) / df) AS w
+  FROM tf JOIN dfq USING (term)),
+nrm AS MATERIALIZED (SELECT doc_id, SQRT(SUM(w*w)) AS nrm FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, SUM(a.w*b.w) AS dot, COUNT(*) AS shared
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT CAST(da AS BIGINT) AS a, CAST(db AS BIGINT) AS b,
+       CAST(shared AS BIGINT) AS shared,
+       ROUND(dot / (na.nrm * nb.nrm), 6) AS sim
+FROM dots JOIN nrm na ON na.doc_id = da JOIN nrm nb ON nb.doc_id = db
+ORDER BY sim DESC, shared DESC, a ASC, b ASC LIMIT {TFIDF_PAIRS_TOPK}
+"""
+
+
 SESSION_GAP_S = 28800  # 8h: near the sf0.01 median inter-event gap (7.3h)
 
 
@@ -2795,6 +2835,7 @@ QUERIES = {
     "pagerank_weighted": q_pagerank_weighted,
     "k_truss": q_k_truss,
     "tfidf_topk": q_tfidf,
+    "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     "sessionize": q_sessionize,
     "funnel_steps": q_funnel,
     "asof_view_purchase": q_asof_view_purchase,
@@ -2870,6 +2911,7 @@ ORACLES = {
     "pagerank_weighted": SQL_PAGERANK_WEIGHTED,
     "k_truss": SQL_K_TRUSS,
     "tfidf_topk": SQL_TFIDF,
+    "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,
     "sessionize": SQL_SESSIONIZE,
     "funnel_steps": SQL_FUNNEL,
     "asof_view_purchase": SQL_ASOF,

@@ -415,3 +415,98 @@ def quality_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
         (reason == "ok").alias("keep"),
         reason.alias("reason"),
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    max_df_pct: int = 78,
+    min_shared: int = 1,
+    topk: int | None = None,
+    round_to: int = 6,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sparse all-pairs document similarity: (a, b, shared, sim) with
+    a < b, sim = cosine of the docs' TF-IDF vectors over the df-capped
+    vocabulary.  The SPARSE complement of the dense-embedding ANN paths
+    in simsearch.py — semantic near-dup candidates without any embedding
+    model in the loop.
+
+    Scale posture — the inverted-index (DISCO/all-pairs-similarity)
+    shape, never a doc×doc cross join:
+
+    * vocabulary cap: terms appearing in MORE than max_df_pct% of docs
+      are dropped (sklearn's max_df contract).  Per-term join fanout is
+      df², so the cap bounds the candidate blow-up exactly where it
+      explodes — stop-word-ish terms that carry ~0 TF-IDF weight anyway.
+      The cap threshold is computed with INTEGER arithmetic
+      (n_docs·pct // 100) so both engines cut the same vocabulary;
+      df >= 2 additionally drops hapax terms that cannot produce a pair
+      but would ride the weight join;
+    * both the dot product AND the norms range over the same capped
+      vocabulary, so sim is a true cosine of the capped vectors
+      (self-consistent; norms over the full vocab would deflate scores
+      by mass that can never match);
+    * the dot product is one partial+final SUM on the term join — the
+      only quadratic-bounded stage, and the df cap is its contract;
+    * determinism: sim rounds to `round_to` before ranking; the top-k
+      order breaks ties on (shared, a, b), so cross-engine float
+      summation order cannot flip ranks.
+
+    N (corpus size) is a bounded scalar driver action.
+    """
+    tokens = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+        ).alias("term"),
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.count()
+    df_cap = n_docs * max_df_pct // 100
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= df_cap))
+    )
+    w = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(
+            F.sum(F.col("a.w") * F.col("b.w")).alias("dot"),
+            F.count(F.lit(1)).alias("shared"),
+        )
+        .where(F.col("shared") >= min_shared)
+    )
+    na = norms.select(F.col("doc_id").alias("da"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("db"), F.col("nrm").alias("nb"))
+    out = (
+        dots.join(na, "da")
+        .join(nb, "db")
+        .select(
+            F.col("da").cast("long").alias("a"),
+            F.col("db").cast("long").alias("b"),
+            F.col("shared").cast("long").alias("shared"),
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), round_to).alias("sim"),
+        )
+    )
+    if topk is not None:
+        out = out.orderBy(
+            F.col("sim").desc(),
+            F.col("shared").desc(),
+            F.col("a").asc(),
+            F.col("b").asc(),
+        ).limit(topk)
+    return out
