@@ -1775,6 +1775,38 @@ ORDER BY sim DESC, shared DESC, a ASC, b ASC LIMIT {TFIDF_PAIRS_TOPK}
 """
 
 
+NGRAM_SPAN_K = 3
+NGRAM_SPAN_DF_CAP = 5  # non-vacuous at sf0.01 (trigram df reaches 7)
+
+
+def q_shared_ngram_spans(spark, sf_dir):
+    """Exact shared k-token-span pairs (Lee-et-al-style substring dedup
+    signal): postings join of per-doc distinct trigrams, df-capped."""
+    from linkgraph.textops.dedup import shared_ngram_spans
+
+    return shared_ngram_spans(
+        _t(spark, sf_dir, "documents"), k=NGRAM_SPAN_K, df_cap=NGRAM_SPAN_DF_CAP
+    )
+
+
+SQL_SHARED_NGRAM_SPANS = f"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents),
+g AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(ts) - {NGRAM_SPAN_K} + 2),
+                i -> array_to_string(ts[i:i+{NGRAM_SPAN_K}-1], ' '))) AS gram
+  FROM tok WHERE len(ts) >= {NGRAM_SPAN_K}),
+keep AS MATERIALIZED (
+  SELECT gram FROM g GROUP BY gram
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= {NGRAM_SPAN_DF_CAP})
+SELECT CAST(a.doc_id AS BIGINT) AS a, CAST(b.doc_id AS BIGINT) AS b,
+       CAST(COUNT(*) AS BIGINT) AS n_spans
+FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+JOIN keep ON keep.gram = a.gram
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
 SESSION_GAP_S = 28800  # 8h: near the sf0.01 median inter-event gap (7.3h)
 
 
@@ -2821,6 +2853,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_banded": q_embedding_near_dup_banded,
     "minhash_lsh": q_minhash_lsh,
+    "shared_ngram_spans": q_shared_ngram_spans,
     "simhash": q_simhash,
     "fingerprint": q_fingerprint,
     "text_integrity": q_text_integrity,
@@ -2897,6 +2930,7 @@ ORACLES = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "embedding_near_dup_banded": SQL_EMBEDDING_NEAR_DUP_BANDED,
     "minhash_lsh": SQL_MINHASH_LSH,
+    "shared_ngram_spans": SQL_SHARED_NGRAM_SPANS,
     "simhash": SQL_SIMHASH,
     "fingerprint": SQL_FINGERPRINT,
     "text_integrity": SQL_TEXT_INTEGRITY,

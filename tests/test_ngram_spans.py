@@ -1,0 +1,72 @@
+"""shared_ngram_spans vs an exact pure-Python span oracle."""
+
+import re
+
+import pytest
+
+from linkgraph.textops.dedup import shared_ngram_spans
+
+TEXTS = [
+    "alpha beta gamma delta epsilon zeta",
+    "zero alpha beta gamma one two",          # shares spans of 0
+    "alpha beta gamma delta nine ten",        # shares longer run with 0
+    "unrelated words entirely here now",
+    "beta gamma delta epsilon tail",          # shares with 0 and 2
+    "xx",                                     # shorter than k
+    "boiler plate line boiler plate line boiler plate line",  # internal repeat only
+]
+
+
+def _grams(text, k):
+    ts = re.findall("[a-z0-9]+", text.lower())
+    return {" ".join(ts[i : i + k]) for i in range(len(ts) - k + 1)}
+
+
+def _oracle(k=3, df_cap=100, min_spans=1):
+    gs = [_grams(t, k) for t in TEXTS]
+    df = {}
+    for g in gs:
+        for x in g:
+            df[x] = df.get(x, 0) + 1
+    keep = {x for x, d in df.items() if 2 <= d <= df_cap}
+    want = {}
+    for a in range(len(TEXTS)):
+        for b in range(a + 1, len(TEXTS)):
+            n = len(gs[a] & gs[b] & keep)
+            if n >= min_spans:
+                want[(a, b)] = n
+    return want
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+
+
+def test_shared_ngram_spans_vs_bruteforce(docs):
+    got = {
+        (r.a, r.b): r.n_spans
+        for r in shared_ngram_spans(docs, k=3, df_cap=100).collect()
+    }
+    assert got == _oracle(k=3, df_cap=100)
+    assert got, "fixture must produce shared spans"
+
+
+def test_shared_ngram_spans_df_cap(docs):
+    # cap=2 drops every gram present in 3+ docs ("beta gamma delta" etc.)
+    got = {
+        (r.a, r.b): r.n_spans
+        for r in shared_ngram_spans(docs, k=3, df_cap=2).collect()
+    }
+    want = _oracle(k=3, df_cap=2)
+    assert got == want
+    assert got != _oracle(k=3, df_cap=100), "cap must be non-vacuous here"
+
+
+def test_shared_ngram_spans_short_docs_and_self_repeats(docs):
+    got = shared_ngram_spans(docs, k=3, df_cap=100).collect()
+    ids = {r.a for r in got} | {r.b for r in got}
+    assert 5 not in ids  # shorter than k: no spans
+    assert 6 not in ids  # internal repetition alone creates no pair
