@@ -138,3 +138,54 @@ def community_modularity(graph: LinkGraph, labels: DataFrame) -> DataFrame:
             ).alias("q_contrib"),
         )
     )
+
+
+def degree_histogram(graph: LinkGraph) -> DataFrame:
+    """Log2-bucketed degree histogram: (bucket, n_vertices, min_deg,
+    max_deg) with bucket = floor(log2(deg)).
+
+    The standard first look at any web-scale graph (is it power-law?
+    where do the hubs start?).  One |V|-row aggregate over the cached
+    degree table — no edge scan.  log2 of an integer is engine-portable
+    at the bucket boundaries: powers of two are exact in IEEE log2 (the
+    only inputs where floor sits on a knife edge), so both engines cut
+    identical buckets.  All-integer output.
+    """
+    return (
+        graph.degrees()
+        .groupBy(F.floor(F.log2(F.col("deg"))).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vertices"),
+            F.min("deg").cast("long").alias("min_deg"),
+            F.max("deg").cast("long").alias("max_deg"),
+        )
+    )
+
+
+def powerlaw_alpha(graph: LinkGraph, dmin: int, round_to: int = 6) -> DataFrame:
+    """Discrete power-law exponent MLE over the degree tail deg >= dmin:
+    one row (dmin, n_tail, alpha) with
+
+        alpha = 1 + n / Σ ln(deg / (dmin − 0.5))
+
+    — the Clauset–Shalizi–Newman continuous-approximation estimator
+    (SIAM Rev. 2009, public formulation), the number every "is this graph
+    scale-free?" analysis reports.  dmin is a caller-chosen cut (CSN's
+    KS-scan over candidate cuts is a ≤|candidates| loop of this same
+    aggregate).  One filtered |V|-row aggregate; the float LN sum is
+    absorbed by a single division + round, tie-free since the output is
+    one row.
+    """
+    if dmin < 1:
+        raise ValueError("dmin must be >= 1")
+    tail = graph.degrees().where(F.col("deg") >= dmin)
+    return tail.agg(
+        F.lit(int(dmin)).cast("long").alias("dmin"),
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        F.round(
+            F.lit(1.0)
+            + F.count(F.lit(1))
+            / F.sum(F.log(F.col("deg") / F.lit(dmin - 0.5))),
+            round_to,
+        ).alias("alpha"),
+    )

@@ -1735,6 +1735,44 @@ WHERE rk <= {TFIDF_K}
 """
 
 
+POWERLAW_DMIN = 96  # mid-tail cut at sf0.01 (copurchase degrees 42-206)
+
+
+def q_degree_hist(spark, sf_dir):
+    """Log2-bucketed degree histogram of the co-purchase graph."""
+    from linkgraph.algos.gstats import degree_histogram
+
+    return degree_histogram(copurchase_graph(spark, sf_dir))
+
+
+SQL_DEGREE_HIST = f"""
+WITH {_COPURCHASE_E},
+d AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)
+SELECT CAST(FLOOR(LOG2(deg)) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       CAST(MIN(deg) AS BIGINT) AS min_deg,
+       CAST(MAX(deg) AS BIGINT) AS max_deg
+FROM d GROUP BY bucket
+"""
+
+
+def q_powerlaw_alpha(spark, sf_dir):
+    """Clauset-Shalizi-Newman power-law exponent MLE over the degree tail."""
+    from linkgraph.algos.gstats import powerlaw_alpha
+
+    return powerlaw_alpha(copurchase_graph(spark, sf_dir), dmin=POWERLAW_DMIN)
+
+
+SQL_POWERLAW_ALPHA = f"""
+WITH {_COPURCHASE_E},
+d AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)
+SELECT CAST({POWERLAW_DMIN} AS BIGINT) AS dmin,
+       CAST(COUNT(*) AS BIGINT) AS n_tail,
+       ROUND(1.0 + COUNT(*) / SUM(LN(deg / ({POWERLAW_DMIN} - 0.5))), 6) AS alpha
+FROM d WHERE deg >= {POWERLAW_DMIN}
+"""
+
+
 TFIDF_PAIRS_MAX_DF_PCT = 78  # excludes the ~1/3 most corpus-wide terms at sf0.01
 TFIDF_PAIRS_TOPK = 100
 
@@ -2860,6 +2898,8 @@ QUERIES = {
     "link_prediction": q_link_prediction,
     "vertex_similarity": q_vertex_similarity,
     "graph_stats": q_graph_stats,
+    "degree_hist": q_degree_hist,
+    "powerlaw_alpha": q_powerlaw_alpha,
     "hits": q_hits,
     "sssp_weighted": q_sssp,
     "random_walks": q_random_walks,
@@ -2937,6 +2977,8 @@ ORACLES = {
     "link_prediction": SQL_LINK_PREDICTION,
     "vertex_similarity": SQL_VERTEX_SIMILARITY,
     "graph_stats": SQL_GRAPH_STATS,
+    "degree_hist": SQL_DEGREE_HIST,
+    "powerlaw_alpha": SQL_POWERLAW_ALPHA,
     "hits": SQL_HITS,
     "sssp_weighted": SQL_SSSP,
     "random_walks": SQL_RANDOM_WALKS,

@@ -1,0 +1,63 @@
+"""degree_histogram / powerlaw_alpha vs exact pure-Python oracles,
+including power-of-two bucket knife edges."""
+
+import collections
+import math
+
+import pytest
+
+from linkgraph.algos.gstats import degree_histogram, powerlaw_alpha
+from linkgraph.fixtures import edges_df
+from linkgraph.graph import LinkGraph
+
+
+def _star_forest():
+    """Disjoint stars with hub degrees 1..9, 16, 32, 64 (exact power-of-2
+    degrees sit ON the log2 bucket boundary)."""
+    pairs, nxt = [], 10_000
+    for hub, d in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 16, 32, 64]):
+        for _ in range(d):
+            pairs.append((hub, nxt))
+            nxt += 1
+    return pairs
+
+
+PAIRS = _star_forest()
+
+
+@pytest.fixture(scope="module")
+def stars(spark):
+    return LinkGraph.from_undirected(edges_df(spark, PAIRS), num_partitions=4)
+
+
+def _degrees():
+    deg = collections.Counter()
+    for a, b in PAIRS:
+        deg[a] += 1
+        deg[b] += 1
+    return deg
+
+
+def test_degree_histogram_exact(stars):
+    deg = _degrees()
+    want = {}
+    for d in deg.values():
+        b = int(math.floor(math.log2(d)))
+        lo, hi, n = want.get(b, (d, d, 0))
+        want[b] = (min(lo, d), max(hi, d), n + 1)
+    got = {
+        r.bucket: (r.min_deg, r.max_deg, r.n_vertices)
+        for r in degree_histogram(stars).collect()
+    }
+    assert got == want
+    assert 6 in got and got[6] == (64, 64, 1)  # 64 lands in bucket 6, not 5
+
+
+def test_powerlaw_alpha_exact(stars):
+    deg = _degrees()
+    dmin = 4
+    tail = [d for d in deg.values() if d >= dmin]
+    alpha = 1.0 + len(tail) / sum(math.log(d / (dmin - 0.5)) for d in tail)
+    row = powerlaw_alpha(stars, dmin=dmin).collect()[0]
+    assert row.dmin == dmin and row.n_tail == len(tail)
+    assert abs(row.alpha - round(alpha, 6)) <= 1e-6
