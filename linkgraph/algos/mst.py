@@ -1,0 +1,121 @@
+"""Minimum spanning forest — Borůvka rounds, fully relational (K6 family).
+
+Borůvka (1926; the standard parallel/distributed MST algorithm — each
+round every component selects its minimum-weight outgoing edge, selected
+edges merge components, component count at least halves) re-expressed as
+DataFrame passes:
+
+* cross-component edges: two label joins onto the (src, dst, w) table —
+  the same co-partitioned shape as every frontier expand here;
+* per-component argmin: ONE partial+final MIN over a lexicographic
+  struct (w, u, v) — map-side combine collapses each partition's
+  candidates before the exchange; never a window;
+* merge: the selected edges form a pseudo-forest over component ids
+  (≤ one proposal per component), so the round's label update is
+  connected-components on a graph with ONE VERTEX PER COMPONENT —
+  iterative cost independent of |E|, shrinking geometrically;
+* determinism: the edge order (w, u, v) with u < v canonicalization is a
+  STRICT total order, so the argmin — and therefore the whole forest —
+  is unique and engine/partitioning/retry-invariant: the output is
+  hash-comparable with no float arithmetic anywhere (weights are copied,
+  never summed).
+
+O(log |V|) rounds to the fixpoint (component count halves per round).
+`rounds=N` runs exactly N rounds — the bounded-budget mode the unrolled
+DuckDB oracle mirrors; `rounds=None` runs to the no-cross-edges fixpoint
+under `max_rounds` (warns on budget exhaustion, mirroring scc.py).
+"""
+
+from __future__ import annotations
+
+import warnings
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph, iteration_plan
+
+
+def minimum_spanning_forest(
+    edges: DataFrame,
+    rounds: int | None = None,
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Returns the MSF edge list (u, v, w) with u < v over a SYMMETRIC
+    weighted edge table (src, dst, w) — both directions present, w
+    symmetric.  Unique by the strict (w, u, v) total order; spanning
+    forest: |result| = |V| − #components."""
+    spark = edges.sparkSession
+    e = edges.select("src", "dst", "w").where(F.col("src") != F.col("dst"))
+    comp = (
+        e.select(F.col("src").alias("vid"))
+        .distinct()
+        .select("vid", F.col("vid").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    forest_parts: list[DataFrame] = []
+    n_rounds = rounds if rounds is not None else max_rounds
+    converged = False
+    with iteration_plan(spark):
+        for _ in range(n_rounds):
+            cs = comp.select(F.col("vid").alias("src"), F.col("comp").alias("csrc"))
+            cd = comp.select(F.col("vid").alias("dst"), F.col("comp").alias("cdst"))
+            cross = (
+                e.join(cs, "src")
+                .join(cd, "dst")
+                .where(F.col("csrc") != F.col("cdst"))
+                .select(
+                    "csrc",
+                    "cdst",
+                    "w",
+                    F.least("src", "dst").alias("u"),
+                    F.greatest("src", "dst").alias("v"),
+                )
+            )
+            prop = (
+                cross.groupBy("csrc")
+                .agg(F.min(F.struct("w", "u", "v", "cdst")).alias("m"))
+                .select(
+                    "csrc",
+                    F.col("m.w").alias("w"),
+                    F.col("m.u").alias("u"),
+                    F.col("m.v").alias("v"),
+                    F.col("m.cdst").alias("cdst"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            if prop.isEmpty():
+                converged = True
+                break
+            forest_parts.append(prop.select("u", "v", "w").distinct())
+            # merge: CC over the proposal pseudo-forest (one vertex/comp)
+            pe = prop.select(F.col("csrc").alias("src"), F.col("cdst").alias("dst"))
+            pg = LinkGraph(
+                pe.unionByName(
+                    pe.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+                ).distinct()
+            )
+            from linkgraph.algos.components import connected_components
+
+            mapping = connected_components(pg).select(
+                F.col("vid").alias("comp"), F.col("comp").alias("nc")
+            )
+            comp = (
+                comp.join(mapping, "comp", "left")
+                .select("vid", F.coalesce(F.col("nc"), F.col("comp")).alias("comp"))
+                .localCheckpoint(eager=True)
+            )
+    if rounds is None and not converged:
+        warnings.warn(
+            f"minimum_spanning_forest: max_rounds={max_rounds} exhausted before "
+            "the no-cross-edges fixpoint — returned forest may be partial",
+            stacklevel=2,
+        )
+    if not forest_parts:
+        return spark.createDataFrame([], "u long, v long, w long")
+    out = forest_parts[0]
+    for p in forest_parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct().select(
+        F.col("u").cast("long"), F.col("v").cast("long"), F.col("w").cast("long")
+    )

@@ -1773,6 +1773,77 @@ FROM d WHERE deg >= {POWERLAW_DMIN}
 """
 
 
+MST_ROUNDS = 3  # sf0.01 copurchase converges in 2; +1 margin, oracle-mirrored
+MST_CC_STEPS = 6  # inner merge-CC doubling steps in the unrolled oracle
+
+
+def q_mst(spark, sf_dir):
+    """Boruvka minimum spanning forest over the weighted co-purchase
+    graph, fixed-round budget mode (strict (w,u,v) edge order makes the
+    forest unique and hash-comparable — no float arithmetic)."""
+    from linkgraph.algos.mst import minimum_spanning_forest
+
+    return minimum_spanning_forest(
+        derive.copurchase_weighted_edges(_t(spark, sf_dir, "lineitem")),
+        rounds=MST_ROUNDS,
+    )
+
+
+def _mst_oracle_sql(rounds: int, dbl: int) -> str:
+    parts = [
+        """pk AS MATERIALIZED (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem)""",
+        """ew AS MATERIALIZED (
+  SELECT a.p AS src, b.p AS dst, COUNT(*) AS w
+  FROM pk a JOIN pk b ON a.k = b.k AND a.p <> b.p GROUP BY a.p, b.p)""",
+        "cmp0 AS MATERIALIZED (SELECT DISTINCT src AS vid, src AS comp FROM ew)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f"""x{i} AS MATERIALIZED (
+  SELECT c1.comp AS csrc, c2.comp AS cdst, ew.w,
+         LEAST(ew.src, ew.dst) AS u, GREATEST(ew.src, ew.dst) AS v
+  FROM ew JOIN cmp{i - 1} c1 ON c1.vid = ew.src
+          JOIN cmp{i - 1} c2 ON c2.vid = ew.dst
+  WHERE c1.comp <> c2.comp)""")
+        parts.append(f"""p{i} AS MATERIALIZED (
+  SELECT csrc, w, u, v, cdst FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY csrc ORDER BY w, u, v) AS rk
+    FROM x{i}) WHERE rk = 1)""")
+        parts.append(
+            f"g{i} AS MATERIALIZED (SELECT csrc AS a, cdst AS b FROM p{i} "
+            f"UNION SELECT cdst, csrc FROM p{i})"
+        )
+        parts.append(
+            f"l{i}_0 AS MATERIALIZED (SELECT DISTINCT a AS vid, a AS lab FROM g{i})"
+        )
+        for k in range(1, dbl + 1):
+            parts.append(f"""n{i}_{k} AS MATERIALIZED (
+  SELECT g.a AS vid, MIN(l.lab) AS nl
+  FROM g{i} g JOIN l{i}_{k - 1} l ON l.vid = g.b GROUP BY g.a)""")
+            parts.append(f"""s{i}_{k} AS MATERIALIZED (
+  SELECT l.vid, LEAST(l.lab, COALESCE(n.nl, l.lab)) AS lab
+  FROM l{i}_{k - 1} l LEFT JOIN n{i}_{k} n ON n.vid = l.vid)""")
+            parts.append(f"""l{i}_{k} AS MATERIALIZED (
+  SELECT s1.vid, LEAST(s1.lab, COALESCE(s2.lab, s1.lab)) AS lab
+  FROM s{i}_{k} s1 LEFT JOIN s{i}_{k} s2 ON s2.vid = s1.lab)""")
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT vid AS comp, lab AS nc FROM l{i}_{dbl})"
+        )
+        parts.append(f"""cmp{i} AS MATERIALIZED (
+  SELECT c.vid, COALESCE(m.nc, c.comp) AS comp
+  FROM cmp{i - 1} c LEFT JOIN m{i} m ON m.comp = c.comp)""")
+    union = " UNION ".join(f"SELECT u, v, w FROM p{i}" for i in range(1, rounds + 1))
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v, CAST(w AS BIGINT) AS w
+FROM ({union})"""
+    )
+
+
+SQL_MST = _mst_oracle_sql(MST_ROUNDS, MST_CC_STEPS)
+
+
 TFIDF_PAIRS_MAX_DF_PCT = 78  # excludes the ~1/3 most corpus-wide terms at sf0.01
 TFIDF_PAIRS_TOPK = 100
 
@@ -2902,6 +2973,7 @@ QUERIES = {
     "powerlaw_alpha": q_powerlaw_alpha,
     "hits": q_hits,
     "sssp_weighted": q_sssp,
+    "mst": q_mst,
     "random_walks": q_random_walks,
     "node2vec_walks": q_node2vec_walks,
     "clustering_coeff": q_clustering_coeff,
@@ -2981,6 +3053,7 @@ ORACLES = {
     "powerlaw_alpha": SQL_POWERLAW_ALPHA,
     "hits": SQL_HITS,
     "sssp_weighted": SQL_SSSP,
+    "mst": SQL_MST,
     "random_walks": SQL_RANDOM_WALKS,
     "node2vec_walks": SQL_NODE2VEC_WALKS,
     "clustering_coeff": SQL_CLUSTERING_COEFF,

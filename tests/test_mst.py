@@ -1,0 +1,81 @@
+"""Boruvka MSF vs an exact pure-Python Kruskal oracle: with the strict
+(w, u, v) edge order all pseudo-weights are distinct, so the forest is
+unique and ANY correct MST algorithm must return the same edge set."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.algos.mst import minimum_spanning_forest
+from linkgraph.fixtures import er_edges
+
+
+def _weighted(pairs, seed=13):
+    rnd = random.Random(seed)
+    return {(min(a, b), max(a, b)): rnd.randint(1, 9) for a, b in pairs if a != b}
+
+
+def _kruskal(wedges):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    forest = set()
+    for (u, v), w in sorted(wedges.items(), key=lambda kv: (kv[1], kv[0])):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            forest.add((u, v, w))
+    return forest
+
+
+def _df(spark, wedges):
+    rows = []
+    for (u, v), w in wedges.items():
+        rows.append((u, v, w))
+        rows.append((v, u, w))
+    return spark.createDataFrame(rows, "src long, dst long, w long")
+
+
+def test_mst_equals_kruskal_er(spark):
+    wedges = _weighted(er_edges(150, 0.04, seed=5))
+    got = {
+        (r.u, r.v, r.w)
+        for r in minimum_spanning_forest(_df(spark, wedges)).collect()
+    }
+    assert got == _kruskal(wedges)
+
+
+def test_mst_forest_property_disconnected(spark):
+    # two islands + an isolated pair: |forest| = |V| - #components
+    pairs = er_edges(60, 0.08, seed=11) + [
+        (a + 1000, b + 1000) for a, b in er_edges(40, 0.1, seed=12)
+    ] + [(5000, 5001)]
+    wedges = _weighted(pairs)
+    want = _kruskal(wedges)
+    got = {
+        (r.u, r.v, r.w)
+        for r in minimum_spanning_forest(_df(spark, wedges)).collect()
+    }
+    assert got == want
+
+
+def test_mst_fixed_rounds_prefix(spark):
+    # rounds=1: every component proposes its min edge; the round-1 forest
+    # is exactly the set of per-vertex min edges (deduped)
+    wedges = _weighted(er_edges(80, 0.06, seed=21))
+    adj = {}
+    for (u, v), w in wedges.items():
+        adj.setdefault(u, []).append((w, u, v))
+        adj.setdefault(v, []).append((w, u, v))
+    want = {min(cands) for cands in adj.values()}
+    got = {
+        (r.w, r.u, r.v)
+        for r in minimum_spanning_forest(_df(spark, wedges), rounds=1).collect()
+    }
+    assert got == want
