@@ -189,3 +189,68 @@ def powerlaw_alpha(graph: LinkGraph, dmin: int, round_to: int = 6) -> DataFrame:
             round_to,
         ).alias("alpha"),
     )
+
+
+def partition_conductance(
+    graph: LinkGraph, labels: DataFrame, round_to: int = 6
+) -> DataFrame:
+    """Per-class cut quality of a vertex partition: for each label c,
+
+        vol_c = Σ_{v∈c} deg(v)         (directed endpoint count)
+        cut_c = |{(u,v) : u∈c, v∉c}|   (directed cross edges out of c)
+        φ_c   = cut_c / min(vol_c, 2m − vol_c)
+
+    — the conductance score every partitioner evaluation reports (how
+    much shuffle does this assignment cost? a hash partitioner's φ → 1
+    as classes shrink; a good locality partitioner drives it down).
+    Works for ANY label table (hash buckets, Louvain/LPA communities,
+    relabel ranges).  Returns (label, n_vertices, vol, cut, conductance);
+    conductance is NULL for a degenerate class (vol 0 or the whole
+    graph) — min(vol, 2m−vol) = 0 has no defined score.
+
+    Scale shape (community_modularity's): label lands on the edge list
+    by one co-partitioned src join + one |V|-row-build dst join, the cut
+    count map-side combines to ≤|C| rows, and 2m rides in broadcast.
+    Exact integer counts; ONE IEEE division + round ⟹ engine-portable.
+    """
+    if graph.symmetric is False:
+        raise ValueError("partition_conductance expects a symmetric graph")
+    lab = labels.select(F.col("vid").cast("long").alias("vid"), "label")
+    e = graph.edges.select("src", "dst")
+    m_row = e.groupBy().agg(F.count("*").cast("double").alias("M2"))
+
+    cut = (
+        e.join(
+            lab.withColumnRenamed("vid", "src").withColumnRenamed("label", "ls"),
+            "src",
+        )
+        .join(
+            lab.withColumnRenamed("vid", "dst").withColumnRenamed("label", "ld"),
+            "dst",
+        )
+        .where(F.col("ls") != F.col("ld"))
+        .groupBy(F.col("ls").alias("label"))
+        .agg(F.count("*").alias("cut"))
+    )
+    vol = (
+        graph.degrees()
+        .join(lab, "vid")
+        .groupBy("label")
+        .agg(F.count("*").alias("n_vertices"), F.sum("deg").alias("vol"))
+    )
+    denom = F.least(F.col("vol").cast("double"), F.col("M2") - F.col("vol"))
+    return (
+        vol.join(cut, "label", "left")
+        .crossJoin(F.broadcast(m_row))
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.col("n_vertices").cast("long").alias("n_vertices"),
+            F.col("vol").cast("long").alias("vol"),
+            F.coalesce(F.col("cut"), F.lit(0)).cast("long").alias("cut"),
+            F.round(
+                F.coalesce(F.col("cut"), F.lit(0))
+                / F.when(denom > 0, denom),
+                round_to,
+            ).alias("conductance"),
+        )
+    )

@@ -1844,6 +1844,46 @@ FROM ({union})"""
 SQL_MST = _mst_oracle_sql(MST_ROUNDS, MST_CC_STEPS)
 
 
+CONDUCTANCE_BUCKETS = 8
+
+
+def q_partition_conductance(spark, sf_dir):
+    """Conductance of an 8-way hash partition of the co-purchase graph —
+    the shuffle-cost score of the default vid % k partitioner."""
+    from linkgraph.algos.gstats import partition_conductance
+
+    # copurchase_edges is its own transpose by construction
+    g = LinkGraph(
+        derive.copurchase_edges(_t(spark, sf_dir, "lineitem")), symmetric=True
+    )
+    labels = g.vertices().select(
+        "vid", (F.col("vid") % CONDUCTANCE_BUCKETS).alias("label")
+    )
+    return partition_conductance(g, labels)
+
+
+SQL_PARTITION_CONDUCTANCE = f"""
+WITH {_COPURCHASE_E},
+d AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS deg FROM e GROUP BY src),
+lab AS MATERIALIZED (SELECT vid, vid % {CONDUCTANCE_BUCKETS} AS label FROM d),
+m2 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM e),
+cut AS MATERIALIZED (
+  SELECT ls.label AS label, COUNT(*) AS cut
+  FROM e JOIN lab ls ON ls.vid = e.src JOIN lab ld ON ld.vid = e.dst
+  WHERE ls.label <> ld.label GROUP BY ls.label),
+vol AS MATERIALIZED (
+  SELECT label, COUNT(*) AS n_vertices, SUM(deg) AS vol
+  FROM d JOIN lab USING (vid) GROUP BY label)
+SELECT CAST(label AS BIGINT) AS label, CAST(n_vertices AS BIGINT) AS n_vertices,
+       CAST(vol AS BIGINT) AS vol, CAST(COALESCE(cut.cut, 0) AS BIGINT) AS cut,
+       ROUND(COALESCE(cut.cut, 0) / (CASE
+         WHEN LEAST(CAST(vol AS DOUBLE), (SELECT m FROM m2) - vol) > 0
+         THEN LEAST(CAST(vol AS DOUBLE), (SELECT m FROM m2) - vol) END), 6)
+         AS conductance
+FROM vol LEFT JOIN cut USING (label)
+"""
+
+
 TFIDF_PAIRS_MAX_DF_PCT = 78  # excludes the ~1/3 most corpus-wide terms at sf0.01
 TFIDF_PAIRS_TOPK = 100
 
@@ -2971,6 +3011,7 @@ QUERIES = {
     "graph_stats": q_graph_stats,
     "degree_hist": q_degree_hist,
     "powerlaw_alpha": q_powerlaw_alpha,
+    "partition_conductance": q_partition_conductance,
     "hits": q_hits,
     "sssp_weighted": q_sssp,
     "mst": q_mst,
@@ -3051,6 +3092,7 @@ ORACLES = {
     "graph_stats": SQL_GRAPH_STATS,
     "degree_hist": SQL_DEGREE_HIST,
     "powerlaw_alpha": SQL_POWERLAW_ALPHA,
+    "partition_conductance": SQL_PARTITION_CONDUCTANCE,
     "hits": SQL_HITS,
     "sssp_weighted": SQL_SSSP,
     "mst": SQL_MST,
