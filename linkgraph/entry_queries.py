@@ -1884,6 +1884,53 @@ FROM vol LEFT JOIN cut USING (label)
 """
 
 
+def q_activity_profile(spark, sf_dir):
+    """Per-user behavioral profile (one aggregate, no window/self-join)."""
+    from linkgraph.operators.events import activity_profile
+
+    return activity_profile(_t(spark, sf_dir, "events"))
+
+
+SQL_ACTIVITY_PROFILE = """
+WITH e AS (
+  SELECT user_id, event_type, value,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep
+  FROM events)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(MAX(ep) - MIN(ep) AS BIGINT) AS span_s,
+       ROUND((MAX(ep) - MIN(ep)) / (CASE WHEN COUNT(*) > 1
+             THEN CAST(COUNT(*) - 1 AS DOUBLE) END), 6) AS mean_gap_s,
+       ROUND(SUM(value), 6) AS total_value
+FROM e GROUP BY user_id
+"""
+
+
+def q_transition_entropy(spark, sf_dir):
+    """Per-state Shannon entropy of the event-type transition matrix."""
+    from linkgraph.operators.events import transition_entropy
+
+    return transition_entropy(_t(spark, sf_dir, "events"))
+
+
+SQL_TRANSITION_ENTROPY = """
+WITH o AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+           AS next_type
+  FROM events),
+t AS (
+  SELECT event_type AS src_type, next_type AS dst_type, COUNT(*) AS cnt
+  FROM o WHERE next_type IS NOT NULL GROUP BY event_type, next_type)
+SELECT src_type, CAST(SUM(cnt) AS BIGINT) AS n_out,
+       CAST(COUNT(*) AS BIGINT) AS n_dst,
+       ROUND(LN(CAST(SUM(cnt) AS DOUBLE))
+             - SUM(cnt * LN(cnt)) / SUM(cnt), 6) AS entropy
+FROM t GROUP BY src_type
+"""
+
+
 TFIDF_PAIRS_MAX_DF_PCT = 78  # excludes the ~1/3 most corpus-wide terms at sf0.01
 TFIDF_PAIRS_TOPK = 100
 
@@ -2973,6 +3020,8 @@ QUERIES = {
     "edges_shared_key": q_edges_shared_key,
     "edges_events_user": q_edges_events_user,
     "turn_adjacency": q_turn_adjacency,
+    "activity_profile": q_activity_profile,
+    "transition_entropy": q_transition_entropy,
     "bfs_distances": q_bfs_distances,
     "anf": q_anf,
     "anf_full": q_anf_full,
@@ -3054,6 +3103,8 @@ ORACLES = {
     "edges_shared_key": SQL_EDGES_SHARED_KEY,
     "edges_events_user": SQL_EDGES_EVENTS_USER,
     "turn_adjacency": SQL_TURN_ADJACENCY,
+    "activity_profile": SQL_ACTIVITY_PROFILE,
+    "transition_entropy": SQL_TRANSITION_ENTROPY,
     "bfs_distances": SQL_BFS_DISTANCES,
     "anf": SQL_ANF,
     "anf_full": SQL_ANF_FULL,

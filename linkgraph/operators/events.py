@@ -182,3 +182,69 @@ def asof_join(
         *[F.col("_pp")[c].alias(f"{c}{suffix}") for c in right_cols],
         F.col("_pp")["__ts"].alias(f"{ts_col}{suffix}"),
     )
+
+
+def activity_profile(events: DataFrame, round_to: int = 6) -> DataFrame:
+    """Per-user behavioral profile over the event stream: one row
+    (user_id, n_events, n_types, span_s, mean_gap_s, total_value) — the
+    transcript-analytics summary table a conversation corpus ships next
+    to its link graph (who is active, how bursty, how diverse).
+
+    ONE aggregate over a single scan: span and gap statistics come from
+    MIN/MAX epoch + the count — mean_gap = span / (n−1) — so no window,
+    no self-join, no per-event lag column.  Epochs are integer seconds
+    (floor(epoch)), divisions are single IEEE ops + round ⟹ engine-
+    portable.  Single-event users get NULL mean_gap (no gap exists).
+    """
+    ep = F.floor(F.unix_timestamp(F.col("ts"))).cast("long")
+    span = F.max(ep) - F.min(ep)
+    n = F.count(F.lit(1))
+    return events.groupBy("user_id").agg(
+        n.cast("long").alias("n_events"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        span.cast("long").alias("span_s"),
+        F.round(span / F.when(n > 1, (n - F.lit(1)).cast("double")), round_to).alias(
+            "mean_gap_s"
+        ),
+        F.round(F.sum("value"), round_to).alias("total_value"),
+    )
+
+
+def transition_entropy(events: DataFrame, round_to: int = 6) -> DataFrame:
+    """Per-source-state Markov statistics of the event-type transition
+    matrix: (src_type, n_out, n_dst, entropy) where entropy is the
+    Shannon entropy (nats) of P(next_type | src_type) under the stable
+    (ts, event_id) per-user ordering — how predictable each dialogue
+    state's continuation is.
+
+    Built on the same one-window transition derivation as
+    `sources.derive.events_adjacency`, then ONE aggregate per source
+    state using the algebraic form
+
+        H = ln(n_out) − (Σ_d cnt_d · ln cnt_d) / n_out
+
+    — counts are exact integers, the LN sum is absorbed by one division
+    + round (same portability argument as the unigram LM score).
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    trans = (
+        events.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("src_type"),
+            F.col("next_type").alias("dst_type"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    n_out = F.sum("cnt")
+    return trans.groupBy("src_type").agg(
+        n_out.cast("long").alias("n_out"),
+        F.count(F.lit(1)).cast("long").alias("n_dst"),
+        F.round(
+            F.log(n_out.cast("double"))
+            - F.sum(F.col("cnt") * F.log(F.col("cnt"))) / n_out,
+            round_to,
+        ).alias("entropy"),
+    )

@@ -1,0 +1,87 @@
+"""activity_profile / transition_entropy vs exact pure-Python oracles."""
+
+import collections
+import math
+from datetime import datetime, timedelta
+
+import pytest
+
+EVENTS = []  # (event_id, ts, user_id, event_type, value)
+_t0 = datetime(2026, 1, 1)
+for i, (u, et, dt_s, v) in enumerate(
+    [
+        (1, "a", 0, 1.0),
+        (1, "b", 10, 2.5),
+        (1, "a", 70, 0.25),
+        (1, "c", 100, 1.0),
+        (2, "a", 0, 4.0),      # single-event user -> NULL mean_gap
+        (3, "b", 5, 1.5),
+        (3, "b", 6, 1.5),
+        (3, "a", 300, 2.0),
+    ]
+):
+    EVENTS.append((i, _t0 + timedelta(seconds=dt_s), u, et, v))
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.createDataFrame(
+        EVENTS, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_activity_profile_exact(events):
+    from linkgraph.operators.events import activity_profile
+
+    got = {
+        r.user_id: (r.n_events, r.n_types, r.span_s, r.mean_gap_s, r.total_value)
+        for r in activity_profile(events).collect()
+    }
+    by_user = collections.defaultdict(list)
+    for _, ts, u, et, v in EVENTS:
+        by_user[u].append((ts, et, v))
+    want = {}
+    for u, rows in by_user.items():
+        eps = [int(ts.timestamp()) for ts, _, _ in rows]
+        span = max(eps) - min(eps)
+        n = len(rows)
+        want[u] = (
+            n,
+            len({et for _, et, _ in rows}),
+            span,
+            round(span / (n - 1), 6) if n > 1 else None,
+            round(sum(v for _, _, v in rows), 6),
+        )
+    assert got == want
+
+
+def test_transition_entropy_exact(events):
+    from linkgraph.operators.events import transition_entropy
+
+    by_user = collections.defaultdict(list)
+    for eid, ts, u, et, _ in EVENTS:
+        by_user[u].append((ts, eid, et))
+    trans = collections.Counter()
+    for rows in by_user.values():
+        rows.sort()
+        for (_, _, a), (_, _, b) in zip(rows, rows[1:]):
+            trans[(a, b)] += 1
+    out = collections.defaultdict(list)
+    for (a, _), c in trans.items():
+        out[a].append(c)
+    want = {}
+    for a, cnts in out.items():
+        n = sum(cnts)
+        h = math.log(n) - sum(c * math.log(c) for c in cnts) / n
+        want[a] = (n, len(cnts), round(h, 6))
+    got = {
+        r.src_type: (r.n_out, r.n_dst, r.entropy)
+        for r in transition_entropy(events).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][:2] == want[k][:2]
+        assert abs(got[k][2] - want[k][2]) <= 1e-6
+    # user 3's "b"->"b" self-transition is deterministic only if entropy
+    # for a single-destination state is exactly 0
+    assert got["b"][2] >= 0.0
