@@ -1931,6 +1931,32 @@ FROM t GROUP BY src_type
 """
 
 
+CONTAINMENT_T = 0.8
+
+
+def q_containment(spark, sf_dir):
+    """Directed word-set containment pairs (subset-dup signal that
+    Jaccard misses: short doc embedded in a long one)."""
+    from linkgraph.textops.dedup import containment_pairs
+
+    return containment_pairs(_t(spark, sf_dir, "documents"), threshold=CONTAINMENT_T)
+
+
+SQL_CONTAINMENT = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest({_SQL_TOKENS}) AS w FROM documents),
+sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+inter AS MATERIALIZED (
+  SELECT t1.doc_id AS a, t2.doc_id AS b, COUNT(*) AS i
+  FROM tok t1 JOIN tok t2 ON t1.w = t2.w AND t1.doc_id <> t2.doc_id
+  GROUP BY t1.doc_id, t2.doc_id)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       ROUND(i / CAST(sz AS DOUBLE), 6) AS containment
+FROM inter JOIN sz ON sz.doc_id = a
+WHERE ROUND(i / CAST(sz AS DOUBLE), 6) >= {CONTAINMENT_T}
+"""
+
+
 TFIDF_PAIRS_MAX_DF_PCT = 78  # excludes the ~1/3 most corpus-wide terms at sf0.01
 TFIDF_PAIRS_TOPK = 100
 
@@ -3046,6 +3072,7 @@ QUERIES = {
     "language_id": q_language_id,
     "token_totals": q_token_totals,
     "jaccard_pairs": q_jaccard_pairs,
+    "containment_pairs": q_containment,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ivf_cosine_topk": q_ivf_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
@@ -3129,6 +3156,7 @@ ORACLES = {
     "language_id": SQL_LANGUAGE_ID,
     "token_totals": SQL_TOKEN_TOTALS,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
+    "containment_pairs": SQL_CONTAINMENT,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ivf_cosine_topk": SQL_IVF_COSINE_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,

@@ -70,3 +70,31 @@ def test_shared_ngram_spans_short_docs_and_self_repeats(docs):
     ids = {r.a for r in got} | {r.b for r in got}
     assert 5 not in ids  # shorter than k: no spans
     assert 6 not in ids  # internal repetition alone creates no pair
+
+
+def test_containment_pairs_subset_doc(spark):
+    from linkgraph.textops.dedup import containment_pairs
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",  # superset
+        "beta gamma delta",                               # fully contained in 0
+        "unrelated words only here",
+        "alpha beta unrelated",                           # partial overlap
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.a, r.b): r.containment
+        for r in containment_pairs(docs, threshold=0.0).collect()
+    }
+    # doc 1 fully inside doc 0; reverse direction is 3/8
+    assert got[(1, 0)] == 1.0
+    assert got[(0, 1)] == round(3 / 8, 6)
+    assert got[(3, 0)] == round(2 / 3, 6)
+    assert (2, 0) not in got
+    high = {
+        (r.a, r.b)
+        for r in containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert high == {(1, 0)}
