@@ -179,6 +179,12 @@ def run_suite(spark, sf_dir: str, sf: str) -> tuple[dict, dict]:
         extras["sssp_rows"] = sssp(gw, sorted(gw.top_degree_vids(4))).count()
         gw.unpersist()
 
+    from linkgraph.algos.mst import minimum_spanning_forest
+
+    with timed("mst_copurchase"):
+        ewm = copurchase_weighted_edges(read_testdata(spark, sf_dir, "lineitem"))
+        extras["mst_edges"] = minimum_spanning_forest(ewm).count()
+
     # ---- graph 2: Zipf hub-tool transcript graph (skew stress, salted path)
     # Input preparation is untimed: the production input is a transcripts
     # TABLE (BASELINE input_hint: Iceberg), so the fixture is written to
