@@ -1957,6 +1957,34 @@ WHERE ROUND(i / CAST(sz AS DOUBLE), 6) >= {CONTAINMENT_T}
 """
 
 
+EIGEN_ROUNDS = 8
+
+
+def q_eigenvector(spark, sf_dir):
+    """Fixed-round eigenvector centrality on the user graph (deferred
+    normalization makes the power iteration recursive-CTE-expressible)."""
+    from linkgraph.algos.eigen import eigenvector_centrality
+
+    return eigenvector_centrality(user_graph(spark, sf_dir), rounds=EIGEN_ROUNDS)
+
+
+SQL_EIGENVECTOR = f"""
+WITH RECURSIVE {_USER_E_MAT},
+deg AS MATERIALIZED (SELECT DISTINCT src AS vid FROM e),
+ev(it, vid, x) AS (
+  SELECT 0, vid, CAST(1.0 AS DOUBLE) FROM deg
+  UNION ALL
+  SELECT k.it + 1, e.dst, SUM(k.x)
+  FROM ev k JOIN e ON e.src = k.vid
+  WHERE k.it < {EIGEN_ROUNDS}
+  GROUP BY k.it + 1, e.dst
+)
+SELECT CAST(vid AS BIGINT) AS vid,
+       ROUND(x / (SELECT MAX(x) FROM ev WHERE it = {EIGEN_ROUNDS}), 6) AS ec
+FROM ev WHERE it = {EIGEN_ROUNDS}
+"""
+
+
 TFIDF_PAIRS_MAX_DF_PCT = 78  # excludes the ~1/3 most corpus-wide terms at sf0.01
 TFIDF_PAIRS_TOPK = 100
 
@@ -3118,6 +3146,7 @@ QUERIES = {
     "pmi_collocations": q_pmi_collocations,
     "louvain": q_louvain,
     "katz": q_katz,
+    "eigenvector": q_eigenvector,
     "sequence_pack": q_sequence_pack,
     "quality_filter": q_quality_filter,
     "maximal_matching": q_maximal_matching,
@@ -3202,6 +3231,7 @@ ORACLES = {
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
     "louvain": SQL_LOUVAIN,
     "katz": SQL_KATZ,
+    "eigenvector": SQL_EIGENVECTOR,
     "sequence_pack": SQL_SEQUENCE_PACK,
     "quality_filter": SQL_QUALITY_FILTER,
     "maximal_matching": SQL_MAXIMAL_MATCHING,

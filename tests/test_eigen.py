@@ -1,0 +1,46 @@
+"""eigenvector_centrality vs a numpy power-iteration oracle, plus
+structural sanity on a star (hub dominates)."""
+
+import numpy as np
+import pytest
+
+from linkgraph.algos.eigen import eigenvector_centrality
+from linkgraph.fixtures import edges_df, er_edges
+from linkgraph.graph import LinkGraph
+
+PAIRS = er_edges(80, 0.06, seed=3)
+
+
+@pytest.fixture(scope="module")
+def er(spark):
+    return LinkGraph.from_undirected(edges_df(spark, PAIRS), num_partitions=4)
+
+
+def test_eigenvector_vs_numpy(er):
+    vs = sorted({v for p in PAIRS for v in p if p[0] != p[1]})
+    idx = {v: i for i, v in enumerate(vs)}
+    A = np.zeros((len(vs), len(vs)))
+    for a, b in PAIRS:
+        if a != b:
+            A[idx[a], idx[b]] = 1.0
+            A[idx[b], idx[a]] = 1.0
+    x = np.ones(len(vs))
+    for _ in range(8):
+        x = A @ x
+    x = x / x.max()
+    got = {r.vid: r.ec for r in eigenvector_centrality(er, rounds=8).collect()}
+    assert set(got) == set(vs)
+    for v in vs:
+        assert abs(got[v] - round(float(x[idx[v]]), 6)) <= 2e-6, v
+
+
+def test_eigenvector_star_hub_dominates(spark):
+    pairs = [(0, i) for i in range(1, 21)]
+    g = LinkGraph.from_undirected(edges_df(spark, pairs), num_partitions=2)
+    # ODD rounds: a star is bipartite, so even-round iterates equalize
+    # hub and leaves (mass oscillates); odd rounds leave it on the hub
+    got = {r.vid: r.ec for r in eigenvector_centrality(g, rounds=5).collect()}
+    assert got[0] == 1.0
+    assert all(got[i] < 1.0 for i in range(1, 21))
+    leaf_vals = {got[i] for i in range(1, 21)}
+    assert len(leaf_vals) == 1  # symmetry: all leaves equal
