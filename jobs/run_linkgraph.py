@@ -40,7 +40,9 @@ def main(argv=None):
     p.add_argument("--algo", required=True,
                    choices=["msbfs", "closeness", "harmonic", "eccentricity", "anf",
                             "pagerank", "ppr", "cc", "lpa", "triangles",
-                            "kcore", "betweenness", "khop", "degree"])
+                            "kcore", "betweenness", "khop", "degree",
+                            "eigenvector", "vertexsim", "conductance",
+                            "degree_hist"])
     p.add_argument("--edge-key", default="tool", help="shared-key column for conv-conv edges")
     p.add_argument("--hub-cap", type=int, default=100_000,
                    help="0 = plan from sketch stats (suggest_hub_cap, A8)")
@@ -164,6 +166,31 @@ def main(argv=None):
         from linkgraph.algos.triangles import triangles_per_vertex
 
         out = triangles_per_vertex(graph, by_degree=True)
+        metrics = {}
+    elif args.algo == "eigenvector":
+        from linkgraph.algos.eigen import eigenvector_centrality
+
+        out = eigenvector_centrality(graph, rounds=min(args.max_iter, 8))
+        metrics = {}
+    elif args.algo == "vertexsim":
+        from linkgraph.algos.linkpred import vertex_similarity
+
+        out = vertex_similarity(graph, hub_cap=args.hub_cap, topk=args.k * 100)
+        metrics = {}
+    elif args.algo == "conductance":
+        from pyspark.sql import functions as F
+
+        from linkgraph.algos.gstats import partition_conductance
+
+        labels = graph.vertices().select(
+            "vid", (F.col("vid") % max(args.seeds, 2)).alias("label")
+        )
+        out = partition_conductance(graph, labels)
+        metrics = {}
+    elif args.algo == "degree_hist":
+        from linkgraph.algos.gstats import degree_histogram
+
+        out = degree_histogram(graph)
         metrics = {}
     else:  # degree
         out = graph.degrees()
