@@ -254,3 +254,30 @@ def partition_conductance(
             ).alias("conductance"),
         )
     )
+
+
+def reciprocity(edges: DataFrame, round_to: int = 6) -> DataFrame:
+    """Directed-graph reciprocity: one row (n_edges, n_reciprocal, r)
+    with r = |{(u,v) : (v,u) ∈ E}| / |E| over a DIRECTED edge table —
+    the standard first asymmetry measure (how much of the graph is
+    two-way?).  A symmetric-closure table trivially scores 1; run it on
+    genuinely directed derivations (turn adjacency, sequential chains).
+
+    One left-semi join against the transpose (J4, co-partitioned when
+    the table is hash-partitioned on src) + one count each side; exact
+    integers, ONE IEEE division + round.
+    """
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    t = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(t, ["src", "dst"], "left_semi")
+    return (
+        e.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(recip.agg(F.count(F.lit(1)).alias("n_reciprocal")))
+        .select(
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_reciprocal").cast("long").alias("n_reciprocal"),
+            F.round(
+                F.col("n_reciprocal") / F.col("n_edges").cast("double"), round_to
+            ).alias("r"),
+        )
+    )

@@ -1985,6 +1985,35 @@ FROM ev WHERE it = {EIGEN_ROUNDS}
 """
 
 
+def q_reciprocity(spark, sf_dir):
+    """Reciprocity of the DIRECTED sequential co-purchase graph."""
+    from linkgraph.algos.gstats import reciprocity
+    from linkgraph.sources.derive import sequential_copurchase_edges
+
+    return reciprocity(sequential_copurchase_edges(_t(spark, sf_dir, "lineitem")))
+
+
+SQL_RECIPROCITY = """
+WITH sq AS (
+  SELECT l_orderkey, l_linenumber, l_partkey,
+         LEAD(l_partkey) OVER (PARTITION BY l_orderkey
+                               ORDER BY l_linenumber ASC, l_partkey ASC) AS nxt
+  FROM lineitem),
+e AS MATERIALIZED (
+  SELECT DISTINCT l_partkey AS src, nxt AS dst FROM sq
+  WHERE nxt IS NOT NULL AND nxt <> l_partkey)
+SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*) FROM e a
+             WHERE EXISTS (SELECT 1 FROM e b
+                           WHERE b.src = a.dst AND b.dst = a.src)) AS BIGINT)
+         AS n_reciprocal,
+       ROUND((SELECT COUNT(*) FROM e a
+              WHERE EXISTS (SELECT 1 FROM e b
+                            WHERE b.src = a.dst AND b.dst = a.src))
+             / CAST((SELECT COUNT(*) FROM e) AS DOUBLE), 6) AS r
+"""
+
+
 TFIDF_PAIRS_MAX_DF_PCT = 78  # excludes the ~1/3 most corpus-wide terms at sf0.01
 TFIDF_PAIRS_TOPK = 100
 
@@ -2330,7 +2359,7 @@ SQL_SCC = f"""
 WITH RECURSIVE e AS MATERIALIZED (
   SELECT DISTINCT l_partkey AS src, nxt AS dst FROM (
     SELECT l_partkey,
-           lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS nxt
+           lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS nxt
     FROM lineitem WHERE l_quantity > {SCC_QTY})
   WHERE nxt IS NOT NULL AND nxt <> l_partkey),
 verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
@@ -3116,6 +3145,7 @@ QUERIES = {
     "degree_hist": q_degree_hist,
     "powerlaw_alpha": q_powerlaw_alpha,
     "partition_conductance": q_partition_conductance,
+    "reciprocity": q_reciprocity,
     "hits": q_hits,
     "sssp_weighted": q_sssp,
     "mst": q_mst,
@@ -3201,6 +3231,7 @@ ORACLES = {
     "degree_hist": SQL_DEGREE_HIST,
     "powerlaw_alpha": SQL_POWERLAW_ALPHA,
     "partition_conductance": SQL_PARTITION_CONDUCTANCE,
+    "reciprocity": SQL_RECIPROCITY,
     "hits": SQL_HITS,
     "sssp_weighted": SQL_SSSP,
     "mst": SQL_MST,

@@ -186,7 +186,14 @@ def sequential_copurchase_edges(lineitem: DataFrame) -> DataFrame:
     per-order sort, no self-join).  Different orders traverse parts in
     different sequences, so the union develops real directed cycles —
     the fixture the SCC kernel needs, derived purely relationally."""
-    w = Window.partitionBy("l_orderkey").orderBy(F.col("l_linenumber").asc())
+    # (l_linenumber, l_partkey): l_linenumber alone is NOT unique per
+    # order in the fixture data, and a tied sort key makes the LEAD
+    # sequence engine/partitioning-dependent; adding l_partkey gives a
+    # strict total order (full ties are identical rows, whose swap
+    # leaves the edge set unchanged)
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_linenumber").asc(), F.col("l_partkey").asc()
+    )
     return (
         lineitem.select("l_orderkey", "l_linenumber", "l_partkey")
         .withColumn("nxt", F.lead("l_partkey").over(w))

@@ -61,3 +61,14 @@ def test_powerlaw_alpha_exact(stars):
     row = powerlaw_alpha(stars, dmin=dmin).collect()[0]
     assert row.dmin == dmin and row.n_tail == len(tail)
     assert abs(row.alpha - round(alpha, 6)) <= 1e-6
+
+
+def test_reciprocity_exact(spark):
+    from linkgraph.algos.gstats import reciprocity
+
+    edges = [(1, 2), (2, 1), (2, 3), (3, 4), (4, 3), (5, 5), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = reciprocity(df).collect()[0]
+    # distinct non-loop edges: (1,2),(2,1),(2,3),(3,4),(4,3) -> 5
+    # reciprocal: (1,2),(2,1),(3,4),(4,3) -> 4
+    assert (row.n_edges, row.n_reciprocal, row.r) == (5, 4, 0.8)
