@@ -2014,6 +2014,34 @@ SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
 """
 
 
+def q_lm2_quality(spark, sf_dir):
+    """Corpus-bigram LM score with add-one smoothing (word-order-aware
+    perplexity filter signal; see textstats.bigram_logprob)."""
+    from linkgraph.textops.textstats import bigram_logprob
+
+    return bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+SQL_LM2_QUALITY = f"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents),
+bg AS MATERIALIZED (
+  SELECT doc_id, unnest(ts[1:len(ts)-1]) AS u, unnest(ts[2:len(ts)]) AS v
+  FROM tok WHERE len(ts) >= 2),
+tf2 AS MATERIALIZED (
+  SELECT doc_id, u, v, COUNT(*) AS tf FROM bg GROUP BY doc_id, u, v),
+cuv AS MATERIALIZED (SELECT u, v, SUM(tf) AS cuv FROM tf2 GROUP BY u, v),
+cu AS MATERIALIZED (SELECT u, SUM(cuv) AS cu FROM cuv GROUP BY u),
+vsz AS (SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS v FROM
+        (SELECT unnest(ts) AS t FROM tok))
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(tf * LN((cuv + 1.0) / (cu + (SELECT v FROM vsz)))) / SUM(tf), 6)
+         AS lm2_logprob
+FROM tf2 JOIN cuv USING (u, v) JOIN cu USING (u)
+GROUP BY doc_id
+"""
+
+
 TFIDF_PAIRS_MAX_DF_PCT = 78  # excludes the ~1/3 most corpus-wide terms at sf0.01
 TFIDF_PAIRS_TOPK = 100
 
@@ -3182,6 +3210,7 @@ QUERIES = {
     "maximal_matching": q_maximal_matching,
     "densest_subgraph": q_densest_subgraph,
     "lm_quality": q_lm_quality,
+    "lm2_quality": q_lm2_quality,
 }
 
 ORACLES = {
@@ -3268,6 +3297,7 @@ ORACLES = {
     "maximal_matching": SQL_MAXIMAL_MATCHING,
     "densest_subgraph": SQL_DENSEST_SUBGRAPH,
     "lm_quality": SQL_LM_QUALITY,
+    "lm2_quality": SQL_LM2_QUALITY,
 }
 
 

@@ -510,3 +510,66 @@ def tfidf_cosine_pairs(
             F.col("b").asc(),
         ).limit(topk)
     return out
+
+
+def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-bigram LM quality score with add-one smoothing: per
+    document the mean conditional token log-probability
+
+        lm2_logprob(d) = (1/(|d|−1)) · Σ_i ln P(w_i | w_{i−1}),
+        P(v|u) = (c(u,v) + 1) / (c(u,·) + V)
+
+    (c = corpus bigram counts, c(u,·) = u's total as a bigram left, V =
+    unigram vocabulary size — Laplace smoothing so unseen continuations
+    score finitely).  The word-order-aware step up from
+    `unigram_logprob`: shuffled or templated text keeps its unigram
+    score but collapses here — the second CCNet-style filter signal.
+    Returns (doc_id, n_bigrams, lm2_logprob rounded 6); documents with
+    fewer than 2 tokens are absent (no transition to score).
+
+    Scale shape: bigrams come from slice+arrays_zip over the token
+    array (codegen, text pruned before the explode shuffles (doc_id,
+    u, v) rows); corpus counts aggregate the per-doc tf table; the
+    left-marginal table is ≤|vocabulary| rows (broadcastable dim); V is
+    a bounded scalar driver action; ONE aggregate per doc.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    n = F.size(toks)
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                n >= 2,
+                F.arrays_zip(
+                    F.slice(toks, 1, n - 1).alias("u"),
+                    F.slice(toks, 2, n - 1).alias("v"),
+                ),
+            ).otherwise(F.array().cast("array<struct<u:string,v:string>>"))
+        ).alias("p"),
+    ).select("doc_id", F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+    tf2 = bg.groupBy("doc_id", "u", "v").agg(F.count(F.lit(1)).alias("tf"))
+    cuv = tf2.groupBy("u", "v").agg(F.sum("tf").alias("cuv"))
+    cu = cuv.groupBy("u").agg(F.sum("cuv").alias("cu"))
+    vocab = int(
+        docs.select(F.explode(toks).alias("t")).agg(F.countDistinct("t")).first()[0]
+        or 0
+    )
+    return (
+        tf2.join(cuv, ["u", "v"])
+        .join(cu, "u")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum(
+                F.col("tf")
+                * F.log(
+                    (F.col("cuv") + F.lit(1.0)) / (F.col("cu") + F.lit(float(vocab)))
+                )
+            ).alias("s"),
+        )
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_bigrams",
+            F.round(F.col("s") / F.col("n_bigrams"), 6).alias("lm2_logprob"),
+        )
+    )

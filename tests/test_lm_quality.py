@@ -47,3 +47,51 @@ def test_common_beats_rare_and_empty_absent(docs):
     got = {r["doc_id"]: r["lm_logprob"] for r in unigram_logprob(docs).collect()}
     assert got[1] > got[0] > got[2]  # common > mixed > rare
     assert 3 not in got
+
+
+def test_bigram_logprob_exact(spark):
+    import collections
+    import math
+    import re
+
+    from linkgraph.textops.textstats import bigram_logprob
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat sat on the cat",
+        "zz qq",
+        "single",                      # 1 token: absent from output
+        "the cat the cat the cat",     # repetitive, common bigrams
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    tok = [re.findall("[a-z0-9]+", t.lower()) for t in texts]
+    cuv = collections.Counter()
+    for ts in tok:
+        for a, b in zip(ts, ts[1:]):
+            cuv[(a, b)] += 1
+    cu = collections.Counter()
+    for (a, _), c in cuv.items():
+        cu[a] += c
+    vocab = len({w for ts in tok for w in ts})
+    want = {}
+    for i, ts in enumerate(tok):
+        if len(ts) < 2:
+            continue
+        lp = [
+            math.log((cuv[(a, b)] + 1) / (cu[a] + vocab))
+            for a, b in zip(ts, ts[1:])
+        ]
+        want[i] = (len(lp), round(sum(lp) / len(lp), 6))
+    got = {
+        r.doc_id: (r.n_bigrams, r.lm2_logprob)
+        for r in bigram_logprob(docs).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) <= 1e-6
+    # word-order sensitivity: repetitive common-bigram doc outscores the
+    # rare-bigram doc
+    assert got[4][1] > got[2][1]
