@@ -2042,6 +2042,35 @@ GROUP BY doc_id
 """
 
 
+def q_embedding_label_stats(spark, sf_dir):
+    """Per-label embedding cohesion diagnostics (centroid book + cosine
+    roll-up; see simsearch.embedding_label_stats)."""
+    from linkgraph.textops.simsearch import embedding_label_stats
+
+    return embedding_label_stats(_t(spark, sf_dir, "embeddings"))
+
+
+SQL_EMBEDDING_LABEL_STATS = """
+WITH flat AS MATERIALIZED (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS val
+  FROM embeddings),
+cent AS MATERIALIZED (
+  SELECT label, pos, AVG(val) AS cval FROM flat GROUP BY label, pos),
+pv AS MATERIALIZED (
+  SELECT f.vec_id, f.label,
+         SUM(f.val * c.cval) AS dot,
+         SQRT(SUM(f.val * f.val)) AS vn,
+         SQRT(SUM(c.cval * c.cval)) AS cn
+  FROM flat f JOIN cent c ON c.label = f.label AND c.pos = f.pos
+  GROUP BY f.vec_id, f.label)
+SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(MAX(cn), 6) AS centroid_norm,
+       ROUND(AVG(dot / (vn * cn)), 6) AS mean_cos
+FROM pv GROUP BY label
+"""
+
+
 TFIDF_PAIRS_MAX_DF_PCT = 78  # excludes the ~1/3 most corpus-wide terms at sf0.01
 TFIDF_PAIRS_TOPK = 100
 
@@ -3160,6 +3189,7 @@ QUERIES = {
     "containment_pairs": q_containment,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ivf_cosine_topk": q_ivf_cosine_topk,
+    "embedding_label_stats": q_embedding_label_stats,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_banded": q_embedding_near_dup_banded,
     "minhash_lsh": q_minhash_lsh,
@@ -3247,6 +3277,7 @@ ORACLES = {
     "containment_pairs": SQL_CONTAINMENT,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ivf_cosine_topk": SQL_IVF_COSINE_TOPK,
+    "embedding_label_stats": SQL_EMBEDDING_LABEL_STATS,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "embedding_near_dup_banded": SQL_EMBEDDING_NEAR_DUP_BANDED,
     "minhash_lsh": SQL_MINHASH_LSH,

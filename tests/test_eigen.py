@@ -44,3 +44,42 @@ def test_eigenvector_star_hub_dominates(spark):
     assert all(got[i] < 1.0 for i in range(1, 21))
     leaf_vals = {got[i] for i in range(1, 21)}
     assert len(leaf_vals) == 1  # symmetry: all leaves equal
+
+
+def test_embedding_label_stats_exact(spark):
+    import numpy as np
+
+    from linkgraph.textops.simsearch import embedding_label_stats
+
+    rng = np.random.default_rng(7)
+    rows, want = [], {}
+    vecs_by_label = {}
+    vid = 0
+    for label, center in [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]:
+        vs = []
+        for _ in range(5):
+            v = np.array(center) + rng.normal(0, 0.05, 3)
+            rows.append((vid, [float(x) for x in v], label))
+            vs.append(v)
+            vid += 1
+        vecs_by_label[label] = np.array(vs)
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        r.label: (r.n_vecs, r.centroid_norm, r.mean_cos)
+        for r in embedding_label_stats(df).collect()
+    }
+    for label, vs in vecs_by_label.items():
+        # float32 storage: recompute the oracle from the float32 values
+        vs32 = vs.astype(np.float32).astype(np.float64)
+        c = vs32.mean(axis=0)
+        cn = float(np.linalg.norm(c))
+        cos = [
+            float(v @ c / (np.linalg.norm(v) * cn)) for v in vs32
+        ]
+        assert got[label][0] == 5
+        assert abs(got[label][1] - round(cn, 6)) <= 2e-6
+        assert abs(got[label][2] - round(sum(cos) / 5, 6)) <= 2e-6
+    # tight clusters around orthogonal centers: high cohesion
+    assert got[0][2] > 0.99 and got[1][2] > 0.99
