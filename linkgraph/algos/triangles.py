@@ -94,3 +94,36 @@ def transitivity(graph: LinkGraph, by_degree: bool = True) -> float:
         .first()["w"]
     )
     return float(tri3 / wedges) if wedges else 0.0
+
+
+def square_count(graph: LinkGraph) -> DataFrame:
+    """Exact 4-cycle (square) count, one row (n_squares).
+
+    Every square a–b–c–d has exactly two diagonals (a,c) and (b,d), and
+    a diagonal pair (u,v) with cn common neighbors closes C(cn,2)
+    squares — so  #C4 = Σ_{u<v} C(cn(u,v), 2) / 2  (each square counted
+    once per diagonal).  The sum is always even; the division is exact
+    integer arithmetic, so the result is engine-portable with no
+    rounding convention.
+
+    Shape: the same co-partitioned wedge self-join as vertex_similarity
+    / link_prediction feeding one global aggregate.  The wedge fanout is
+    Σ deg² — on hub-heavy graphs cap the centers (the capped variant is
+    a lower bound) or square-count the k-core; the driver query runs the
+    exact form on the shared-key user graph where Σ deg² is bounded.
+    """
+    edges = graph.edges.select("src", "dst")
+    a, b = edges.alias("a"), edges.alias("b")
+    cn = (
+        a.join(
+            b,
+            (F.col("a.src") == F.col("b.src")) & (F.col("a.dst") < F.col("b.dst")),
+        )
+        .groupBy(F.col("a.dst").alias("u"), F.col("b.dst").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    # all-integer: cn(cn-1) is even, the pair sum is even — two exact
+    # integer DIVs, never a double (a 1e9-pair sum would exceed 2^53)
+    return cn.select(
+        F.expr("CAST(cn * (cn - 1) AS BIGINT) DIV 2").alias("p")
+    ).agg(F.expr("SUM(p) DIV 2").cast("long").alias("n_squares"))

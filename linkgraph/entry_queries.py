@@ -2071,6 +2071,52 @@ FROM pv GROUP BY label
 """
 
 
+Z_CUT = 3.0
+
+
+def q_value_outliers(spark, sf_dir):
+    """Per-user value anomaly summary (rounded-z threshold, see
+    operators/events.py::value_outliers)."""
+    from linkgraph.operators.events import value_outliers
+
+    return value_outliers(_t(spark, sf_dir, "events"), z_cut=Z_CUT)
+
+
+SQL_VALUE_OUTLIERS = f"""
+WITH mom AS MATERIALIZED (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         AVG(value) AS mean_raw, STDDEV_SAMP(value) AS std_raw
+  FROM events GROUP BY user_id),
+fl AS (
+  SELECT e.user_id, SUM(CASE WHEN ROUND(ABS(e.value - m.mean_raw) / m.std_raw, 6)
+                             > {Z_CUT} THEN 1 ELSE 0 END) AS n_outliers
+  FROM events e JOIN mom m USING (user_id)
+  WHERE m.std_raw > 0 GROUP BY e.user_id)
+SELECT CAST(user_id AS BIGINT) AS user_id, n_events,
+       ROUND(mean_raw, 6) AS mean_v, ROUND(std_raw, 6) AS std_v,
+       CAST(COALESCE(fl.n_outliers, 0) AS BIGINT) AS n_outliers
+FROM mom LEFT JOIN fl USING (user_id)
+"""
+
+
+def q_square_count(spark, sf_dir):
+    """Exact 4-cycle count of the user graph (all-integer wedge-pair
+    identity; see algos/triangles.py::square_count)."""
+    from linkgraph.algos.triangles import square_count
+
+    return square_count(user_graph(spark, sf_dir))
+
+
+SQL_SQUARE_COUNT = f"""
+WITH {_USER_E},
+cn AS MATERIALIZED (
+  SELECT e1.dst AS u, e2.dst AS v, COUNT(*) AS cn
+  FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  GROUP BY e1.dst, e2.dst)
+SELECT CAST(SUM(cn * (cn - 1) // 2) // 2 AS BIGINT) AS n_squares FROM cn
+"""
+
+
 TFIDF_PAIRS_MAX_DF_PCT = 78  # excludes the ~1/3 most corpus-wide terms at sf0.01
 TFIDF_PAIRS_TOPK = 100
 
@@ -3162,6 +3208,8 @@ QUERIES = {
     "turn_adjacency": q_turn_adjacency,
     "activity_profile": q_activity_profile,
     "transition_entropy": q_transition_entropy,
+    "value_outliers": q_value_outliers,
+    "square_count": q_square_count,
     "bfs_distances": q_bfs_distances,
     "anf": q_anf,
     "anf_full": q_anf_full,
@@ -3250,6 +3298,8 @@ ORACLES = {
     "turn_adjacency": SQL_TURN_ADJACENCY,
     "activity_profile": SQL_ACTIVITY_PROFILE,
     "transition_entropy": SQL_TRANSITION_ENTROPY,
+    "value_outliers": SQL_VALUE_OUTLIERS,
+    "square_count": SQL_SQUARE_COUNT,
     "bfs_distances": SQL_BFS_DISTANCES,
     "anf": SQL_ANF,
     "anf_full": SQL_ANF_FULL,

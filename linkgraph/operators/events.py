@@ -248,3 +248,41 @@ def transition_entropy(events: DataFrame, round_to: int = 6) -> DataFrame:
             round_to,
         ).alias("entropy"),
     )
+
+
+def value_outliers(events: DataFrame, z_cut: float = 3.0, round_to: int = 6) -> DataFrame:
+    """Per-user value anomaly summary: (user_id, n_events, mean_v, std_v,
+    n_outliers) where an outlier is an event with rounded |z| > z_cut
+    under the user's own sample mean/stddev — the abuse/spam first-pass
+    every event pipeline runs.
+
+    Two aggregates over one (user-keyed) shuffle: moments first, then an
+    outlier count against the broadcast-joined per-user moments.  The
+    z-score is ROUNDED before the threshold comparison, so the kept set
+    is engine-portable (the same convention as containment_pairs);
+    single-event users have no stddev → n_outliers 0, std_v NULL.
+    """
+    mom = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.avg("value").alias("mean_raw"),
+        F.stddev_samp("value").alias("std_raw"),
+    )
+    z = F.round(
+        F.abs(F.col("value") - F.col("mean_raw")) / F.col("std_raw"), round_to
+    )
+    flags = (
+        events.join(F.broadcast(mom), "user_id")
+        .where(F.col("std_raw") > 0)
+        .groupBy("user_id")
+        .agg(F.sum(F.when(z > z_cut, 1).otherwise(0)).alias("n_outliers"))
+    )
+    return (
+        mom.join(flags, "user_id", "left")
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "n_events",
+            F.round("mean_raw", round_to).alias("mean_v"),
+            F.round("std_raw", round_to).alias("std_v"),
+            F.coalesce(F.col("n_outliers"), F.lit(0)).cast("long").alias("n_outliers"),
+        )
+    )

@@ -85,3 +85,48 @@ def test_transition_entropy_exact(events):
     # user 3's "b"->"b" self-transition is deterministic only if entropy
     # for a single-destination state is exactly 0
     assert got["b"][2] >= 0.0
+
+
+def test_value_outliers_exact(spark):
+    import statistics
+
+    from linkgraph.operators.events import value_outliers
+
+    rows = []
+    t0 = datetime(2026, 2, 1)
+    # user 7: 20 tame values + one wild spike; user 8: constant (std 0);
+    # user 9: single event
+    for i in range(20):
+        rows.append((100 + i, t0 + timedelta(seconds=i), 7, "a", 10.0 + (i % 3)))
+    rows.append((199, t0 + timedelta(seconds=60), 7, "a", 500.0))
+    for i in range(5):
+        rows.append((200 + i, t0 + timedelta(seconds=i), 8, "a", 2.0))
+    rows.append((300, t0, 9, "a", 1.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {
+        r.user_id: (r.n_events, r.mean_v, r.std_v, r.n_outliers)
+        for r in value_outliers(df).collect()
+    }
+    vals7 = [10.0 + (i % 3) for i in range(20)] + [500.0]
+    m7, s7 = statistics.mean(vals7), statistics.stdev(vals7)
+    n_out7 = sum(1 for v in vals7 if round(abs(v - m7) / s7, 6) > 3.0)
+    assert got[7] == (21, round(m7, 6), round(s7, 6), n_out7)
+    assert n_out7 == 1
+    assert got[8] == (5, 2.0, 0.0, 0)      # zero variance: no outliers
+    assert got[9][0] == 1 and got[9][3] == 0 and got[9][2] is None
+
+
+def test_square_count_exact(spark):
+    from linkgraph.algos.triangles import square_count
+    from linkgraph.fixtures import edges_df
+    from linkgraph.graph import LinkGraph
+
+    # K4 contains 3 distinct 4-cycles; a 4-cycle alone contains 1;
+    # a triangle contains 0
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    c4 = [(10, 11), (11, 12), (12, 13), (13, 10)]
+    tri = [(20, 21), (21, 22), (20, 22)]
+    g = LinkGraph.from_undirected(edges_df(spark, k4 + c4 + tri), num_partitions=2)
+    assert square_count(g).collect()[0].n_squares == 4
