@@ -2117,6 +2117,40 @@ SELECT CAST(SUM(cn * (cn - 1) // 2) // 2 AS BIGINT) AS n_squares FROM cn
 """
 
 
+def q_split_leakage(spark, sf_dir):
+    """Cross-split near-dup leakage audit (minhash pairs x hash split,
+    md5 family so both stages mirror in DuckDB)."""
+    from linkgraph.textops.dedup import split_leakage
+
+    return split_leakage(
+        _t(spark, sf_dir, "documents"),
+        SPLIT_WEIGHTS,
+        threshold=0.3,
+        hash_family="md5",
+    )
+
+
+SQL_SPLIT_LEAKAGE = f"""
+WITH {_SQL_MINHASH_CTES},
+sp AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN bkt < 8000 THEN 'train'
+              WHEN bkt < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 15)
+                    AS BIGINT) % 10000 AS bkt
+        FROM documents))
+SELECT LEAST(a.split, b.split) AS split_a,
+       GREATEST(a.split, b.split) AS split_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM (SELECT * FROM jac WHERE jac >= 0.3) j
+JOIN sp a ON a.doc_id = j.a JOIN sp b ON b.doc_id = j.b
+WHERE a.split <> b.split
+GROUP BY 1, 2
+"""
+
+
 TFIDF_PAIRS_MAX_DF_PCT = 78  # excludes the ~1/3 most corpus-wide terms at sf0.01
 TFIDF_PAIRS_TOPK = 100
 
@@ -3241,6 +3275,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_banded": q_embedding_near_dup_banded,
     "minhash_lsh": q_minhash_lsh,
+    "split_leakage": q_split_leakage,
     "shared_ngram_spans": q_shared_ngram_spans,
     "simhash": q_simhash,
     "fingerprint": q_fingerprint,
@@ -3331,6 +3366,7 @@ ORACLES = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "embedding_near_dup_banded": SQL_EMBEDDING_NEAR_DUP_BANDED,
     "minhash_lsh": SQL_MINHASH_LSH,
+    "split_leakage": SQL_SPLIT_LEAKAGE,
     "shared_ngram_spans": SQL_SHARED_NGRAM_SPANS,
     "simhash": SQL_SIMHASH,
     "fingerprint": SQL_FINGERPRINT,

@@ -98,3 +98,45 @@ def test_containment_pairs_subset_doc(spark):
         for r in containment_pairs(docs, threshold=0.8).collect()
     }
     assert high == {(1, 0)}
+
+
+def test_split_leakage_detects_cross_split_pair(spark):
+    import hashlib
+
+    from linkgraph.textops.dedup import split_leakage
+
+    def split_of(i, weights=(("train", 0.8), ("val", 0.1), ("test", 0.1))):
+        h = hashlib.md5(f"{i}#split".encode()).hexdigest()
+        bkt = int(h[:15], 16) % 10000
+        acc = 0
+        for name, w in weights[:-1]:
+            acc += int(round(w * 10000))
+            if bkt < acc:
+                return name
+        return weights[-1][0]
+
+    # find a (train, test) id pair and a (train, train) id pair
+    ids = list(range(200))
+    train_ids = [i for i in ids if split_of(i) == "train"]
+    test_ids = [i for i in ids if split_of(i) == "test"]
+    assert train_ids and test_ids
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("lazy", "sleepy")
+    other = "completely different text about cooking pasta with olive oil basil"
+    rows = [
+        (train_ids[0], base),
+        (test_ids[0], near),        # cross-split near-dup -> leak
+        (train_ids[1], base + " x"),  # near-dup of BOTH 0 (in-split,
+                                      # not a leak) and 1 (second leak)
+        (train_ids[2], other),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.split_a, r.split_b): r.n_pairs
+        for r in split_leakage(
+            docs, {"train": 0.8, "val": 0.1, "test": 0.1}, threshold=0.5
+        ).collect()
+    }
+    assert got.get(("test", "train")) == 2
+    assert sum(got.values()) == 2  # the in-split (train,train) pair is
+    # not counted: 3 near-dup pairs exist, only the 2 crossing count
