@@ -2151,6 +2151,40 @@ GROUP BY 1, 2
 """
 
 
+def q_source_quality(spark, sf_dir):
+    """Per-source triage rollup: exact-dup membership rate + mean corpus-
+    LM score (see textstats.source_quality_rollup)."""
+    from linkgraph.textops.textstats import source_quality_rollup
+
+    return source_quality_rollup(_t(spark, sf_dir, "documents"))
+
+
+SQL_SOURCE_QUALITY = f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, source, md5(text) AS digest FROM documents),
+digc AS MATERIALIZED (SELECT digest, COUNT(*) AS nd FROM d GROUP BY digest),
+tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents),
+tf AS MATERIALIZED (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+uni AS MATERIALIZED (SELECT term, SUM(tf) AS cnt FROM tf GROUP BY term),
+tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS t FROM uni),
+lm AS MATERIALIZED (
+  SELECT doc_id, SUM(tf) AS n_tokens,
+         ROUND(SUM(tf * LN(cnt)) / SUM(tf) - LN((SELECT t FROM tot)), 6)
+           AS lm_logprob
+  FROM tf JOIN uni USING (term) GROUP BY doc_id),
+pd AS (
+  SELECT d.source, CASE WHEN digc.nd > 1 THEN 1 ELSE 0 END AS is_dup,
+         lm.n_tokens, lm.lm_logprob
+  FROM d JOIN digc USING (digest) LEFT JOIN lm USING (doc_id))
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+       ROUND(SUM(is_dup) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate,
+       ROUND(AVG(n_tokens), 6) AS mean_tokens,
+       ROUND(AVG(lm_logprob), 6) AS mean_lm
+FROM pd GROUP BY source
+"""
+
+
 TFIDF_PAIRS_MAX_DF_PCT = 78  # excludes the ~1/3 most corpus-wide terms at sf0.01
 TFIDF_PAIRS_TOPK = 100
 
@@ -3324,6 +3358,7 @@ QUERIES = {
     "densest_subgraph": q_densest_subgraph,
     "lm_quality": q_lm_quality,
     "lm2_quality": q_lm2_quality,
+    "source_quality": q_source_quality,
 }
 
 ORACLES = {
@@ -3415,6 +3450,7 @@ ORACLES = {
     "densest_subgraph": SQL_DENSEST_SUBGRAPH,
     "lm_quality": SQL_LM_QUALITY,
     "lm2_quality": SQL_LM2_QUALITY,
+    "source_quality": SQL_SOURCE_QUALITY,
 }
 
 

@@ -573,3 +573,45 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(F.col("s") / F.col("n_bigrams"), 6).alias("lm2_logprob"),
         )
     )
+
+
+def source_quality_rollup(docs: DataFrame, round_to: int = 6) -> DataFrame:
+    """Per-source corpus triage: (source, n_docs, n_dup_docs, dup_rate,
+    mean_tokens, mean_lm) — the "which crawl/ingest sources are
+    garbage?" report a training-data pipeline runs before weighting or
+    dropping sources: exact-duplicate membership rate (docs whose
+    content digest appears more than once ANYWHERE in the corpus — a
+    mirror-heavy source scores high even when its dup partners live
+    elsewhere) and the mean corpus-LM quality score.
+
+    Composition of the exact-dedup digest layer and `unigram_logprob`;
+    the digest count and the LM table are both ≤|corpus|-row sides
+    joined back on doc_id/digest, then ONE rollup per source.  mean_lm
+    averages the ROUNDED per-doc scores the lm_quality query itself
+    exposes, so the rollup is engine-portable for the usual reason
+    (identical inputs, one division, round).  Zero-token docs hold NULL
+    lm and drop out of the mean (AVG skips NULLs in any engine).
+    """
+    d = docs.select(
+        "doc_id", "source", F.sha2(F.col("text"), 256).alias("digest")
+    )
+    digc = d.groupBy("digest").agg(F.count(F.lit(1)).alias("nd"))
+    lm = unigram_logprob(docs).select("doc_id", "n_tokens", "lm_logprob")
+    per_doc = (
+        d.join(digc, "digest")
+        .join(lm, "doc_id", "left")
+        .select(
+            "source",
+            (F.col("nd") > 1).cast("int").alias("is_dup"),
+            "n_tokens",
+            "lm_logprob",
+        )
+    )
+    n = F.count(F.lit(1))
+    return per_doc.groupBy("source").agg(
+        n.cast("long").alias("n_docs"),
+        F.sum("is_dup").cast("long").alias("n_dup_docs"),
+        F.round(F.sum("is_dup") / n.cast("double"), round_to).alias("dup_rate"),
+        F.round(F.avg("n_tokens"), round_to).alias("mean_tokens"),
+        F.round(F.avg("lm_logprob"), round_to).alias("mean_lm"),
+    )

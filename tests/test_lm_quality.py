@@ -95,3 +95,26 @@ def test_bigram_logprob_exact(spark):
     # word-order sensitivity: repetitive common-bigram doc outscores the
     # rare-bigram doc
     assert got[4][1] > got[2][1]
+
+
+def test_source_quality_rollup_exact(spark):
+    from linkgraph.textops.textstats import source_quality_rollup
+
+    rows = [
+        (0, "alpha beta gamma", "mirror", None),
+        (1, "alpha beta gamma", "mirror", None),   # exact dup of 0
+        (2, "delta epsilon", "clean", None),
+        (3, "alpha beta gamma", "clean", None),    # dup partner lives in mirror
+        (4, "zeta", "clean", None),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, s) for i, t, s, _ in rows], "doc_id long, text string, source string"
+    )
+    got = {
+        r.source: (r.n_docs, r.n_dup_docs, r.dup_rate)
+        for r in source_quality_rollup(docs).collect()
+    }
+    # mirror: both docs are dup members; clean: doc 3 is a dup member
+    # because its digest partner exists in mirror (cross-source dup)
+    assert got["mirror"] == (2, 2, 1.0)
+    assert got["clean"] == (3, 1, round(1 / 3, 6))
