@@ -2185,6 +2185,36 @@ FROM pd GROUP BY source
 """
 
 
+CHUNK_W = 128
+CHUNK_S = 96
+
+
+def q_chunk_plan(spark, sf_dir):
+    """Per-document sliding-window chunk plan (RAG-prep; integer-exact)."""
+    from linkgraph.textops.packing import chunk_plan
+
+    return chunk_plan(_t(spark, sf_dir, "documents"), window=CHUNK_W, stride=CHUNK_S)
+
+
+SQL_CHUNK_PLAN = f"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+'))
+              AS BIGINT) AS n_tokens
+  FROM documents),
+nz AS (SELECT * FROM tok WHERE n_tokens > 0),
+c AS (
+  SELECT doc_id, n_tokens,
+         unnest(range(0, 1 + (greatest(n_tokens - {CHUNK_W}, 0) + {CHUNK_S} - 1)
+                          // {CHUNK_S})) AS chunk_id
+  FROM nz)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * {CHUNK_S} AS BIGINT) AS tok_start,
+       CAST(LEAST(chunk_id * {CHUNK_S} + {CHUNK_W}, n_tokens) AS BIGINT) AS tok_end
+FROM c
+"""
+
+
 TFIDF_PAIRS_MAX_DF_PCT = 78  # excludes the ~1/3 most corpus-wide terms at sf0.01
 TFIDF_PAIRS_TOPK = 100
 
@@ -3353,6 +3383,7 @@ QUERIES = {
     "katz": q_katz,
     "eigenvector": q_eigenvector,
     "sequence_pack": q_sequence_pack,
+    "chunk_plan": q_chunk_plan,
     "quality_filter": q_quality_filter,
     "maximal_matching": q_maximal_matching,
     "densest_subgraph": q_densest_subgraph,
@@ -3445,6 +3476,7 @@ ORACLES = {
     "katz": SQL_KATZ,
     "eigenvector": SQL_EIGENVECTOR,
     "sequence_pack": SQL_SEQUENCE_PACK,
+    "chunk_plan": SQL_CHUNK_PLAN,
     "quality_filter": SQL_QUALITY_FILTER,
     "maximal_matching": SQL_MAXIMAL_MATCHING,
     "densest_subgraph": SQL_DENSEST_SUBGRAPH,

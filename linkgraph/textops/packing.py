@@ -102,3 +102,55 @@ def sequence_pack(
     out.count()  # materialize off the cached parts, then release them
     parts.unpersist()
     return out
+
+
+def chunk_plan(
+    docs: DataFrame,
+    window: int = 128,
+    stride: int = 96,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document sliding-window chunk table for retrieval/embedding
+    pipelines: (doc_id, chunk_id, tok_start, tok_end) with chunks of
+    ``window`` tokens every ``stride`` tokens (overlap = window − stride)
+    and a final short chunk covering the tail — the RAG-prep complement
+    of `sequence_pack` (that op chops a GLOBAL stream for pre-training;
+    this one windows WITHIN each document so retrieval units never cross
+    document boundaries).
+
+    n_chunks(d) = 1 + ceil(max(n_tokens − window, 0) / stride), computed
+    with INTEGER arithmetic ((x + stride − 1) DIV stride) so the plan is
+    exact in any engine.  Pure projection + explode of a generated
+    sequence — zero shuffle, zero state; the BPE-ish tokenizer is shared
+    with sequence_pack so chunk budgets and packing budgets agree.
+    Zero-token documents are dropped.
+    """
+    if window <= 0 or stride <= 0:
+        raise ValueError("window and stride must be positive")
+    if stride > window:
+        raise ValueError("stride > window would skip tokens between chunks")
+    tok = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_RE), 0))
+        .cast("long")
+        .alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    n_chunks = F.lit(1) + F.expr(f"CAST((greatest(n_tokens - {window}, 0) + {stride} - 1) DIV {stride} AS BIGINT)")
+    return (
+        tok.select(
+            "doc_id",
+            "n_tokens",
+            F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            (F.col("chunk_id") * F.lit(stride)).cast("long").alias("tok_start"),
+            F.least(
+                F.col("chunk_id") * F.lit(stride) + F.lit(window), F.col("n_tokens")
+            )
+            .cast("long")
+            .alias("tok_end"),
+        )
+    )

@@ -75,3 +75,39 @@ def test_pack_spanning_doc_and_n_seqs(docs):
 def test_pack_rejects_nonpositive_seq_len(docs):
     with pytest.raises(ValueError):
         sequence_pack(docs, seq_len=0)
+
+
+def test_chunk_plan_exact(spark):
+    import re
+
+    from linkgraph.textops.packing import chunk_plan
+    from linkgraph.textops.textstats import BPE_RE
+
+    texts = {
+        0: "one two three four five six seven eight nine ten",  # 10 tokens
+        1: "a b c",                                             # 3 tokens
+        2: "",                                                  # dropped
+        3: "x " * 7,                                            # exactly 7
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    W, S = 4, 3
+    got = {}
+    for r in chunk_plan(docs, window=W, stride=S).collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_id, r.tok_start, r.tok_end))
+    want = {}
+    for i, t in texts.items():
+        n = len(re.findall(BPE_RE, t.lower()))
+        if n == 0:
+            continue
+        n_chunks = 1 + (max(n - W, 0) + S - 1) // S
+        want[i] = [(c, c * S, min(c * S + W, n)) for c in range(n_chunks)]
+    for k in got:
+        got[k].sort()
+    assert got == want
+    # coverage: chunks tile every token and the last chunk ends at n
+    for i, chunks in want.items():
+        assert chunks[0][1] == 0 and chunks[-1][2] >= chunks[-1][1]
+        for (c1, s1, e1), (c2, s2, e2) in zip(chunks, chunks[1:]):
+            assert s2 <= e1  # overlap or contiguous: no skipped tokens
