@@ -2215,6 +2215,39 @@ FROM c
 """
 
 
+WL_ROUNDS = 3
+
+
+def q_wl_colors(spark, sf_dir):
+    """1-WL color refinement fingerprints on the co-purchase graph
+    (md5-canonical multiset hashing; see algos/wl.py)."""
+    from linkgraph.algos.wl import wl_refine
+
+    return wl_refine(copurchase_graph(spark, sf_dir), rounds=WL_ROUNDS)
+
+
+def _wl_oracle_sql(rounds: int) -> str:
+    parts = [
+        "w0 AS MATERIALIZED (SELECT src AS vid, CAST(COUNT(*) AS VARCHAR) AS color FROM e GROUP BY src)"
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f"""a{i} AS MATERIALIZED (
+  SELECT e.dst, string_agg(x.color, ',' ORDER BY x.color) AS ms
+  FROM e JOIN w{i - 1} x ON x.vid = e.src GROUP BY e.dst)""")
+        parts.append(f"""w{i} AS MATERIALIZED (
+  SELECT w.vid, md5(w.color || '|' || COALESCE(a.ms, '')) AS color
+  FROM w{i - 1} w LEFT JOIN a{i} a ON a.dst = w.vid)""")
+    return (
+        f"WITH {_COPURCHASE_E},"
+        + ",".join(parts)
+        + f"""
+SELECT CAST(vid AS BIGINT) AS vid, color FROM w{rounds}"""
+    )
+
+
+SQL_WL_COLORS = _wl_oracle_sql(WL_ROUNDS)
+
+
 TFIDF_PAIRS_MAX_DF_PCT = 78  # excludes the ~1/3 most corpus-wide terms at sf0.01
 TFIDF_PAIRS_TOPK = 100
 
@@ -3376,6 +3409,7 @@ QUERIES = {
     "maximal_independent_set": q_maximal_independent_set,
     "pii_scrub": q_pii_scrub,
     "greedy_coloring": q_greedy_coloring,
+    "wl_colors": q_wl_colors,
     "temporal_reach": q_temporal_reach,
     "ngram_topk": q_ngram_topk,
     "pmi_collocations": q_pmi_collocations,
@@ -3469,6 +3503,7 @@ ORACLES = {
     "maximal_independent_set": SQL_MAXIMAL_INDEPENDENT_SET,
     "pii_scrub": SQL_PII_SCRUB,
     "greedy_coloring": SQL_GREEDY_COLORING,
+    "wl_colors": SQL_WL_COLORS,
     "temporal_reach": SQL_TEMPORAL_REACH,
     "ngram_topk": SQL_NGRAM_TOPK,
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
