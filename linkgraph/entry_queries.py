@@ -2248,6 +2248,29 @@ SELECT CAST(vid AS BIGINT) AS vid, color FROM w{rounds}"""
 SQL_WL_COLORS = _wl_oracle_sql(WL_ROUNDS)
 
 
+def q_zipf_fit(spark, sf_dir):
+    """Corpus rank-frequency Zipf slope (see textstats.zipf_fit)."""
+    from linkgraph.textops.textstats import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"))
+
+
+SQL_ZIPF_FIT = f"""
+WITH tok AS (SELECT unnest({_SQL_TOKENS}) AS term FROM documents),
+uni AS MATERIALIZED (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+rk AS (
+  SELECT cnt,
+         LN(CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS DOUBLE)) AS x,
+         LN(CAST(cnt AS DOUBLE)) AS y
+  FROM uni)
+SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+       CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+       ROUND((COUNT(*) * SUM(x*y) - SUM(x) * SUM(y))
+             / (COUNT(*) * SUM(x*x) - SUM(x) * SUM(x)), 6) AS zipf_slope
+FROM rk
+"""
+
+
 TFIDF_PAIRS_MAX_DF_PCT = 78  # excludes the ~1/3 most corpus-wide terms at sf0.01
 TFIDF_PAIRS_TOPK = 100
 
@@ -3412,6 +3435,7 @@ QUERIES = {
     "wl_colors": q_wl_colors,
     "temporal_reach": q_temporal_reach,
     "ngram_topk": q_ngram_topk,
+    "zipf_fit": q_zipf_fit,
     "pmi_collocations": q_pmi_collocations,
     "louvain": q_louvain,
     "katz": q_katz,
@@ -3506,6 +3530,7 @@ ORACLES = {
     "wl_colors": SQL_WL_COLORS,
     "temporal_reach": SQL_TEMPORAL_REACH,
     "ngram_topk": SQL_NGRAM_TOPK,
+    "zipf_fit": SQL_ZIPF_FIT,
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
     "louvain": SQL_LOUVAIN,
     "katz": SQL_KATZ,

@@ -615,3 +615,42 @@ def source_quality_rollup(docs: DataFrame, round_to: int = 6) -> DataFrame:
         F.round(F.avg("n_tokens"), round_to).alias("mean_tokens"),
         F.round(F.avg("lm_logprob"), round_to).alias("mean_lm"),
     )
+
+
+def zipf_fit(docs: DataFrame, text_col: str = "text", round_to: int = 6) -> DataFrame:
+    """Corpus rank-frequency power-law fit: one row (vocab, total_tokens,
+    zipf_slope) with zipf_slope the least-squares slope of ln(cnt) on
+    ln(rank) — Zipf's law predicts ≈ −1 on natural language; a corpus
+    drifting far off (template spam, token salad, truncated crawls) is
+    the cheapest corpus-level health signal there is.
+
+    rank = row_number over (cnt DESC, term ASC) on the VOCABULARY table —
+    a |vocab|-row dim (the tfidf df table), so the single-partition rank
+    window is bounded by the vocabulary, never the corpus; the closed-
+    form slope is exact sums + ONE division + round.  The (cnt, term)
+    order makes ranks — and therefore the fit — engine-portable.
+    """
+    tokens = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+        ).alias("term")
+    )
+    uni = tokens.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    ranked = uni.select(
+        "cnt",
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    n = F.count(F.lit(1)).cast("double")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum("cnt").cast("long").alias("total_tokens"),
+        F.round(
+            (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+            / (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")),
+            round_to,
+        ).alias("zipf_slope"),
+    )

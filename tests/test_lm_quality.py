@@ -118,3 +118,33 @@ def test_source_quality_rollup_exact(spark):
     # because its digest partner exists in mirror (cross-source dup)
     assert got["mirror"] == (2, 2, 1.0)
     assert got["clean"] == (3, 1, round(1 / 3, 6))
+
+
+def test_zipf_fit_exact(spark):
+    import math
+    import re
+    from collections import Counter
+
+    from linkgraph.textops.textstats import zipf_fit
+
+    texts = [
+        "the the the the cat cat sat mat",
+        "the cat runs fast today",
+        "the dog sat on the mat yesterday evening",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    cnt = Counter(w for t in texts for w in re.findall("[a-z0-9]+", t.lower()))
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = [math.log(i + 1) for i in range(len(ranked))]
+    ys = [math.log(c) for _, c in ranked]
+    n = len(xs)
+    slope = (n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)) / (
+        n * sum(x * x for x in xs) - sum(xs) ** 2
+    )
+    row = zipf_fit(docs).collect()[0]
+    assert row.vocab == len(cnt)
+    assert row.total_tokens == sum(cnt.values())
+    assert abs(row.zipf_slope - round(slope, 6)) <= 1e-6
+    assert row.zipf_slope < 0  # frequency falls with rank
