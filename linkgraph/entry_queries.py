@@ -2271,6 +2271,41 @@ FROM rk
 """
 
 
+RICH_CLUB_KS = [64, 96, 112, 128]  # spans the sf0.01 degree range 42-206
+
+
+def q_rich_club(spark, sf_dir):
+    """Rich-club curve of the co-purchase graph at fixed degree cuts."""
+    from linkgraph.algos.gstats import rich_club
+
+    return rich_club(copurchase_graph(spark, sf_dir), ks=RICH_CLUB_KS)
+
+
+def _rich_club_sql(ks: list[int]) -> str:
+    sel = []
+    for k in sorted(set(ks)):
+        sel.append(f"""SELECT CAST({k} AS BIGINT) AS k,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM d WHERE deg > {k}) AS n_nodes,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM em WHERE m > {k}) AS n_edges,
+  ROUND((SELECT COUNT(*) FROM em WHERE m > {k}) / (CASE
+    WHEN (SELECT COUNT(*) FROM d WHERE deg > {k}) >= 2
+    THEN CAST((SELECT COUNT(*) FROM d WHERE deg > {k})
+              * ((SELECT COUNT(*) FROM d WHERE deg > {k}) - 1) AS DOUBLE)
+    END), 6) AS phi""")
+    body = " UNION ALL ".join(sel)
+    return f"""
+WITH {_COPURCHASE_E},
+d AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS deg FROM e GROUP BY src),
+em AS MATERIALIZED (
+  SELECT LEAST(ds.deg, dd.deg) AS m
+  FROM e JOIN d ds ON ds.vid = e.src JOIN d dd ON dd.vid = e.dst)
+{body}
+"""
+
+
+SQL_RICH_CLUB = _rich_club_sql(RICH_CLUB_KS)
+
+
 TFIDF_PAIRS_MAX_DF_PCT = 78  # excludes the ~1/3 most corpus-wide terms at sf0.01
 TFIDF_PAIRS_TOPK = 100
 
@@ -3404,6 +3439,7 @@ QUERIES = {
     "vertex_similarity": q_vertex_similarity,
     "graph_stats": q_graph_stats,
     "degree_hist": q_degree_hist,
+    "rich_club": q_rich_club,
     "powerlaw_alpha": q_powerlaw_alpha,
     "partition_conductance": q_partition_conductance,
     "reciprocity": q_reciprocity,
@@ -3499,6 +3535,7 @@ ORACLES = {
     "vertex_similarity": SQL_VERTEX_SIMILARITY,
     "graph_stats": SQL_GRAPH_STATS,
     "degree_hist": SQL_DEGREE_HIST,
+    "rich_club": SQL_RICH_CLUB,
     "powerlaw_alpha": SQL_POWERLAW_ALPHA,
     "partition_conductance": SQL_PARTITION_CONDUCTANCE,
     "reciprocity": SQL_RECIPROCITY,

@@ -72,3 +72,34 @@ def test_reciprocity_exact(spark):
     # distinct non-loop edges: (1,2),(2,1),(2,3),(3,4),(4,3) -> 5
     # reciprocal: (1,2),(2,1),(3,4),(4,3) -> 4
     assert (row.n_edges, row.n_reciprocal, row.r) == (5, 4, 0.8)
+
+
+def test_rich_club_exact(spark):
+    import collections
+
+    from linkgraph.algos.gstats import rich_club
+    from linkgraph.fixtures import edges_df, er_edges
+    from linkgraph.graph import LinkGraph
+
+    pairs = er_edges(60, 0.08, seed=17)
+    g = LinkGraph.from_undirected(edges_df(spark, pairs), num_partitions=4)
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    ks = [0, 2, 4, 6, 100]
+    got = {
+        r.k: (r.n_nodes, r.n_edges, r.phi)
+        for r in rich_club(g, ks=ks).collect()
+    }
+    for k in ks:
+        nodes = [v for v in deg if deg[v] > k]
+        ne = sum(1 for v in nodes for u in adj[v] if deg[u] > k)
+        if len(nodes) >= 2:
+            phi = round(ne / (len(nodes) * (len(nodes) - 1)), 6)
+        else:
+            phi = None
+        assert got[k] == (len(nodes), ne, phi), k
+    assert got[0][2] is not None and got[100] == (0, 0, None)
