@@ -338,3 +338,56 @@ def rich_club(graph: LinkGraph, ks: list[int], round_to: int = 6) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def label_assortativity(
+    graph: LinkGraph, labels: DataFrame, round_to: int = 6
+) -> DataFrame:
+    """Newman's discrete assortativity over a label assignment: one row
+    (n_edges, n_same, r) with
+
+        r = (M·Σ_i C_ii − Σ_i R_i·S_i) / (M² − Σ_i R_i·S_i)
+
+    (C = directed label-mixing counts, R_i/S_i row/column totals, M =
+    directed edge count) — "do conversations link within their own class
+    more than chance?" for ANY vertex label (community, language,
+    source, shard).  The float form (e_ii fractions) is algebraically
+    rearranged to EXACT integer counts feeding one division + round;
+    the integer products cap at M², so past M ≈ 3·10⁹ promote the two
+    products to DECIMAL — noted in-line, immaterial at sandbox scale.
+    The mixing matrix is ≤|labels|² rows; labels must cover every vertex.
+    """
+    lab = labels.select(F.col("vid").cast("long").alias("vid"), "label")
+    e = graph.edges.select("src", "dst")
+    mix = (
+        e.join(lab.withColumnRenamed("vid", "src").withColumnRenamed("label", "ls"), "src")
+        .join(lab.withColumnRenamed("vid", "dst").withColumnRenamed("label", "ld"), "dst")
+        .groupBy("ls", "ld")
+        .agg(F.count(F.lit(1)).alias("c"))
+    ).persist()
+    rows = mix.groupBy("ls").agg(F.sum("c").alias("r"))
+    cols = mix.groupBy("ld").agg(F.sum("c").alias("s"))
+    rs = (
+        rows.join(cols, rows.ls == cols.ld)
+        .agg(F.sum(F.col("r") * F.col("s")).alias("rs"))
+    )
+    diag = mix.where(F.col("ls") == F.col("ld")).agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n_same")
+    )
+    tot = mix.agg(F.sum("c").alias("m"))
+    out = (
+        tot.crossJoin(diag)
+        .crossJoin(rs)
+        .select(
+            F.col("m").cast("long").alias("n_edges"),
+            F.col("n_same").cast("long").alias("n_same"),
+            F.round(
+                (F.col("m").cast("double") * F.col("n_same") - F.col("rs"))
+                / (F.col("m").cast("double") * F.col("m") - F.col("rs")),
+                round_to,
+            ).alias("r"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    mix.unpersist()
+    return out

@@ -2306,6 +2306,38 @@ em AS MATERIALIZED (
 SQL_RICH_CLUB = _rich_club_sql(RICH_CLUB_KS)
 
 
+ASSORT_LABELS = 4
+
+
+def q_label_assortativity(spark, sf_dir):
+    """Discrete label assortativity of the co-purchase graph under the
+    vid % 4 class assignment (exact-integer rearrangement)."""
+    from linkgraph.algos.gstats import label_assortativity
+
+    g = copurchase_graph(spark, sf_dir)
+    labels = g.vertices().select("vid", (F.col("vid") % ASSORT_LABELS).alias("label"))
+    return label_assortativity(g, labels)
+
+
+SQL_LABEL_ASSORTATIVITY = f"""
+WITH {_COPURCHASE_E},
+lab AS MATERIALIZED (SELECT DISTINCT src AS vid, src % {ASSORT_LABELS} AS label FROM e),
+mix AS MATERIALIZED (
+  SELECT l1.label AS ls, l2.label AS ld, COUNT(*) AS c
+  FROM e JOIN lab l1 ON l1.vid = e.src JOIN lab l2 ON l2.vid = e.dst
+  GROUP BY l1.label, l2.label),
+r AS (SELECT ls, SUM(c) AS r FROM mix GROUP BY ls),
+s AS (SELECT ld, SUM(c) AS s FROM mix GROUP BY ld),
+rssum AS (SELECT SUM(r.r * s.s) AS rs FROM r JOIN s ON s.ld = r.ls),
+agg AS (SELECT SUM(c) AS m,
+               SUM(CASE WHEN ls = ld THEN c ELSE 0 END) AS n_same FROM mix)
+SELECT CAST(m AS BIGINT) AS n_edges, CAST(n_same AS BIGINT) AS n_same,
+       ROUND((CAST(m AS DOUBLE) * n_same - rs)
+             / (CAST(m AS DOUBLE) * m - rs), 6) AS r
+FROM agg, rssum
+"""
+
+
 TFIDF_PAIRS_MAX_DF_PCT = 78  # excludes the ~1/3 most corpus-wide terms at sf0.01
 TFIDF_PAIRS_TOPK = 100
 
@@ -3440,6 +3472,7 @@ QUERIES = {
     "graph_stats": q_graph_stats,
     "degree_hist": q_degree_hist,
     "rich_club": q_rich_club,
+    "label_assortativity": q_label_assortativity,
     "powerlaw_alpha": q_powerlaw_alpha,
     "partition_conductance": q_partition_conductance,
     "reciprocity": q_reciprocity,
@@ -3536,6 +3569,7 @@ ORACLES = {
     "graph_stats": SQL_GRAPH_STATS,
     "degree_hist": SQL_DEGREE_HIST,
     "rich_club": SQL_RICH_CLUB,
+    "label_assortativity": SQL_LABEL_ASSORTATIVITY,
     "powerlaw_alpha": SQL_POWERLAW_ALPHA,
     "partition_conductance": SQL_PARTITION_CONDUCTANCE,
     "reciprocity": SQL_RECIPROCITY,

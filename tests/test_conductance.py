@@ -74,3 +74,42 @@ def test_conductance_degenerate_single_class(g, spark):
     )
     got = _got(g, labels)
     assert got[0][3] is None  # whole-graph class: no defined score
+
+
+def test_label_assortativity_exact(g, spark):
+    import collections
+
+    from linkgraph.algos.gstats import label_assortativity
+
+    # clique-respecting labels: near-perfect assortativity
+    label_of = {v: (0 if v < 8 else 1) for p in PAIRS for v in p}
+    labels = spark.createDataFrame(
+        sorted(label_of.items()), "vid long, label long"
+    )
+    adj = collections.defaultdict(set)
+    for a, b in PAIRS:
+        adj[a].add(b)
+        adj[b].add(a)
+    mix = collections.Counter()
+    for v, ns in adj.items():
+        for u in ns:
+            mix[(label_of[v], label_of[u])] += 1
+    m = sum(mix.values())
+    same = sum(c for (i, j), c in mix.items() if i == j)
+    rsum = collections.Counter()
+    csum = collections.Counter()
+    for (i, j), c in mix.items():
+        rsum[i] += c
+        csum[j] += c
+    rs = sum(rsum[i] * csum[i] for i in rsum)
+    want_r = round((m * same - rs) / (m * m - rs), 6)
+    row = label_assortativity(g, labels).collect()[0]
+    assert (row.n_edges, row.n_same, row.r) == (m, same, want_r)
+    assert row.r > 0.9  # two cliques + one bridge: strongly assortative
+
+    # random-ish hash labels: near zero
+    labels2 = spark.createDataFrame(
+        sorted((v, v % 2) for v in label_of), "vid long, label long"
+    )
+    r2 = label_assortativity(g, labels2).collect()[0].r
+    assert abs(r2) < 0.3
