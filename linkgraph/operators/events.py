@@ -190,9 +190,12 @@ def activity_profile(events: DataFrame, round_to: int = 6) -> DataFrame:
     transcript-analytics summary table a conversation corpus ships next
     to its link graph (who is active, how bursty, how diverse).
 
-    ONE aggregate over a single scan: span and gap statistics come from
-    MIN/MAX epoch + the count — mean_gap = span / (n−1) — so no window,
-    no self-join, no per-event lag column.  Epochs are integer seconds
+    ONE logical aggregate over a single scan: span and gap statistics
+    come from MIN/MAX epoch + the count — mean_gap = span / (n−1) — so
+    no window, no self-join, no per-event lag column.  The COUNT
+    (DISTINCT event_type) lowers to Spark's standard two-phase distinct
+    aggregate (two exchanges: (user, type) then user — plan-tested);
+    everything else rides those same exchanges.  Epochs are integer seconds
     (floor(epoch)), divisions are single IEEE ops + round ⟹ engine-
     portable.  Single-event users get NULL mean_gap (no gap exists).
     """

@@ -342,3 +342,47 @@ def test_bucketed_graph_roundtrip_zero_edge_exchange(spark, tmp_path):
         g4.unpersist()
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_edges")
+
+
+def test_chunk_plan_zero_exchange(spark):
+    """chunk_plan is a pure projection + generated-sequence explode —
+    no Exchange may appear anywhere in its plan."""
+    from linkgraph.textops.packing import chunk_plan
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * 20) for i in range(10)], "doc_id long, text string"
+    )
+    plan = _plan(chunk_plan(docs, window=8, stride=6))
+    assert "Exchange" not in plan
+
+
+def test_activity_profile_single_exchange(spark):
+    """activity_profile is one logical aggregate over one scan: the
+    COUNT(DISTINCT) lowers to the standard two-phase distinct aggregate
+    — exactly two exchanges ((user, type), then user), no window, no
+    join, and nothing else adds a shuffle."""
+    from datetime import datetime
+
+    from linkgraph.operators.events import activity_profile
+
+    ev = spark.createDataFrame(
+        [(i, datetime(2026, 1, 1), i % 3, "a", 1.0) for i in range(10)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    plan = _plan(activity_profile(ev))
+    assert plan.count("Exchange (") == 2  # distinct-agg pair, nothing more
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_shared_ngram_span_enumeration_is_codegen(spark):
+    """span enumeration (sequence+slice+concat_ws transform) must stay
+    JVM-side — no Python evaluation node anywhere; the explode appears
+    as a Generate over the codegen'd transform expression."""
+    from linkgraph.textops.dedup import shared_ngram_spans
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g") for i in range(4)], "doc_id long, text string"
+    )
+    plan = _plan(shared_ngram_spans(docs, k=3, df_cap=10))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate (" in plan  # JVM explode of the generated span array
