@@ -391,3 +391,47 @@ def label_assortativity(
     out = out.localCheckpoint(eager=True)
     mix.unpersist()
     return out
+
+
+def graph_diff(
+    old_edges: DataFrame, new_edges: DataFrame, topk: int | None = None
+) -> DataFrame:
+    """Edge-level diff of two graph snapshots: per vertex
+    (vid, n_added, n_removed, net) counting directed edges incident as
+    SOURCE that appear only in the new (added) or only in the old
+    (removed) snapshot — the ops report for a continuously re-derived
+    link graph (which conversations gained/lost links between builds?;
+    feeds alerting on derivation regressions and hub churn).
+
+    Two keyed anti-joins (J3, co-partitioned on src when both snapshots
+    share the store partitioning) + one union + ONE aggregate; vertices
+    with no change are absent.  All-integer output; optional top-k by
+    churn with (vid) tie-break for a deterministic frontier.
+    """
+    o = old_edges.select("src", "dst").distinct()
+    n = new_edges.select("src", "dst").distinct()
+    added = n.join(o, ["src", "dst"], "left_anti").select(
+        F.col("src").alias("vid"), F.lit(1).alias("a"), F.lit(0).alias("r")
+    )
+    removed = o.join(n, ["src", "dst"], "left_anti").select(
+        F.col("src").alias("vid"), F.lit(0).alias("a"), F.lit(1).alias("r")
+    )
+    out = (
+        added.unionByName(removed)
+        .groupBy("vid")
+        .agg(
+            F.sum("a").cast("long").alias("n_added"),
+            F.sum("r").cast("long").alias("n_removed"),
+        )
+        .select(
+            F.col("vid").cast("long").alias("vid"),
+            "n_added",
+            "n_removed",
+            (F.col("n_added") - F.col("n_removed")).cast("long").alias("net"),
+        )
+    )
+    if topk is not None:
+        out = out.orderBy(
+            (F.col("n_added") + F.col("n_removed")).desc(), F.col("vid").asc()
+        ).limit(topk)
+    return out

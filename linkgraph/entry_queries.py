@@ -2338,6 +2338,44 @@ FROM agg, rssum
 """
 
 
+GDIFF_OLD_QTY = 25  # "old" snapshot: big-lot co-purchases only
+GDIFF_NEW_QTY = 45  # "new" snapshot: small/mid lots — overlapping, distinct
+
+
+def q_graph_diff(spark, sf_dir):
+    """Per-vertex edge churn between two overlapping quantity-sliced
+    co-purchase snapshots (both add AND remove directions non-empty)."""
+    from linkgraph.algos.gstats import graph_diff
+    from linkgraph.sources.derive import copurchase_edges
+
+    li = _t(spark, sf_dir, "lineitem")
+    old = copurchase_edges(li.where(F.col("l_quantity") > GDIFF_OLD_QTY))
+    new = copurchase_edges(li.where(F.col("l_quantity") < GDIFF_NEW_QTY))
+    return graph_diff(old, new)
+
+
+SQL_GRAPH_DIFF = f"""
+WITH pko AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+             WHERE l_quantity > {GDIFF_OLD_QTY}),
+eo AS MATERIALIZED (SELECT DISTINCT a.p AS src, b.p AS dst
+  FROM pko a JOIN pko b ON a.k = b.k AND a.p <> b.p),
+pkn AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+        WHERE l_quantity < {GDIFF_NEW_QTY}),
+en AS MATERIALIZED (SELECT DISTINCT a.p AS src, b.p AS dst
+  FROM pkn a JOIN pkn b ON a.k = b.k AND a.p <> b.p),
+ch AS (
+  SELECT src AS vid, 1 AS a, 0 AS r FROM en
+  WHERE NOT EXISTS (SELECT 1 FROM eo WHERE eo.src = en.src AND eo.dst = en.dst)
+  UNION ALL
+  SELECT src AS vid, 0 AS a, 1 AS r FROM eo
+  WHERE NOT EXISTS (SELECT 1 FROM en WHERE en.src = eo.src AND en.dst = eo.dst))
+SELECT CAST(vid AS BIGINT) AS vid, CAST(SUM(a) AS BIGINT) AS n_added,
+       CAST(SUM(r) AS BIGINT) AS n_removed,
+       CAST(SUM(a) - SUM(r) AS BIGINT) AS net
+FROM ch GROUP BY vid
+"""
+
+
 TFIDF_PAIRS_MAX_DF_PCT = 78  # excludes the ~1/3 most corpus-wide terms at sf0.01
 TFIDF_PAIRS_TOPK = 100
 
@@ -3473,6 +3511,7 @@ QUERIES = {
     "degree_hist": q_degree_hist,
     "rich_club": q_rich_club,
     "label_assortativity": q_label_assortativity,
+    "graph_diff": q_graph_diff,
     "powerlaw_alpha": q_powerlaw_alpha,
     "partition_conductance": q_partition_conductance,
     "reciprocity": q_reciprocity,
@@ -3570,6 +3609,7 @@ ORACLES = {
     "degree_hist": SQL_DEGREE_HIST,
     "rich_club": SQL_RICH_CLUB,
     "label_assortativity": SQL_LABEL_ASSORTATIVITY,
+    "graph_diff": SQL_GRAPH_DIFF,
     "powerlaw_alpha": SQL_POWERLAW_ALPHA,
     "partition_conductance": SQL_PARTITION_CONDUCTANCE,
     "reciprocity": SQL_RECIPROCITY,

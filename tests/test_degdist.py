@@ -103,3 +103,24 @@ def test_rich_club_exact(spark):
             phi = None
         assert got[k] == (len(nodes), ne, phi), k
     assert got[0][2] is not None and got[100] == (0, 0, None)
+
+
+def test_graph_diff_exact(spark):
+    from linkgraph.algos.gstats import graph_diff
+
+    old = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5)], "src long, dst long"
+    )
+    new = spark.createDataFrame(
+        [(1, 2), (1, 9), (2, 3), (6, 7), (6, 8)], "src long, dst long"
+    )
+    got = {
+        r.vid: (r.n_added, r.n_removed, r.net)
+        for r in graph_diff(old, new).collect()
+    }
+    # vid 1: +{(1,9)} -{(1,3)}; vid 4: -{(4,5)}; vid 6: +2; vid 2 unchanged
+    assert got == {1: (1, 1, 0), 4: (0, 1, -1), 6: (2, 0, 2)}
+    top = graph_diff(old, new, topk=1).collect()
+    assert [(r.vid, r.n_added + r.n_removed) for r in top] in ([(1, 2)], [(6, 2)])
+    # deterministic tie-break: churn 2 ties between vid 1 and 6 -> vid 1
+    assert top[0].vid == 1
