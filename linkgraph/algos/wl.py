@@ -1,32 +1,35 @@
 """Weisfeiler–Lehman color refinement — the 1-WL vertex fingerprint.
 
-Iteratively recolor every vertex with a hash of (own color, SORTED
-multiset of neighbor colors); after k rounds two vertices share a color
-iff 1-WL cannot distinguish their k-hop neighborhoods.  The classic
+Iteratively recolor every vertex with a hash of (own color, multiset of
+neighbor colors); after k rounds two vertices share a color iff 1-WL
+cannot distinguish their k-hop neighborhoods.  The classic
 graph-isomorphism test and THE feature map of WL graph kernels /
 GNN-expressiveness analysis [Weisfeiler & Lehman 1968; Shervashidze
 et al., JMLR 2011] — per-vertex structural fingerprints for dedup of
-graph neighborhoods, stratified sampling by structure, and GNN
-sanity checks (what 1-WL cannot separate, a message-passing GNN cannot
-either).
+graph neighborhoods, stratified sampling by structure, and GNN sanity
+checks (what 1-WL cannot separate, a message-passing GNN cannot either).
 
-Relational form, one round = the ANP shape with an ORDER-CANONICAL
-aggregate:
+The textbook form hashes the SORTED neighbor-color string — O(deg)
+bytes per vertex, a 33 MB aggregate value on a 10^6-degree hub and a
+sort besides: a scale-killer.  This implementation uses the standard
+hash-based WL variant instead — a COMMUTATIVE modular sum of per-color
+hashes:
 
-    msgs   = expand(color)                   # co-partitioned edge join
-    multiset(v) = concat_ws(',', array_sort(collect_list(color)))
-    color'(v)   = md5(color(v) || '|' || multiset(v))
+    S(v)      = Σ_{u∈N(v)} H(color(u))  mod P          (P = 2^61 − 1)
+    color'(v) = md5(color(v) || '|' || S(v))
 
-* collect_list is partition-order-nondeterministic, so the canonical
-  array_sort BEFORE hashing is what makes the refinement deterministic
-  and engine-portable (DuckDB mirrors with string_agg(... ORDER BY) —
-  both sorts are plain byte order on ascii hex strings);
-* the multiset string is O(deg) bytes; at web scale cap the round count
-  (k=2..3 is the standard kernel depth) — colors converge to the stable
-  partition in ≤ diameter rounds anyway;
-* md5 keeps colors 32 bytes regardless of degree, and is the one hash
-  both engines share bit-for-bit (the portable family used by MinHash's
-  oracle mode).
+* the sum is order-invariant, so no sort and no canonicalization issue
+  (collect_list's partition-order nondeterminism never enters);
+* per-vertex state is O(1) bytes regardless of degree — the aggregate
+  is a plain SUM with map-side combine, the cheapest ANP there is;
+* exactness of the modular sum: H < 2^61 terms are summed as
+  DECIMAL(38,0) on the Spark side (exact to 10^38 ⟹ safe beyond
+  10^12-degree hubs) and HUGEINT in DuckDB, then reduced mod P — both
+  engines produce the identical integer;
+* H = the engine-portable md5 numeric prefix (the MinHash oracle
+  family); multiset collisions are the usual hash-WL caveat,
+  ~deg²/2^61 per neighborhood — immaterial against 1-WL's own
+  expressiveness limits.
 
 Initial color = degree (as a string), the standard 1-WL seed.
 """
@@ -38,10 +41,18 @@ from pyspark.sql import functions as F
 
 from linkgraph.graph import LinkGraph, iteration_plan
 
+WL_P = (1 << 61) - 1  # Mersenne prime: modulus of the multiset sum
+
+
+def _hnum(col):
+    """60-bit numeric md5 prefix of a string column (portable family)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("decimal(38,0)")
+
 
 def wl_refine(graph: LinkGraph, rounds: int = 3) -> DataFrame:
-    """Returns (vid, color) after `rounds` of 1-WL refinement; color is
-    a 32-hex md5 string (round 0 colors = degree strings)."""
+    """Returns (vid, color) after `rounds` of hash-based 1-WL
+    refinement; color is a 32-hex md5 string (round-0 colors = degree
+    strings)."""
     if rounds < 0:
         raise ValueError("rounds must be >= 0")
     spark = graph.spark
@@ -54,13 +65,13 @@ def wl_refine(graph: LinkGraph, rounds: int = 3) -> DataFrame:
     prev = None
     with iteration_plan(spark):
         for _ in range(rounds):
-            msgs = color.select(F.col("vid").alias("src"), F.col("color").alias("c"))
+            msgs = color.select(
+                F.col("vid").alias("src"), _hnum(F.col("color")).alias("h")
+            )
             agg = (
                 graph.expand(msgs, est_rows=n)
                 .groupBy("dst")
-                .agg(
-                    F.concat_ws(",", F.array_sort(F.collect_list("c"))).alias("ms")
-                )
+                .agg((F.sum("h") % F.lit(WL_P)).alias("s"))
             )
             new = (
                 color.alias("st")
@@ -69,7 +80,12 @@ def wl_refine(graph: LinkGraph, rounds: int = 3) -> DataFrame:
                     F.col("st.vid").alias("vid"),
                     F.md5(
                         F.concat_ws(
-                            "|", F.col("st.color"), F.coalesce(F.col("nb.ms"), F.lit(""))
+                            "|",
+                            F.col("st.color"),
+                            F.coalesce(
+                                F.col("nb.s").cast("decimal(38,0)"),
+                                F.lit(0).cast("decimal(38,0)"),
+                            ).cast("string"),
                         )
                     ).alias("color"),
                 )

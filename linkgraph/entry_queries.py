@@ -2227,15 +2227,17 @@ def q_wl_colors(spark, sf_dir):
 
 
 def _wl_oracle_sql(rounds: int) -> str:
+    P = (1 << 61) - 1
     parts = [
         "w0 AS MATERIALIZED (SELECT src AS vid, CAST(COUNT(*) AS VARCHAR) AS color FROM e GROUP BY src)"
     ]
     for i in range(1, rounds + 1):
         parts.append(f"""a{i} AS MATERIALIZED (
-  SELECT e.dst, string_agg(x.color, ',' ORDER BY x.color) AS ms
+  SELECT e.dst,
+         SUM(CAST('0x' || substr(md5(x.color), 1, 15) AS BIGINT)) % {P} AS s
   FROM e JOIN w{i - 1} x ON x.vid = e.src GROUP BY e.dst)""")
         parts.append(f"""w{i} AS MATERIALIZED (
-  SELECT w.vid, md5(w.color || '|' || COALESCE(a.ms, '')) AS color
+  SELECT w.vid, md5(w.color || '|' || CAST(COALESCE(a.s, 0) AS VARCHAR)) AS color
   FROM w{i - 1} w LEFT JOIN a{i} a ON a.dst = w.vid)""")
     return (
         f"WITH {_COPURCHASE_E},"

@@ -12,6 +12,13 @@ from linkgraph.fixtures import edges_df, er_edges, grid_edges, two_cliques_edges
 from linkgraph.graph import LinkGraph
 
 
+P = (1 << 61) - 1
+
+
+def _h(color):
+    return int(hashlib.md5(color.encode()).hexdigest()[:15], 16)
+
+
 def _py_wl(pairs, rounds):
     adj = collections.defaultdict(set)
     for a, b in pairs:
@@ -22,7 +29,11 @@ def _py_wl(pairs, rounds):
     for _ in range(rounds):
         color = {
             v: hashlib.md5(
-                (color[v] + "|" + ",".join(sorted(color[u] for u in adj[v]))).encode()
+                (
+                    color[v]
+                    + "|"
+                    + str(sum(_h(color[u]) for u in adj[v]) % P)
+                ).encode()
             ).hexdigest()
             for v in adj
         }
