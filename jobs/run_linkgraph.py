@@ -42,7 +42,7 @@ def main(argv=None):
                             "pagerank", "ppr", "cc", "lpa", "triangles",
                             "kcore", "betweenness", "khop", "degree",
                             "eigenvector", "vertexsim", "conductance",
-                            "degree_hist"])
+                            "degree_hist", "wl", "mst"])
     p.add_argument("--edge-key", default="tool", help="shared-key column for conv-conv edges")
     p.add_argument("--hub-cap", type=int, default=100_000,
                    help="0 = plan from sketch stats (suggest_hub_cap, A8)")
@@ -191,6 +191,22 @@ def main(argv=None):
         from linkgraph.algos.gstats import degree_histogram
 
         out = degree_histogram(graph)
+        metrics = {}
+    elif args.algo == "wl":
+        from linkgraph.algos.wl import wl_refine
+
+        out = wl_refine(graph, rounds=min(args.max_iter, 3))
+        metrics = {}
+    elif args.algo == "mst":
+        from pyspark.sql import functions as F
+
+        from linkgraph.algos.mst import minimum_spanning_forest
+
+        # unweighted conv graph: w=1 everywhere -> the (u,v)-lexicographic
+        # spanning forest (ties broken by the strict total order)
+        out = minimum_spanning_forest(
+            graph.edges.select("src", "dst", F.lit(1).alias("w"))
+        )
         metrics = {}
     else:  # degree
         out = graph.degrees()
