@@ -10,10 +10,17 @@ DataFrame passes:
 * per-component argmin: ONE partial+final MIN over a lexicographic
   struct (w, u, v) — map-side combine collapses each partition's
   candidates before the exchange; never a window;
-* merge: the selected edges form a pseudo-forest over component ids
-  (≤ one proposal per component), so the round's label update is
-  connected-components on a graph with ONE VERTEX PER COMPONENT —
-  iterative cost independent of |E|, shrinking geometrically;
+* merge: the selected edges form a FUNCTIONAL pseudo-forest over
+  component ids (exactly one out-edge per proposing component), and with
+  a strict total edge order every connected cluster contains exactly one
+  MUTUAL pair (the cluster's globally minimal edge is chosen from both
+  sides).  Breaking that 2-cycle at min(pair) turns each cluster into a
+  rooted tree, and POINTER JUMPING (p ← p∘p) finds every root in
+  O(log depth) rounds of one ≤|comps|-row self-join each — strictly
+  cheaper than a generic CC call (no edge expansion, no neighbor-min
+  aggregate).  The representative differs from CC's min-label choice,
+  but the PARTITION is identical, and the forest depends only on the
+  partition — so the unrolled min-label oracle still matches edge sets;
 * determinism: the edge order (w, u, v) with u < v canonicalization is a
   STRICT total order, so the argmin — and therefore the whole forest —
   is unique and engine/partitioning/retry-invariant: the output is
@@ -88,18 +95,7 @@ def minimum_spanning_forest(
                 converged = True
                 break
             forest_parts.append(prop.select("u", "v", "w").distinct())
-            # merge: CC over the proposal pseudo-forest (one vertex/comp)
-            pe = prop.select(F.col("csrc").alias("src"), F.col("cdst").alias("dst"))
-            pg = LinkGraph(
-                pe.unionByName(
-                    pe.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-                ).distinct()
-            )
-            from linkgraph.algos.components import connected_components
-
-            mapping = connected_components(pg).select(
-                F.col("vid").alias("comp"), F.col("comp").alias("nc")
-            )
+            mapping = _contract_pseudoforest(prop)
             comp = (
                 comp.join(mapping, "comp", "left")
                 .select("vid", F.coalesce(F.col("nc"), F.col("comp")).alias("comp"))
@@ -119,3 +115,45 @@ def minimum_spanning_forest(
     return out.distinct().select(
         F.col("u").cast("long"), F.col("v").cast("long"), F.col("w").cast("long")
     )
+
+
+def _contract_pseudoforest(prop: DataFrame, max_jumps: int = 40) -> DataFrame:
+    """(comp, nc) mapping for the proposal functional graph: each
+    component's parent is the target of its chosen edge; the one mutual
+    pair per cluster is broken into a self-loop at min(pair); pointer
+    jumping then converges every node to its cluster root.  Each jump is
+    ONE ≤|comps|-row self-join — no edge table, no aggregates."""
+    f = prop.select("csrc", "cdst")
+    back = f.select(F.col("csrc").alias("b"), F.col("cdst").alias("bt"))
+    p = (
+        f.join(
+            back, (f.cdst == back.b) & (F.col("bt") == f.csrc), "left"
+        )
+        .select(
+            F.col("csrc").alias("c"),
+            F.when(
+                F.col("b").isNotNull() & (F.col("csrc") < F.col("cdst")),
+                F.col("csrc"),
+            )
+            .otherwise(F.col("cdst"))
+            .alias("p"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_jumps):
+        hop = p.select(F.col("c").alias("q"), F.col("p").alias("gp"))
+        np_ = (
+            p.join(hop, p.p == hop.q, "left")
+            .select("c", F.coalesce(F.col("gp"), F.col("p")).alias("np"), "p")
+            .localCheckpoint(eager=False)
+        )
+        changed = np_.where(F.col("np") != F.col("p")).count()
+        nxt = np_.select("c", F.col("np").alias("p"))
+        try:
+            p.unpersist()
+        except Exception:
+            pass
+        p = nxt
+        if changed == 0:
+            break
+    return p.select(F.col("c").alias("comp"), F.col("p").alias("nc"))
