@@ -2378,6 +2378,30 @@ FROM ch GROUP BY vid
 """
 
 
+def q_edge_pmi(spark, sf_dir):
+    """PMI-reweighted co-purchase edges (association strength vs chance)."""
+    from linkgraph.sources.derive import edge_pmi
+
+    return edge_pmi(
+        derive.copurchase_weighted_edges(_t(spark, sf_dir, "lineitem"))
+    )
+
+
+SQL_EDGE_PMI = """
+WITH pk AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+ew AS MATERIALIZED (
+  SELECT a.p AS src, b.p AS dst, COUNT(*) AS w
+  FROM pk a JOIN pk b ON a.k = b.k AND a.p <> b.p GROUP BY a.p, b.p),
+st AS MATERIALIZED (SELECT src, SUM(w) AS s FROM ew GROUP BY src),
+tot AS (SELECT CAST(SUM(w) AS DOUBLE) AS t FROM ew)
+SELECT CAST(e.src AS BIGINT) AS src, CAST(e.dst AS BIGINT) AS dst,
+       CAST(e.w AS BIGINT) AS w,
+       ROUND(LN(e.w * (SELECT t FROM tot) / (CAST(su.s AS DOUBLE) * sv.s)), 6)
+         AS pmi
+FROM ew e JOIN st su ON su.src = e.src JOIN st sv ON sv.src = e.dst
+"""
+
+
 TFIDF_PAIRS_MAX_DF_PCT = 78  # excludes the ~1/3 most corpus-wide terms at sf0.01
 TFIDF_PAIRS_TOPK = 100
 
@@ -3465,6 +3489,7 @@ GROUP BY tf.doc_id, tot.T
 QUERIES = {
     "degree_topk": q_degree_topk,
     "edges_shared_key": q_edges_shared_key,
+    "edge_pmi": q_edge_pmi,
     "edges_events_user": q_edges_events_user,
     "turn_adjacency": q_turn_adjacency,
     "activity_profile": q_activity_profile,
@@ -3563,6 +3588,7 @@ QUERIES = {
 ORACLES = {
     "degree_topk": SQL_DEGREE_TOPK,
     "edges_shared_key": SQL_EDGES_SHARED_KEY,
+    "edge_pmi": SQL_EDGE_PMI,
     "edges_events_user": SQL_EDGES_EVENTS_USER,
     "turn_adjacency": SQL_TURN_ADJACENCY,
     "activity_profile": SQL_ACTIVITY_PROFILE,

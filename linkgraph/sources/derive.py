@@ -201,3 +201,49 @@ def sequential_copurchase_edges(lineitem: DataFrame) -> DataFrame:
         .select(F.col("l_partkey").alias("src"), F.col("nxt").alias("dst"))
         .distinct()
     )
+
+
+def edge_pmi(weighted_edges: DataFrame, round_to: int = 6) -> DataFrame:
+    """Pointwise-mutual-information reweighting of a co-occurrence edge
+    table (src, dst, w):
+
+        pmi(u,v) = ln( w_uv · T / (s_u · s_v) ),   s_u = Σ_x w_ux,
+        T = Σ w
+
+    — the standard association-strength correction before thresholding
+    a co-occurrence graph (raw counts rank hub pairs first purely
+    because hubs co-occur with everything; PMI asks "more than chance?").
+    Word-graph / product-graph building's default edge weight
+    [Church & Hanks 1990, public formulation].
+
+    One |V|-row strength aggregate joined back onto the edge table
+    (co-partitioned on src; the dst side is the same broadcastable
+    strength dim), T a bounded scalar; ln + ONE division + round-6 —
+    the usual portability argument.  Returns (src, dst, w, pmi).
+    """
+    e = weighted_edges.select("src", "dst", "w")
+    strength = e.groupBy("src").agg(F.sum("w").alias("s"))
+    total = int(e.agg(F.sum("w")).first()[0] or 0)
+    if total == 0:
+        return e.sparkSession.createDataFrame(
+            [], "src long, dst long, w long, pmi double"
+        )
+    su = strength.select(F.col("src"), F.col("s").alias("su"))
+    sv = strength.select(F.col("src").alias("dst"), F.col("s").alias("sv"))
+    return (
+        e.join(su, "src")
+        .join(sv, "dst")
+        .select(
+            F.col("src").cast("long"),
+            F.col("dst").cast("long"),
+            F.col("w").cast("long"),
+            F.round(
+                F.log(
+                    F.col("w")
+                    * F.lit(float(total))
+                    / (F.col("su").cast("double") * F.col("sv"))
+                ),
+                round_to,
+            ).alias("pmi"),
+        )
+    )

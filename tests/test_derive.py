@@ -149,3 +149,26 @@ def test_khop_sample_deterministic_and_bounded(spark):
     c = khop_sample(g, seeds, [3, 2], seed=7).collect()
     assert sorted(map(tuple, a)) != sorted(map(tuple, c))
     g.unpersist()
+
+
+def test_edge_pmi_exact(spark):
+    import math
+
+    from linkgraph.sources.derive import edge_pmi
+
+    # hub 1 co-occurs with everyone; pair (8, 9) co-occurs only together:
+    # PMI must rank (8, 9) above any hub pair despite equal raw counts
+    rows = [
+        (1, 2, 2), (2, 1, 2), (1, 3, 2), (3, 1, 2), (1, 8, 1), (8, 1, 1),
+        (8, 9, 2), (9, 8, 2),
+    ]
+    df = spark.createDataFrame(rows, "src long, dst long, w long")
+    s = {}
+    for a, b, w in rows:
+        s[a] = s.get(a, 0) + w
+    total = sum(w for _, _, w in rows)
+    got = {(r.src, r.dst): (r.w, r.pmi) for r in edge_pmi(df).collect()}
+    for a, b, w in rows:
+        want = round(math.log(w * total / (s[a] * s[b])), 6)
+        assert got[(a, b)] == (w, want), (a, b)
+    assert got[(8, 9)][1] > got[(1, 2)][1]
