@@ -157,3 +157,54 @@ def _contract_pseudoforest(prop: DataFrame, max_jumps: int = 40) -> DataFrame:
         if changed == 0:
             break
     return p.select(F.col("c").alias("comp"), F.col("p").alias("nc"))
+
+
+def sparsify(
+    edges: DataFrame,
+    keep_pct: int = 10,
+    rounds: int | None = None,
+    salt: str = "sparsify",
+) -> DataFrame:
+    """Connectivity-preserving sparsifier: the minimum spanning forest
+    UNION a deterministic `keep_pct`% hash sample of the remaining
+    edges — the standard "thin the graph but never disconnect it" prep
+    before an expensive all-pairs / embedding / visualization stage
+    (naive uniform sampling at 10% shatters a sparse graph into
+    fragments; the forest keeps every component intact by construction).
+
+    The sample is the portable md5 bucket of the canonical (u, v) pair —
+    engine/retry/partitioning-stable, the hash_split contract — so the
+    sparsifier is REPRODUCIBLE: re-running on the same snapshot yields
+    byte-identical output.  Returns (u, v, w) with u < v, one row per
+    kept undirected edge.
+    """
+    if not 0 <= keep_pct <= 100:
+        raise ValueError("keep_pct must be in [0, 100]")
+    forest = minimum_spanning_forest(edges, rounds=rounds)
+    canon = (
+        edges.where(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").cast("long").alias("u"),
+            F.col("dst").cast("long").alias("v"),
+            F.col("w").cast("long").alias("w"),
+        )
+        .distinct()
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("u").cast("string"), F.col("v").cast("string"), F.lit(salt)
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    sample = canon.where(bucket < keep_pct * 100)
+    return forest.unionByName(sample).distinct()

@@ -2402,6 +2402,42 @@ FROM ew e JOIN st su ON su.src = e.src JOIN st sv ON sv.src = e.dst
 """
 
 
+SPARSIFY_PCT = 10
+
+
+def q_sparsify(spark, sf_dir):
+    """Connectivity-preserving sparsifier: Boruvka forest ∪ deterministic
+    10% md5 edge sample (reproducible thin-out; see algos/mst.py)."""
+    from linkgraph.algos.mst import sparsify
+
+    return sparsify(
+        derive.copurchase_weighted_edges(_t(spark, sf_dir, "lineitem")),
+        keep_pct=SPARSIFY_PCT,
+        rounds=MST_ROUNDS,
+    )
+
+
+def _sparsify_oracle_sql(rounds: int, dbl: int, pct: int) -> str:
+    base = _mst_oracle_sql(rounds, dbl)
+    head, tail = base.rsplit("SELECT CAST(u AS BIGINT)", 1)
+    union = tail[tail.index("FROM (") + 6 : tail.rindex(")")]
+    return (
+        head
+        + f"""SELECT DISTINCT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+       CAST(w AS BIGINT) AS w
+FROM ({union}
+      UNION
+      SELECT src AS u, dst AS v, w FROM ew
+      WHERE src < dst
+        AND CAST('0x' || substr(md5(CAST(src AS VARCHAR) || ':' ||
+                 CAST(dst AS VARCHAR) || ':sparsify'), 1, 15) AS BIGINT)
+            % 10000 < {pct * 100})"""
+    )
+
+
+SQL_SPARSIFY = _sparsify_oracle_sql(MST_ROUNDS, MST_CC_STEPS, SPARSIFY_PCT)
+
+
 TFIDF_PAIRS_MAX_DF_PCT = 78  # excludes the ~1/3 most corpus-wide terms at sf0.01
 TFIDF_PAIRS_TOPK = 100
 
@@ -3545,6 +3581,7 @@ QUERIES = {
     "hits": q_hits,
     "sssp_weighted": q_sssp,
     "mst": q_mst,
+    "sparsify": q_sparsify,
     "random_walks": q_random_walks,
     "node2vec_walks": q_node2vec_walks,
     "clustering_coeff": q_clustering_coeff,
@@ -3644,6 +3681,7 @@ ORACLES = {
     "hits": SQL_HITS,
     "sssp_weighted": SQL_SSSP,
     "mst": SQL_MST,
+    "sparsify": SQL_SPARSIFY,
     "random_walks": SQL_RANDOM_WALKS,
     "node2vec_walks": SQL_NODE2VEC_WALKS,
     "clustering_coeff": SQL_CLUSTERING_COEFF,

@@ -79,3 +79,47 @@ def test_mst_fixed_rounds_prefix(spark):
         for r in minimum_spanning_forest(_df(spark, wedges), rounds=1).collect()
     }
     assert got == want
+
+
+def test_sparsify_preserves_connectivity(spark):
+    import collections
+
+    from linkgraph.algos.mst import sparsify
+
+    wedges = _weighted(er_edges(120, 0.05, seed=31))
+    kept = [
+        (r.u, r.v)
+        for r in sparsify(_df(spark, wedges), keep_pct=5).collect()
+    ]
+
+    def comps(pairs, verts):
+        adj = collections.defaultdict(set)
+        for a, b in pairs:
+            adj[a].add(b)
+            adj[b].add(a)
+        seen, n = set(), 0
+        for v in verts:
+            if v not in seen:
+                n += 1
+                stack = [v]
+                while stack:
+                    x = stack.pop()
+                    if x in seen:
+                        continue
+                    seen.add(x)
+                    stack.extend(adj[x])
+        return n
+
+    verts = {v for p in wedges for v in p}
+    n_full = comps(list(wedges), verts)
+    n_kept = comps(kept, verts)
+    assert n_kept == n_full  # every component survives
+    assert len(kept) < len(wedges)  # and the graph actually thinned
+    # forest edges are a subset of kept
+    forest = {
+        (r.u, r.v)
+        for r in __import__("linkgraph.algos.mst", fromlist=["m"]).minimum_spanning_forest(
+            _df(spark, wedges)
+        ).collect()
+    }
+    assert forest <= set(kept)
