@@ -257,7 +257,16 @@ def main():
 
     from linkgraph.session import get_spark
 
-    spark = get_spark(master=f"local[{cpus}]", app_name="linkgraph-bench")
+    # -Xlog:disable: the JVM's unified-logging GC warnings print to
+    # STDOUT (observed "[warning][gc,alloc] ... GCLocker" lines mid-run),
+    # and stdout is this harness's machine-readable channel — the JSON
+    # line must be the only parseable content.  (The JSON is also printed
+    # last and duplicated to BENCH/last_run.json as further backstops.)
+    spark = get_spark(
+        master=f"local[{cpus}]",
+        app_name="linkgraph-bench",
+        extra_conf={"spark.driver.extraJavaOptions": "-Xlog:disable"},
+    )
 
     samples: list[dict[str, float]] = []
     gteps_samples: list[float] = []
