@@ -289,3 +289,50 @@ def hyperball_harmonic(
         F.expr(harmonic_projection_sql(k, max_h, "spark")).alias("hc"),
     )
     return out
+
+
+def diameter_double_sweep(
+    graph, max_levels: int = 16, start: int | None = None
+):
+    """Double-sweep diameter lower bound [Magnien, Latapy & Habib 2009
+    public technique]: BFS from a start vertex, take its FARTHEST vertex
+    (max dist, min-vid tie-break), BFS again from there — the second
+    sweep's eccentricity is the classic near-tight diameter lower bound
+    at the cost of exactly TWO single-source traversals (the exact
+    diameter needs |V| of them; the ANF sketch gives the distribution,
+    this gives the certified bound).
+
+    Returns one row (start_vid, far_vid, diameter_lb).  On a
+    disconnected graph the bound covers the start vertex's component.
+    Both sweeps ride the MS-BFS kernel (single lane); the two farthest-
+    vertex picks are bounded one-row driver actions, the deterministic
+    tie-break making the whole query engine-portable.
+    """
+    from pyspark.sql import functions as F
+
+    from linkgraph.algos.msbfs import msbfs
+
+    if start is None:
+        start = int(graph.vertices().agg(F.min("vid")).first()[0])
+
+    def _sweep(src: int):
+        res = msbfs(graph, [int(src)], emit_distances=True, max_levels=max_levels)
+        return res.distances_df
+
+    d1 = _sweep(start)
+    far = (
+        d1.orderBy(F.col("dist").desc(), F.col("vid").asc())
+        .select("vid", "dist")
+        .first()
+    )
+    d2 = _sweep(int(far["vid"]))
+    far2 = (
+        d2.orderBy(F.col("dist").desc(), F.col("vid").asc())
+        .select("vid", "dist")
+        .first()
+    )
+    spark = graph.spark
+    return spark.createDataFrame(
+        [(int(start), int(far["vid"]), int(far2["dist"]))],
+        "start_vid long, far_vid long, diameter_lb long",
+    )

@@ -2438,6 +2438,41 @@ FROM ({union}
 SQL_SPARSIFY = _sparsify_oracle_sql(MST_ROUNDS, MST_CC_STEPS, SPARSIFY_PCT)
 
 
+DSWEEP_LEVELS = 16
+
+
+def q_diameter_lb(spark, sf_dir):
+    """Double-sweep diameter lower bound of the co-purchase graph
+    (two MS-BFS sweeps; deterministic farthest-vertex tie-breaks)."""
+    from linkgraph.algos.anf import diameter_double_sweep
+
+    return diameter_double_sweep(
+        copurchase_graph(spark, sf_dir), max_levels=DSWEEP_LEVELS
+    )
+
+
+SQL_DIAMETER_LB = f"""
+WITH RECURSIVE {_COPURCHASE_E},
+s0 AS (SELECT MIN(src) AS v FROM e),
+b1(v, dist) AS (
+  SELECT v, 0 FROM s0
+  UNION
+  SELECT e.dst, b1.dist + 1 FROM b1 JOIN e ON e.src = b1.v
+  WHERE b1.dist < {DSWEEP_LEVELS}),
+d1 AS (SELECT v, MIN(dist) AS dist FROM b1 GROUP BY v),
+f1 AS (SELECT v FROM d1 ORDER BY dist DESC, v ASC LIMIT 1),
+b2(v, dist) AS (
+  SELECT v, 0 FROM f1
+  UNION
+  SELECT e.dst, b2.dist + 1 FROM b2 JOIN e ON e.src = b2.v
+  WHERE b2.dist < {DSWEEP_LEVELS}),
+d2 AS (SELECT v, MIN(dist) AS dist FROM b2 GROUP BY v)
+SELECT CAST((SELECT v FROM s0) AS BIGINT) AS start_vid,
+       CAST((SELECT v FROM f1) AS BIGINT) AS far_vid,
+       CAST((SELECT MAX(dist) FROM d2) AS BIGINT) AS diameter_lb
+"""
+
+
 TFIDF_PAIRS_MAX_DF_PCT = 78  # excludes the ~1/3 most corpus-wide terms at sf0.01
 TFIDF_PAIRS_TOPK = 100
 
@@ -3535,6 +3570,7 @@ QUERIES = {
     "bfs_distances": q_bfs_distances,
     "anf": q_anf,
     "anf_full": q_anf_full,
+    "diameter_lb": q_diameter_lb,
     "hyperball_harmonic": q_hyperball_harmonic,
     "eccentricity": q_eccentricity,
     "betweenness": q_betweenness,
@@ -3635,6 +3671,7 @@ ORACLES = {
     "bfs_distances": SQL_BFS_DISTANCES,
     "anf": SQL_ANF,
     "anf_full": SQL_ANF_FULL,
+    "diameter_lb": SQL_DIAMETER_LB,
     "hyperball_harmonic": SQL_HYPERBALL,
     "eccentricity": SQL_ECCENTRICITY,
     "betweenness": SQL_BETWEENNESS,

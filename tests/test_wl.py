@@ -72,3 +72,22 @@ def test_wl_isomorphic_copies_same_histogram(spark):
     gg = LinkGraph.from_undirected(edges_df(spark, grid_edges(4, 4)), num_partitions=2)
     h2 = {r.color: r.n_vertices for r in wl_class_sizes(gg, rounds=2).collect()}
     assert len(h2) >= 3
+
+
+def test_diameter_double_sweep_path_graph(spark):
+    from linkgraph.algos.anf import diameter_double_sweep
+    from linkgraph.fixtures import edges_df
+    from linkgraph.graph import LinkGraph
+
+    # path 0-1-...-9: true diameter 9; double sweep from ANY start finds it
+    path = [(i, i + 1) for i in range(9)]
+    g = LinkGraph.from_undirected(edges_df(spark, path), num_partitions=2)
+    row = diameter_double_sweep(g, max_levels=16).collect()[0]
+    assert row.start_vid == 0
+    assert row.diameter_lb == 9 and row.far_vid == 9
+
+    # star: diameter 2, double sweep certifies it from the hub start
+    star = [(0, i) for i in range(1, 8)]
+    gs = LinkGraph.from_undirected(edges_df(spark, star), num_partitions=2)
+    row = diameter_double_sweep(gs, max_levels=8).collect()[0]
+    assert row.diameter_lb == 2
