@@ -2473,6 +2473,35 @@ SELECT CAST((SELECT v FROM s0) AS BIGINT) AS start_vid,
 """
 
 
+TRIPLES_MIN_SUPPORT = 2
+TRIPLES_BASKET_CAP = 32
+
+
+def q_frequent_triples(spark, sf_dir):
+    """Frequent 3-itemsets over order baskets (A-priori step up from the
+    pairwise co-purchase derivation; basket-capped, all-integer)."""
+    from linkgraph.sources.derive import frequent_triples
+
+    return frequent_triples(
+        _t(spark, sf_dir, "lineitem"),
+        min_support=TRIPLES_MIN_SUPPORT,
+        basket_cap=TRIPLES_BASKET_CAP,
+    )
+
+
+SQL_FREQUENT_TRIPLES = f"""
+WITH pk0 AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+ok AS (SELECT k FROM pk0 GROUP BY k HAVING COUNT(*) <= {TRIPLES_BASKET_CAP}),
+pk AS MATERIALIZED (SELECT pk0.k, pk0.p FROM pk0 JOIN ok USING (k))
+SELECT CAST(a.p AS BIGINT) AS p1, CAST(b.p AS BIGINT) AS p2,
+       CAST(c.p AS BIGINT) AS p3, CAST(COUNT(*) AS BIGINT) AS support
+FROM pk a JOIN pk b ON a.k = b.k AND a.p < b.p
+          JOIN pk c ON a.k = c.k AND b.p < c.p
+GROUP BY a.p, b.p, c.p
+HAVING COUNT(*) >= {TRIPLES_MIN_SUPPORT}
+"""
+
+
 TFIDF_PAIRS_MAX_DF_PCT = 78  # excludes the ~1/3 most corpus-wide terms at sf0.01
 TFIDF_PAIRS_TOPK = 100
 
@@ -3561,6 +3590,7 @@ QUERIES = {
     "degree_topk": q_degree_topk,
     "edges_shared_key": q_edges_shared_key,
     "edge_pmi": q_edge_pmi,
+    "frequent_triples": q_frequent_triples,
     "edges_events_user": q_edges_events_user,
     "turn_adjacency": q_turn_adjacency,
     "activity_profile": q_activity_profile,
@@ -3662,6 +3692,7 @@ ORACLES = {
     "degree_topk": SQL_DEGREE_TOPK,
     "edges_shared_key": SQL_EDGES_SHARED_KEY,
     "edge_pmi": SQL_EDGE_PMI,
+    "frequent_triples": SQL_FREQUENT_TRIPLES,
     "edges_events_user": SQL_EDGES_EVENTS_USER,
     "turn_adjacency": SQL_TURN_ADJACENCY,
     "activity_profile": SQL_ACTIVITY_PROFILE,

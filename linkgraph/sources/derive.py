@@ -247,3 +247,58 @@ def edge_pmi(weighted_edges: DataFrame, round_to: int = 6) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+def frequent_triples(
+    lineitem: DataFrame,
+    min_support: int = 2,
+    basket_cap: int = 32,
+    topk: int | None = None,
+) -> DataFrame:
+    """Frequent 3-itemsets over the order baskets: (p1, p2, p3, support)
+    with p1 < p2 < p3 and support = number of distinct orders containing
+    all three parts — the A-priori step up from the pairwise co-purchase
+    derivation (S7), the classic market-basket / template-co-occurrence
+    miner.
+
+    Scale posture: triple fanout per basket is C(n,3), so baskets larger
+    than `basket_cap` items are dropped whole (the standard basket cap —
+    a 10⁴-item basket is a crawler artifact, not a purchase; the cap is
+    the operator contract, oracle-mirrored).  The enumeration is two
+    self-joins co-partitioned on the order key with p1<p2<p3 canonical
+    ordering, then ONE count aggregate; at corpus scale add the A-priori
+    frequent-pair prune in front (the pair table is `copurchase_weighted_
+    edges` filtered to w ≥ min_support) — the cap alone bounds this
+    fixture's fanout.  All-integer output; optional deterministic top-k.
+    """
+    pk = lineitem.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
+    ).distinct()
+    sizes = pk.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    pk = pk.join(sizes.where(F.col("n") <= basket_cap).select("k"), "k")
+    a, b, c = pk.alias("a"), pk.alias("b"), pk.alias("c")
+    out = (
+        a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.p") < F.col("b.p")))
+        .join(c, (F.col("a.k") == F.col("c.k")) & (F.col("b.p") < F.col("c.p")))
+        .groupBy(
+            F.col("a.p").alias("p1"),
+            F.col("b.p").alias("p2"),
+            F.col("c.p").alias("p3"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .where(F.col("support") >= min_support)
+        .select(
+            F.col("p1").cast("long"),
+            F.col("p2").cast("long"),
+            F.col("p3").cast("long"),
+            "support",
+        )
+    )
+    if topk is not None:
+        out = out.orderBy(
+            F.col("support").desc(),
+            F.col("p1").asc(),
+            F.col("p2").asc(),
+            F.col("p3").asc(),
+        ).limit(topk)
+    return out

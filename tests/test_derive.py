@@ -172,3 +172,35 @@ def test_edge_pmi_exact(spark):
         want = round(math.log(w * total / (s[a] * s[b])), 6)
         assert got[(a, b)] == (w, want), (a, b)
     assert got[(8, 9)][1] > got[(1, 2)][1]
+
+
+def test_frequent_triples_exact(spark):
+    import itertools
+    from collections import Counter
+
+    from linkgraph.sources.derive import frequent_triples
+
+    baskets = {
+        1: [10, 11, 12, 13],
+        2: [10, 11, 12],
+        3: [10, 11, 12],
+        4: [20, 21],            # too small for a triple
+        5: list(range(100, 140)),  # 40 items: dropped by basket_cap=32
+        6: [10, 11, 13],
+    }
+    rows = [(k, p) for k, ps in baskets.items() for p in ps]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    want = Counter()
+    for k, ps in baskets.items():
+        if len(ps) > 32:
+            continue
+        for t in itertools.combinations(sorted(ps), 3):
+            want[t] += 1
+    want = {t: c for t, c in want.items() if c >= 2}
+    got = {
+        (r.p1, r.p2, r.p3): r.support
+        for r in frequent_triples(li, min_support=2, basket_cap=32).collect()
+    }
+    assert got == want
+    assert got[(10, 11, 12)] == 3  # orders 1, 2, 3
+    assert all(100 <= p <= 140 for t in got for p in t) is False
