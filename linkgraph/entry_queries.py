@@ -2502,6 +2502,58 @@ HAVING COUNT(*) >= {TRIPLES_MIN_SUPPORT}
 """
 
 
+def q_hub_coverage(spark, sf_dir):
+    """Coverage curve of the top-8 degree hubs: for each hop count h,
+    how many vertices lie within h hops of ANY hub (min-dist-over-
+    sources aggregate of the same MS-BFS batch bfs_distances runs) —
+    the crawl/broadcast seed-selection diagnostic."""
+    from linkgraph.algos.msbfs import msbfs
+
+    g = copurchase_graph(spark, sf_dir)
+    srcs = sorted(g.top_degree_vids(8))
+    res = msbfs(g, srcs, emit_distances=True, max_levels=BFS_MAX_LEVELS)
+    from pyspark.sql import Window
+
+    md = res.distances_df.groupBy("vid").agg(F.min("dist").alias("d"))
+    n = g.num_vertices()
+    # the histogram is <= max_levels rows, so the cumulative window's
+    # single partition is bounded by the hop budget, never the graph
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        md.groupBy(F.col("d").cast("long").alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("h", F.sum("c").over(w).cast("long").alias("n_reached"))
+        .select(
+            "h",
+            "n_reached",
+            F.round(F.col("n_reached") / F.lit(float(n)), 6).alias("pct"),
+        )
+    )
+
+
+SQL_HUB_COVERAGE = f"""
+WITH RECURSIVE {_COPURCHASE_E},
+d AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+srcs AS (SELECT src AS s FROM d ORDER BY deg DESC, src ASC LIMIT 8),
+bfs(src, v, dist) AS (
+  SELECT s, s, 0 FROM srcs
+  UNION
+  SELECT bfs.src, e.dst, bfs.dist + 1 FROM bfs JOIN e ON e.src = bfs.v
+  WHERE bfs.dist < {BFS_MAX_LEVELS}),
+md AS (SELECT v, MIN(dist) AS dmin FROM (
+         SELECT src, v, MIN(dist) AS dist FROM bfs GROUP BY src, v)
+       GROUP BY v),
+hist AS (SELECT dmin AS h, COUNT(*) AS c FROM md GROUP BY dmin),
+nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM d)
+SELECT CAST(h AS BIGINT) AS h,
+       CAST(SUM(c) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_reached,
+       ROUND(SUM(c) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / (SELECT n FROM nv), 6) AS pct
+FROM hist
+"""
+
+
 TFIDF_PAIRS_MAX_DF_PCT = 78  # excludes the ~1/3 most corpus-wide terms at sf0.01
 TFIDF_PAIRS_TOPK = 100
 
@@ -3601,6 +3653,7 @@ QUERIES = {
     "anf": q_anf,
     "anf_full": q_anf_full,
     "diameter_lb": q_diameter_lb,
+    "hub_coverage": q_hub_coverage,
     "hyperball_harmonic": q_hyperball_harmonic,
     "eccentricity": q_eccentricity,
     "betweenness": q_betweenness,
@@ -3703,6 +3756,7 @@ ORACLES = {
     "anf": SQL_ANF,
     "anf_full": SQL_ANF_FULL,
     "diameter_lb": SQL_DIAMETER_LB,
+    "hub_coverage": SQL_HUB_COVERAGE,
     "hyperball_harmonic": SQL_HYPERBALL,
     "eccentricity": SQL_ECCENTRICITY,
     "betweenness": SQL_BETWEENNESS,
