@@ -155,3 +155,138 @@ def betweenness(
                 F.round(F.col("d") * F.lit(factor), 6).alias("bc"),
             )
         )
+
+
+def edge_betweenness(
+    graph: LinkGraph,
+    roots: list[int],
+    max_levels: int = 8,
+    scale: bool = True,
+    topk: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Sampled-Brandes EDGE betweenness: (u, v, ebc) over directed edges
+    on sampled shortest paths — the Girvan–Newman community-detection
+    step and the standard "which links carry the traffic?" ranking.
+
+    The per-edge dependency is exactly the term the vertex backward pass
+    aggregates one step later: for u at depth d with successor w,
+    contribution σ_u/σ_w · (1 + δ_w) flows along edge (u, w) — so this
+    runs the same forward pass as `betweenness` (same measured per-level
+    est_rows carried into every expand — the round-4 broadcast-gate
+    lesson) and, in the backward pass, aggregates the SAME terms by edge
+    (summed over roots per level) as well as by vertex (for δ).  Edges on
+    no sampled shortest path are omitted (estimate 0); `scale` applies
+    the Brandes–Pich n/|roots| factor.  Determinism: rounded ebc with
+    (u, v) tie-breaks orders the optional top-k.
+    """
+    if not roots:
+        raise ValueError("edge_betweenness needs a non-empty root sample")
+    spark = graph.spark
+    n = graph.num_vertices()
+    factor = (float(n) / len(roots)) if scale else 1.0
+
+    # ---- forward pass: mirrors `betweenness` (kept verbatim so the
+    # proven vertex path stays untouched; see its comments)
+    root_df = spark.createDataFrame([(int(r),) for r in roots], "root long")
+    state = root_df.select(
+        "root",
+        F.col("root").alias("vid"),
+        F.lit(0).alias("dist"),
+        F.lit(1.0).alias("sigma"),
+    ).localCheckpoint(eager=True)
+    levels = [state]
+    level_rows = [len(roots)]
+    with iteration_plan(spark):
+        frontier = state
+        for lvl in range(1, max_levels + 1):
+            msgs = frontier.select(F.col("vid").alias("src"), "root", "sigma")
+            agg = (
+                graph.expand(msgs, est_rows=level_rows[-1])
+                .groupBy("root", "dst")
+                .agg(F.sum("sigma").alias("sigma"))
+            )
+            seen = state.select("root", "vid")
+            new = (
+                agg.join(
+                    seen,
+                    (agg.root == seen.root) & (agg.dst == seen.vid),
+                    "left_anti",
+                )
+                .select(
+                    "root",
+                    F.col("dst").alias("vid"),
+                    F.lit(lvl).alias("dist"),
+                    "sigma",
+                )
+                .localCheckpoint(eager=False)
+            )
+            new_rows = new.count()
+            if new_rows == 0:
+                break
+            levels.append(new)
+            level_rows.append(max(int(new_rows), 1))
+            state = state.union(new).localCheckpoint(eager=False)
+            frontier = new
+
+        # ---- backward pass: per-level edge terms + vertex delta
+        deepest = len(levels) - 1
+        wl = levels[deepest].select("root", "vid", "sigma", F.lit(0.0).alias("delta"))
+        edge_parts: list[DataFrame] = []
+        for lvl in range(deepest - 1, -1, -1):
+            u = levels[lvl]
+            msgs = u.select(F.col("vid").alias("src"), "root", "sigma")
+            succ = graph.expand(msgs, est_rows=level_rows[lvl]).select(
+                F.col("src").alias("uvid"),
+                F.col("root").alias("uroot"),
+                F.col("sigma").alias("usigma"),
+                "dst",
+            )
+            terms = succ.join(
+                wl, (succ.uroot == wl.root) & (succ.dst == wl.vid)
+            ).select(
+                "uroot",
+                "uvid",
+                "dst",
+                (
+                    F.col("usigma") / F.col("sigma") * (F.lit(1.0) + F.col("delta"))
+                ).alias("term"),
+            )
+            edge_parts.append(
+                terms.groupBy(
+                    F.col("uvid").alias("u"), F.col("dst").alias("v")
+                ).agg(F.sum("term").alias("t"))
+            )
+            wl = (
+                u.join(
+                    terms.groupBy("uroot", "uvid").agg(F.sum("term").alias("delta")),
+                    (u.root == F.col("uroot")) & (u.vid == F.col("uvid")),
+                    "left",
+                )
+                .select(
+                    "root",
+                    "vid",
+                    "sigma",
+                    F.coalesce(F.col("delta"), F.lit(0.0)).alias("delta"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            wl.count()
+
+        if not edge_parts:
+            return spark.createDataFrame([], "u long, v long, ebc double")
+        out = edge_parts[0]
+        for p in edge_parts[1:]:
+            out = out.unionByName(p)
+        out = (
+            out.groupBy("u", "v")
+            .agg(F.round(F.sum("t") * F.lit(factor), round_to).alias("ebc"))
+            .select(
+                F.col("u").cast("long"), F.col("v").cast("long"), "ebc"
+            )
+        )
+        if topk is not None:
+            out = out.orderBy(
+                F.col("ebc").desc(), F.col("u").asc(), F.col("v").asc()
+            ).limit(topk)
+        return out

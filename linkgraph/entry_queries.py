@@ -2554,6 +2554,88 @@ FROM hist
 """
 
 
+EBC_TOPK = 200
+
+
+def q_edge_betweenness(spark, sf_dir):
+    """Sampled-Brandes edge betweenness, top-200 edges by rounded score
+    (the Girvan-Newman ranking; same measured-est_rows forward pass as
+    the vertex variant)."""
+    from linkgraph.algos.betweenness import edge_betweenness
+
+    g = copurchase_graph(spark, sf_dir)
+    srcs = [
+        r[0]
+        for r in _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("s"))
+        .distinct()
+        .orderBy("s")
+        .limit(BETW_ROOTS)
+        .collect()
+    ]
+    return edge_betweenness(
+        g, srcs, max_levels=BETW_LEVELS, topk=EBC_TOPK
+    )
+
+
+def _edge_betweenness_oracle_sql(levels: int, n_roots: int, topk: int) -> str:
+    parts = [
+        "srcs AS MATERIALIZED (" + _bfs_sources_sql() + ")",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM e)",
+        "s0 AS MATERIALIZED (SELECT s AS root, s AS vid, 1.0 AS sigma FROM srcs)",
+        "st0 AS MATERIALIZED (SELECT root, vid FROM s0)",
+    ]
+    for l in range(1, levels + 1):
+        parts.append(
+            f"""s{l} AS MATERIALIZED (
+  SELECT p.root, e.dst AS vid, SUM(p.sigma) AS sigma
+  FROM s{l - 1} p JOIN e ON e.src = p.vid
+  LEFT JOIN st{l - 1} x ON x.root = p.root AND x.vid = e.dst
+  WHERE x.vid IS NULL
+  GROUP BY p.root, e.dst)"""
+        )
+        parts.append(
+            f"st{l} AS MATERIALIZED (SELECT root, vid FROM st{l - 1} "
+            f"UNION ALL SELECT root, vid FROM s{l})"
+        )
+    parts.append(
+        f"w{levels} AS MATERIALIZED "
+        f"(SELECT root, vid, sigma, 0.0 AS delta FROM s{levels})"
+    )
+    for l in range(levels - 1, -1, -1):
+        parts.append(
+            f"""t{l} AS MATERIALIZED (
+  SELECT u.root, u.vid AS u, w.vid AS v,
+         u.sigma / w.sigma * (1.0 + w.delta) AS term
+  FROM s{l} u JOIN e ON e.src = u.vid
+  JOIN w{l + 1} w ON w.root = u.root AND w.vid = e.dst)"""
+        )
+        parts.append(
+            f"""w{l} AS MATERIALIZED (
+  SELECT u.root, u.vid, u.sigma,
+         COALESCE(t.delta, 0.0) AS delta
+  FROM s{l} u LEFT JOIN (
+    SELECT root, u AS vid, SUM(term) AS delta FROM t{l} GROUP BY root, u) t
+  ON t.root = u.root AND t.vid = u.vid)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT u, v, term FROM t{l}" for l in range(levels - 1, -1, -1)
+    )
+    return (
+        "WITH " + _COPURCHASE_E + ",\n"
+        + ",\n".join(parts)
+        + f""",
+allt AS ({union})
+SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+       ROUND(SUM(term) * ((SELECT CAST(COUNT(*) AS DOUBLE) FROM verts) / {n_roots}.0), 6) AS ebc
+FROM allt GROUP BY u, v
+ORDER BY ebc DESC, u ASC, v ASC LIMIT {topk}"""
+    )
+
+
+SQL_EDGE_BETWEENNESS = _edge_betweenness_oracle_sql(BETW_LEVELS, BETW_ROOTS, EBC_TOPK)
+
+
 TFIDF_PAIRS_MAX_DF_PCT = 78  # excludes the ~1/3 most corpus-wide terms at sf0.01
 TFIDF_PAIRS_TOPK = 100
 
@@ -3657,6 +3739,7 @@ QUERIES = {
     "hyperball_harmonic": q_hyperball_harmonic,
     "eccentricity": q_eccentricity,
     "betweenness": q_betweenness,
+    "edge_betweenness": q_edge_betweenness,
     "closeness": q_closeness,
     "harmonic": q_harmonic,
     "khop_sample": q_khop_sample,
@@ -3760,6 +3843,7 @@ ORACLES = {
     "hyperball_harmonic": SQL_HYPERBALL,
     "eccentricity": SQL_ECCENTRICITY,
     "betweenness": SQL_BETWEENNESS,
+    "edge_betweenness": SQL_EDGE_BETWEENNESS,
     "closeness": SQL_CLOSENESS,
     "harmonic": SQL_HARMONIC,
     "khop_sample": SQL_KHOP_SAMPLE,

@@ -345,3 +345,50 @@ def test_betweenness_sampled_scales(er):
     # the top-exact vertex should rank high in the estimate
     top = max(exact, key=exact.get)
     assert est.get(top, 0.0) > 0.0
+
+
+def _brandes_edge_oracle(adj, roots):
+    """Textbook edge-Brandes: per directed edge (v, w) on a shortest
+    path, accumulate sigma_v/sigma_w * (1 + delta_w)."""
+    import collections
+
+    ebc = collections.defaultdict(float)
+    for s in roots:
+        dist = {s: 0}
+        sigma = collections.defaultdict(float)
+        sigma[s] = 1.0
+        order = [s]
+        q = collections.deque([s])
+        while q:
+            v = q.popleft()
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                    order.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = collections.defaultdict(float)
+        for w in reversed(order):
+            for v in adj[w]:
+                if dist.get(v) == dist[w] - 1:
+                    t = sigma[v] / sigma[w] * (1.0 + delta[w])
+                    delta[v] += t
+                    ebc[(v, w)] += t
+    return dict(ebc)
+
+
+def test_edge_betweenness_exact_vs_brandes(er):
+    from linkgraph.algos.betweenness import edge_betweenness
+
+    adj = _adj()
+    roots = sorted(adj)
+    got = {
+        (r["u"], r["v"]): r["ebc"]
+        for r in edge_betweenness(er, roots, scale=False).collect()
+    }
+    exp = _brandes_edge_oracle(adj, roots)
+    for e, b in exp.items():
+        assert abs(got.get(e, 0.0) - b) < 1e-4, e
+    # edges never on a shortest path are absent, not zero-filled
+    assert all(b > 0 for b in got.values())
