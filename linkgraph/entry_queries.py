@@ -2636,6 +2636,40 @@ ORDER BY ebc DESC, u ASC, v ASC LIMIT {topk}"""
 SQL_EDGE_BETWEENNESS = _edge_betweenness_oracle_sql(BETW_LEVELS, BETW_ROOTS, EBC_TOPK)
 
 
+CORENESS_ROUNDS = 6
+
+
+def q_coreness(spark, sf_dir):
+    """Per-vertex core numbers via fixed-round H-index iteration
+    (all-integer; see algos/kcore.py::coreness)."""
+    from linkgraph.algos.kcore import coreness
+
+    return coreness(copurchase_graph(spark, sf_dir), rounds=CORENESS_ROUNDS)
+
+
+def _coreness_oracle_sql(rounds: int) -> str:
+    parts = [
+        "c0 AS MATERIALIZED (SELECT src AS vid, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY src)"
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f"""c{i} AS MATERIALIZED (
+  SELECT src AS vid, MAX(LEAST(rn, cd)) AS c FROM (
+    SELECT e.src, p.c AS cd,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                ORDER BY p.c DESC, e.dst ASC) AS BIGINT) AS rn
+    FROM e JOIN c{i - 1} p ON p.vid = e.dst)
+  GROUP BY src)""")
+    return (
+        f"WITH {_COPURCHASE_E},"
+        + ",".join(parts)
+        + f"""
+SELECT CAST(vid AS BIGINT) AS vid, CAST(c AS BIGINT) AS coreness FROM c{rounds}"""
+    )
+
+
+SQL_CORENESS = _coreness_oracle_sql(CORENESS_ROUNDS)
+
+
 TFIDF_PAIRS_MAX_DF_PCT = 78  # excludes the ~1/3 most corpus-wide terms at sf0.01
 TFIDF_PAIRS_TOPK = 100
 
@@ -3745,6 +3779,7 @@ QUERIES = {
     "khop_sample": q_khop_sample,
     "connected_components": q_connected_components,
     "k_core": q_k_core,
+    "coreness": q_coreness,
     "triangle_count": q_triangle_count,
     "triangles_per_vertex": q_triangles_per_vertex,
     "pagerank": q_pagerank,
@@ -3849,6 +3884,7 @@ ORACLES = {
     "khop_sample": SQL_KHOP_SAMPLE,
     "connected_components": SQL_CONNECTED_COMPONENTS,
     "k_core": SQL_K_CORE,
+    "coreness": SQL_CORENESS,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
     "pagerank": SQL_PAGERANK,

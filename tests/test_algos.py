@@ -392,3 +392,36 @@ def test_edge_betweenness_exact_vs_brandes(er):
         assert abs(got.get(e, 0.0) - b) < 1e-4, e
     # edges never on a shortest path are absent, not zero-filled
     assert all(b > 0 for b in got.values())
+
+
+def test_coreness_converges_to_exact_core_numbers(er):
+    """H-index iteration at fixpoint == textbook peel coreness."""
+    import collections
+
+    from linkgraph.algos.kcore import coreness
+
+    adj = {v: set(ns) for v, ns in _adj().items()}
+    deg = {v: len(ns) for v, ns in adj.items()}
+    core = dict(deg)
+    # textbook peel: repeatedly remove min-degree vertices
+    remaining = dict(deg)
+    alive = set(adj)
+    k = 0
+    while alive:
+        v = min(alive, key=lambda x: (remaining[x], x))
+        k = max(k, remaining[v])
+        core[v] = k
+        alive.discard(v)
+        for u in adj[v]:
+            if u in alive:
+                remaining[u] -= 1
+    got = {r.vid: r.coreness for r in coreness(er, rounds=None).collect()}
+    assert got == core
+
+
+def test_coreness_monotone_rounds(er):
+    from linkgraph.algos.kcore import coreness
+
+    c2 = {r.vid: r.coreness for r in coreness(er, rounds=2).collect()}
+    c4 = {r.vid: r.coreness for r in coreness(er, rounds=4).collect()}
+    assert all(c4[v] <= c2[v] for v in c4)  # monotone non-increasing
