@@ -106,3 +106,79 @@ def label_propagation(
             flush=True,
         )
     return labels.select("vid", "label")
+
+
+def label_spreading(
+    graph: LinkGraph,
+    seeds: DataFrame,
+    alpha: float = 0.2,
+    rounds: int = 6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Semi-supervised seed propagation [Zhou et al., NIPS 2003 family,
+    unnormalized adjacency variant]: class mass spreads from labeled
+    seeds through the link graph,
+
+        F_{t+1}(v, l) = alpha · Σ_{u→v} F_t(u, l) + (1−alpha) · Y(v, l),
+        F_0 = (1−alpha) · Y,
+
+    and each vertex is assigned argmax_l F_R(v, l) — "which seed
+    community does this conversation belong to?" with soft scores, the
+    K-class generalization of personalized PageRank.  Convergence for
+    alpha < 1/max_deg (the Katz bound); fixed `rounds` is the oracle
+    contract.
+
+    Sparse state: (vid, label, score) rows exist only where mass has
+    arrived — ≤ |V|·K, usually far less.  Per round: ONE expand + one
+    (dst, label) sum + a FULL OUTER merge with the seed table (seeds
+    keep emitting (1−alpha)·Y even in rounds where no message reaches
+    them — the merge shape both engines mirror row for row).  Output
+    (vid, label, score) with score rounded and argmax ties broken by
+    smaller label — engine-portable.  Unreached vertices are absent.
+    """
+    if not 0 < alpha < 1:
+        raise ValueError("alpha must be in (0, 1)")
+    spark = graph.spark
+    n = graph.num_vertices()
+    y = seeds.select(
+        F.col("vid").cast("long").alias("vid"),
+        F.col("label").cast("long").alias("label"),
+        F.lit(1.0 - alpha).alias("s"),
+    ).localCheckpoint(eager=True)
+    f = y.select("vid", "label", F.col("s").alias("score"))
+    from linkgraph.graph import iteration_plan
+
+    with iteration_plan(spark):
+        for _ in range(rounds):
+            msgs = f.select(F.col("vid").alias("src"), "label", "score")
+            agg = (
+                graph.expand(msgs, est_rows=n)
+                .groupBy(F.col("dst").alias("vid"), "label")
+                .agg((F.lit(float(alpha)) * F.sum("score")).alias("m"))
+            )
+            f = (
+                agg.join(y, ["vid", "label"], "full_outer")
+                .select(
+                    "vid",
+                    "label",
+                    (
+                        F.coalesce(F.col("m"), F.lit(0.0))
+                        + F.coalesce(F.col("s"), F.lit(0.0))
+                    ).alias("score"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            f.count()
+    ranked = f.select(
+        "vid", "label", F.round("score", round_to).alias("score")
+    )
+    best = ranked.groupBy("vid").agg(
+        F.min(F.struct((-F.col("score")).alias("ns"), F.col("label").alias("l"))).alias(
+            "b"
+        )
+    )
+    return best.select(
+        F.col("vid").cast("long"),
+        F.col("b.l").cast("long").alias("label"),
+        (-F.col("b.ns")).alias("score"),
+    )

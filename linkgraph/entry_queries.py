@@ -2670,6 +2670,63 @@ SELECT CAST(vid AS BIGINT) AS vid, CAST(c AS BIGINT) AS coreness FROM c{rounds}"
 SQL_CORENESS = _coreness_oracle_sql(CORENESS_ROUNDS)
 
 
+SPREAD_ALPHA = 0.002  # < 1/max_deg at sf0.01 (max deg 206): convergent
+SPREAD_ROUNDS = 6
+SPREAD_SEEDS = 8
+
+
+def q_label_spreading(spark, sf_dir):
+    """Seeded label spreading from the 8 top-degree hubs (each its own
+    class): nearest-seed soft assignment over the co-purchase graph."""
+    from linkgraph.algos.labelprop import label_spreading
+
+    g = copurchase_graph(spark, sf_dir)
+    hubs = g.top_degree_vids(SPREAD_SEEDS)
+    seeds = spark.createDataFrame(
+        [(int(v), int(i)) for i, v in enumerate(hubs)], "vid long, label long"
+    )
+    return label_spreading(
+        g, seeds, alpha=SPREAD_ALPHA, rounds=SPREAD_ROUNDS
+    )
+
+
+def _label_spreading_oracle_sql(rounds: int, alpha: float, n_seeds: int) -> str:
+    a, oma = alpha, 1.0 - alpha
+    parts = [
+        "d AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS deg FROM e GROUP BY src)",
+        f"""hubs AS MATERIALIZED (
+  SELECT vid, CAST(ROW_NUMBER() OVER (ORDER BY deg DESC, vid ASC) - 1 AS BIGINT)
+         AS label
+  FROM d ORDER BY deg DESC, vid ASC LIMIT {n_seeds})""",
+        f"y AS MATERIALIZED (SELECT vid, label, CAST({oma} AS DOUBLE) AS s FROM hubs)",
+        "f0 AS MATERIALIZED (SELECT vid, label, s AS score FROM y)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f"""g{i} AS MATERIALIZED (
+  SELECT e.dst AS vid, p.label, {a} * SUM(p.score) AS m
+  FROM f{i - 1} p JOIN e ON e.src = p.vid GROUP BY e.dst, p.label)""")
+        parts.append(f"""f{i} AS MATERIALIZED (
+  SELECT COALESCE(g.vid, y.vid) AS vid, COALESCE(g.label, y.label) AS label,
+         COALESCE(g.m, 0.0) + COALESCE(y.s, 0.0) AS score
+  FROM g{i} g FULL OUTER JOIN y ON y.vid = g.vid AND y.label = g.label)""")
+    return (
+        f"WITH {_COPURCHASE_E},"
+        + ",".join(parts)
+        + f"""
+SELECT CAST(vid AS BIGINT) AS vid, CAST(label AS BIGINT) AS label, score FROM (
+  SELECT vid, label, ROUND(score, 6) AS score,
+         ROW_NUMBER() OVER (PARTITION BY vid
+                            ORDER BY ROUND(score, 6) DESC, label ASC) AS rk
+  FROM f{rounds})
+WHERE rk = 1"""
+    )
+
+
+SQL_LABEL_SPREADING = _label_spreading_oracle_sql(
+    SPREAD_ROUNDS, SPREAD_ALPHA, SPREAD_SEEDS
+)
+
+
 TFIDF_PAIRS_MAX_DF_PCT = 78  # excludes the ~1/3 most corpus-wide terms at sf0.01
 TFIDF_PAIRS_TOPK = 100
 
@@ -3785,6 +3842,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "personalized_pagerank": q_personalized_pagerank,
     "label_propagation": q_label_propagation,
+    "label_spreading": q_label_spreading,
     "customers_without_urgent_orders": q_customers_without_urgent_orders,
     "event_props_hourly": q_event_props_hourly,
     "rollup_lineitem": q_rollup_lineitem,
@@ -3890,6 +3948,7 @@ ORACLES = {
     "pagerank": SQL_PAGERANK,
     "personalized_pagerank": SQL_PERSONALIZED_PAGERANK,
     "label_propagation": SQL_LABEL_PROPAGATION,
+    "label_spreading": SQL_LABEL_SPREADING,
     "customers_without_urgent_orders": SQL_CUSTOMERS_WITHOUT_URGENT_ORDERS,
     "event_props_hourly": SQL_EVENT_PROPS_HOURLY,
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,

@@ -425,3 +425,41 @@ def test_coreness_monotone_rounds(er):
     c2 = {r.vid: r.coreness for r in coreness(er, rounds=2).collect()}
     c4 = {r.vid: r.coreness for r in coreness(er, rounds=4).collect()}
     assert all(c4[v] <= c2[v] for v in c4)  # monotone non-increasing
+
+
+def test_label_spreading_two_cliques(spark):
+    """One seed per clique: every vertex adopts its own clique's label,
+    and exact scores match a numpy dense iteration."""
+    import numpy as np
+
+    from linkgraph.algos.labelprop import label_spreading
+    from linkgraph.fixtures import edges_df, two_cliques_edges
+    from linkgraph.graph import LinkGraph
+
+    pairs = two_cliques_edges(6)  # cliques {0..5}, {6..11}, bridge (0,6)
+    g = LinkGraph.from_undirected(edges_df(spark, pairs), num_partitions=2)
+    seeds = spark.createDataFrame([(1, 0), (7, 1)], "vid long, label long")
+    alpha, rounds = 0.05, 6
+    got = {
+        r.vid: (r.label, r.score)
+        for r in label_spreading(g, seeds, alpha=alpha, rounds=rounds).collect()
+    }
+    # numpy oracle
+    vs = sorted({v for p in pairs for v in p})
+    idx = {v: i for i, v in enumerate(vs)}
+    A = np.zeros((len(vs), len(vs)))
+    for a, b in pairs:
+        A[idx[a], idx[b]] = A[idx[b], idx[a]] = 1.0
+    Y = np.zeros((len(vs), 2))
+    Y[idx[1], 0] = Y[idx[7], 1] = 1.0
+    Fm = (1 - alpha) * Y
+    for _ in range(rounds):
+        Fm = alpha * (A.T @ Fm) + (1 - alpha) * Y
+    for v in vs:
+        scores = [round(float(Fm[idx[v], l]), 6) for l in (0, 1)]
+        best = max(range(2), key=lambda l: (scores[l], -l))
+        assert got[v][0] == best, v
+        assert abs(got[v][1] - scores[best]) <= 2e-6, v
+    # community recovery: clique 0 labeled 0, clique 1 labeled 1
+    assert all(got[v][0] == 0 for v in range(6))
+    assert all(got[v][0] == 1 for v in range(6, 12))
