@@ -127,3 +127,57 @@ def square_count(graph: LinkGraph) -> DataFrame:
     return cn.select(
         F.expr("CAST(cn * (cn - 1) AS BIGINT) DIV 2").alias("p")
     ).agg(F.expr("SUM(p) DIV 2").cast("long").alias("n_squares"))
+
+
+def graphlet_census(graph: LinkGraph) -> DataFrame:
+    """Small-motif census, one all-integer row:
+
+        wedges    = Σ_v C(deg v, 2)         (paths of length 2)
+        triangles = closed wedges / 3        (each K3 holds 3 wedges)
+        stars3    = Σ_v C(deg v, 3)         (claws / 3-stars)
+        paths3    = Σ_{(u,v)∈E, u<v} (deg u − 1)(deg v − 1) − 3·triangles
+                                             (paths of length 3: the
+                                             per-edge product counts one
+                                             middle edge per path and
+                                             over-counts each triangle's
+                                             three cherry pairs)
+
+    — the network-motif profile (triad census for undirected graphs)
+    that feeds graphlet-kernel features and null-model comparisons.
+    wedges/stars come from the cached degree table alone (|V|-row
+    aggregate, no edge scan); paths3 adds one degree-joined edge scan;
+    triangles reuse the degree-ordered oriented count.  Everything is
+    exact 64-bit integer arithmetic — no rounding convention.
+    """
+    deg = graph.degrees()
+    # per-row integer DIV (both products are divisible exactly), then a
+    # long SUM — a double sum would lose exactness past 2^53
+    mo = deg.select(
+        F.expr("CAST(deg AS BIGINT) * (deg - 1) DIV 2").alias("w"),
+        F.expr("CAST(deg AS BIGINT) * (deg - 1) * (deg - 2) DIV 6").alias("s3"),
+    ).agg(
+        F.sum("w").cast("long").alias("wedges"),
+        F.sum("s3").cast("long").alias("stars3"),
+    )
+    tri = int(triangle_count(graph, by_degree=True))
+    e = graph.edges.where(F.col("src") < F.col("dst"))
+    du = deg.select(F.col("vid").alias("src"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("vid").alias("dst"), F.col("deg").alias("dv"))
+    p3 = (
+        e.join(du, "src")
+        .join(dv, "dst")
+        .agg(
+            F.sum((F.col("du") - 1).cast("long") * (F.col("dv") - 1))
+            .cast("long")
+            .alias("s")
+        )
+    )
+    return (
+        mo.crossJoin(p3)
+        .select(
+            "wedges",
+            F.lit(tri).cast("long").alias("triangles"),
+            "stars3",
+            (F.col("s") - F.lit(3 * tri)).cast("long").alias("paths3"),
+        )
+    )

@@ -2727,6 +2727,35 @@ SQL_LABEL_SPREADING = _label_spreading_oracle_sql(
 )
 
 
+def q_graphlet_census(spark, sf_dir):
+    """All-integer small-motif census of the co-purchase graph."""
+    from linkgraph.algos.triangles import graphlet_census
+
+    return graphlet_census(copurchase_graph(spark, sf_dir))
+
+
+SQL_GRAPHLET_CENSUS = f"""
+WITH {_COPURCHASE_E},
+d AS MATERIALIZED (SELECT src AS vid, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+mo AS (SELECT SUM(deg * (deg - 1) // 2) AS wedges,
+              SUM(deg * (deg - 1) * (deg - 2) // 6) AS stars3 FROM d),
+tri AS (
+  SELECT COUNT(*) // 1 AS t FROM (
+    SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+    FROM e e1 JOIN e e2 ON e1.dst = e2.src AND e1.src < e1.dst AND e2.src < e2.dst
+    JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst)),
+p3 AS (
+  SELECT SUM((du.deg - 1) * (dv.deg - 1)) AS s
+  FROM e JOIN d du ON du.vid = e.src JOIN d dv ON dv.vid = e.dst
+  WHERE e.src < e.dst)
+SELECT CAST(mo.wedges AS BIGINT) AS wedges,
+       CAST(tri.t AS BIGINT) AS triangles,
+       CAST(mo.stars3 AS BIGINT) AS stars3,
+       CAST(p3.s - 3 * tri.t AS BIGINT) AS paths3
+FROM mo, tri, p3
+"""
+
+
 TFIDF_PAIRS_MAX_DF_PCT = 78  # excludes the ~1/3 most corpus-wide terms at sf0.01
 TFIDF_PAIRS_TOPK = 100
 
@@ -3839,6 +3868,7 @@ QUERIES = {
     "coreness": q_coreness,
     "triangle_count": q_triangle_count,
     "triangles_per_vertex": q_triangles_per_vertex,
+    "graphlet_census": q_graphlet_census,
     "pagerank": q_pagerank,
     "personalized_pagerank": q_personalized_pagerank,
     "label_propagation": q_label_propagation,
@@ -3945,6 +3975,7 @@ ORACLES = {
     "coreness": SQL_CORENESS,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
+    "graphlet_census": SQL_GRAPHLET_CENSUS,
     "pagerank": SQL_PAGERANK,
     "personalized_pagerank": SQL_PERSONALIZED_PAGERANK,
     "label_propagation": SQL_LABEL_PROPAGATION,

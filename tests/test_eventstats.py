@@ -130,3 +130,21 @@ def test_square_count_exact(spark):
     tri = [(20, 21), (21, 22), (20, 22)]
     g = LinkGraph.from_undirected(edges_df(spark, k4 + c4 + tri), num_partitions=2)
     assert square_count(g).collect()[0].n_squares == 4
+
+
+def test_graphlet_census_exact(spark):
+    from linkgraph.algos.triangles import graphlet_census
+    from linkgraph.fixtures import edges_df
+    from linkgraph.graph import LinkGraph
+
+    # K4: wedges 12, triangles 4, stars3 4, paths3 12 (4!/2 orderings)
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    g = LinkGraph.from_undirected(edges_df(spark, k4), num_partitions=2)
+    row = graphlet_census(g).collect()[0]
+    assert (row.wedges, row.triangles, row.stars3, row.paths3) == (12, 4, 4, 12)
+
+    # C4: wedges 4, triangles 0, stars3 0, paths3 4
+    c4 = [(10, 11), (11, 12), (12, 13), (13, 10)]
+    g2 = LinkGraph.from_undirected(edges_df(spark, c4), num_partitions=2)
+    row = graphlet_census(g2).collect()[0]
+    assert (row.wedges, row.triangles, row.stars3, row.paths3) == (4, 0, 0, 4)
