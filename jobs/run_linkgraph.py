@@ -42,7 +42,8 @@ def main(argv=None):
                             "pagerank", "ppr", "cc", "lpa", "triangles",
                             "kcore", "betweenness", "khop", "degree",
                             "eigenvector", "vertexsim", "conductance",
-                            "degree_hist", "wl", "mst"])
+                            "degree_hist", "wl", "mst", "coreness",
+                            "edge_betweenness", "graphlets"])
     p.add_argument("--edge-key", default="tool", help="shared-key column for conv-conv edges")
     p.add_argument("--hub-cap", type=int, default=100_000,
                    help="0 = plan from sketch stats (suggest_hub_cap, A8)")
@@ -191,6 +192,22 @@ def main(argv=None):
         from linkgraph.algos.gstats import degree_histogram
 
         out = degree_histogram(graph)
+        metrics = {}
+    elif args.algo == "coreness":
+        from linkgraph.algos.kcore import coreness
+
+        out = coreness(graph, rounds=None, max_rounds=args.max_iter)
+        metrics = {}
+    elif args.algo == "edge_betweenness":
+        from linkgraph.algos.betweenness import edge_betweenness
+
+        roots = sorted(graph.top_degree_vids(args.seeds))
+        out = edge_betweenness(graph, roots, topk=args.k * 100)
+        metrics = {}
+    elif args.algo == "graphlets":
+        from linkgraph.algos.triangles import graphlet_census
+
+        out = graphlet_census(graph)
         metrics = {}
     elif args.algo == "wl":
         from linkgraph.algos.wl import wl_refine
