@@ -435,3 +435,71 @@ def graph_diff(
             (F.col("n_added") + F.col("n_removed")).desc(), F.col("vid").asc()
         ).limit(topk)
     return out
+
+
+def knn_curve(graph: LinkGraph, round_to: int = 6) -> DataFrame:
+    """Average-nearest-neighbor-degree curve k_nn(k): for each degree
+    value k, (deg, n_vertices, mean_nn_deg) averaging over the vertices
+    of degree k the mean degree of their neighbors — the resolution of
+    assortativity into a curve (rising ⟹ assortative hubs-with-hubs,
+    falling ⟹ disassortative hub-and-spoke; the single-number r is the
+    slope-sign summary).
+
+    One degree join onto the edge table (co-partitioned src side +
+    \\|V\\|-row dst build), a per-vertex mean, then a per-degree-value
+    mean — ≤ distinct-degree rows out.  Means are single divisions of
+    exact sums, round-6.
+    """
+    deg = graph.degrees()
+    e = graph.edges.select("src", "dst")
+    dd = deg.select(F.col("vid").alias("dst"), F.col("deg").alias("dnbr"))
+    per_v = (
+        e.join(dd, "dst")
+        .groupBy("src")
+        .agg(F.sum("dnbr").alias("s"), F.count(F.lit(1)).alias("c"))
+    )
+    du = deg.select(F.col("vid").alias("src"), "deg")
+    return (
+        per_v.join(du, "src")
+        .groupBy(F.col("deg").cast("long").alias("deg"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vertices"),
+            F.round(F.avg(F.col("s") / F.col("c")), round_to).alias("mean_nn_deg"),
+        )
+    )
+
+
+def edge_audit(edges: DataFrame) -> DataFrame:
+    """Data-quality audit of a raw directed edge table, one all-integer
+    row: (n_rows, n_distinct, n_dup_rows, n_self_loops, n_asym) — the
+    ingest gate every externally-supplied edge list should pass before
+    graph construction (duplicate rows inflate weights silently;
+    asymmetric pairs break the symmetric-closure preconditions of the
+    undirected kernels; self-loops poison degree-based caps).
+    n_asym counts directed non-loop edges whose reverse is absent.
+    """
+    e = edges.select("src", "dst")
+    dist = e.distinct().persist()
+    nl = dist.where(F.col("src") != F.col("dst"))
+    t = nl.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    asym = nl.join(t, ["src", "dst"], "left_anti")
+    out = (
+        e.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .crossJoin(dist.agg(F.count(F.lit(1)).cast("long").alias("n_distinct")))
+        .crossJoin(
+            dist.where(F.col("src") == F.col("dst")).agg(
+                F.count(F.lit(1)).cast("long").alias("n_self_loops")
+            )
+        )
+        .crossJoin(asym.agg(F.count(F.lit(1)).cast("long").alias("n_asym")))
+        .select(
+            "n_rows",
+            "n_distinct",
+            (F.col("n_rows") - F.col("n_distinct")).cast("long").alias("n_dup_rows"),
+            "n_self_loops",
+            "n_asym",
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    dist.unpersist()
+    return out

@@ -2756,6 +2756,66 @@ FROM mo, tri, p3
 """
 
 
+def q_knn_curve(spark, sf_dir):
+    """k_nn(k) degree-correlation curve of the co-purchase graph."""
+    from linkgraph.algos.gstats import knn_curve
+
+    return knn_curve(copurchase_graph(spark, sf_dir))
+
+
+SQL_KNN_CURVE = f"""
+WITH {_COPURCHASE_E},
+d AS MATERIALIZED (SELECT src AS vid, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+pv AS MATERIALIZED (
+  SELECT e.src, SUM(dd.deg) AS s, COUNT(*) AS c
+  FROM e JOIN d dd ON dd.vid = e.dst GROUP BY e.src)
+SELECT CAST(du.deg AS BIGINT) AS deg,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       ROUND(AVG(pv.s / CAST(pv.c AS DOUBLE)), 6) AS mean_nn_deg
+FROM pv JOIN d du ON du.vid = pv.src
+GROUP BY du.deg
+"""
+
+
+def q_edge_audit(spark, sf_dir):
+    """Ingest-gate audit of the RAW sequential-chain edge derivation
+    (kept directed and un-deduped upstream of the audit on purpose)."""
+    from linkgraph.algos.gstats import edge_audit
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_linenumber").asc(), F.col("l_partkey").asc()
+    )
+    raw = (
+        li.select("l_orderkey", "l_linenumber", "l_partkey")
+        .withColumn("nxt", F.lead("l_partkey").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(F.col("l_partkey").alias("src"), F.col("nxt").alias("dst"))
+    )
+    return edge_audit(raw)
+
+
+SQL_EDGE_AUDIT = """
+WITH sq AS (
+  SELECT l_partkey AS src,
+         LEAD(l_partkey) OVER (PARTITION BY l_orderkey
+              ORDER BY l_linenumber ASC, l_partkey ASC) AS dst
+  FROM lineitem),
+raw AS MATERIALIZED (SELECT src, dst FROM sq WHERE dst IS NOT NULL),
+dist AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw),
+nl AS (SELECT * FROM dist WHERE src <> dst)
+SELECT CAST((SELECT COUNT(*) FROM raw) AS BIGINT) AS n_rows,
+       CAST((SELECT COUNT(*) FROM dist) AS BIGINT) AS n_distinct,
+       CAST((SELECT COUNT(*) FROM raw) - (SELECT COUNT(*) FROM dist) AS BIGINT)
+         AS n_dup_rows,
+       CAST((SELECT COUNT(*) FROM dist WHERE src = dst) AS BIGINT) AS n_self_loops,
+       CAST((SELECT COUNT(*) FROM nl a WHERE NOT EXISTS (
+             SELECT 1 FROM nl b WHERE b.src = a.dst AND b.dst = a.src)) AS BIGINT)
+         AS n_asym
+"""
+
+
 TFIDF_PAIRS_MAX_DF_PCT = 78  # excludes the ~1/3 most corpus-wide terms at sf0.01
 TFIDF_PAIRS_TOPK = 100
 
@@ -3869,6 +3929,8 @@ QUERIES = {
     "triangle_count": q_triangle_count,
     "triangles_per_vertex": q_triangles_per_vertex,
     "graphlet_census": q_graphlet_census,
+    "knn_curve": q_knn_curve,
+    "edge_audit": q_edge_audit,
     "pagerank": q_pagerank,
     "personalized_pagerank": q_personalized_pagerank,
     "label_propagation": q_label_propagation,
@@ -3976,6 +4038,8 @@ ORACLES = {
     "triangle_count": SQL_TRIANGLE_COUNT,
     "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
     "graphlet_census": SQL_GRAPHLET_CENSUS,
+    "knn_curve": SQL_KNN_CURVE,
+    "edge_audit": SQL_EDGE_AUDIT,
     "pagerank": SQL_PAGERANK,
     "personalized_pagerank": SQL_PERSONALIZED_PAGERANK,
     "label_propagation": SQL_LABEL_PROPAGATION,

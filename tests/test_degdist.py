@@ -124,3 +124,31 @@ def test_graph_diff_exact(spark):
     assert [(r.vid, r.n_added + r.n_removed) for r in top] in ([(1, 2)], [(6, 2)])
     # deterministic tie-break: churn 2 ties between vid 1 and 6 -> vid 1
     assert top[0].vid == 1
+
+
+def test_knn_curve_exact(spark):
+    import collections
+
+    from linkgraph.algos.gstats import knn_curve
+    from linkgraph.fixtures import edges_df
+    from linkgraph.graph import LinkGraph
+
+    # star: hub deg 6 with mean_nn 1; leaves deg 1 with mean_nn 6
+    star = [(0, i) for i in range(1, 7)]
+    g = LinkGraph.from_undirected(edges_df(spark, star), num_partitions=2)
+    got = {
+        r.deg: (r.n_vertices, r.mean_nn_deg) for r in knn_curve(g).collect()
+    }
+    assert got == {6: (1, 1.0), 1: (6, 6.0)}
+
+
+def test_edge_audit_exact(spark):
+    from linkgraph.algos.gstats import edge_audit
+
+    rows = [(1, 2), (2, 1), (1, 2), (3, 3), (4, 5), (6, 7), (7, 6)]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    r = edge_audit(df).collect()[0]
+    # 7 rows, 6 distinct (dup (1,2)), 1 self-loop, asym: (4,5) only
+    assert (r.n_rows, r.n_distinct, r.n_dup_rows, r.n_self_loops, r.n_asym) == (
+        7, 6, 1, 1, 1,
+    )
