@@ -2816,6 +2816,31 @@ SELECT CAST((SELECT COUNT(*) FROM raw) AS BIGINT) AS n_rows,
 """
 
 
+def q_centroid_distances(spark, sf_dir):
+    """Pairwise cosine between per-label embedding centroids."""
+    from linkgraph.textops.simsearch import centroid_distances
+
+    return centroid_distances(_t(spark, sf_dir, "embeddings"))
+
+
+SQL_CENTROID_DISTANCES = """
+WITH flat AS MATERIALIZED (
+  SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS val
+  FROM embeddings),
+cent AS MATERIALIZED (
+  SELECT label, pos, AVG(val) AS c FROM flat GROUP BY label, pos),
+nrm AS MATERIALIZED (
+  SELECT label, SQRT(SUM(c*c)) AS n FROM cent GROUP BY label),
+dots AS (
+  SELECT a.label AS la, b.label AS lb, SUM(a.c * b.c) AS dot
+  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY a.label, b.label)
+SELECT CAST(la AS BIGINT) AS label_a, CAST(lb AS BIGINT) AS label_b,
+       ROUND(dot / (na.n * nb.n), 6) AS cos
+FROM dots JOIN nrm na ON na.label = la JOIN nrm nb ON nb.label = lb
+"""
+
+
 TFIDF_PAIRS_MAX_DF_PCT = 78  # excludes the ~1/3 most corpus-wide terms at sf0.01
 TFIDF_PAIRS_TOPK = 100
 
@@ -3947,6 +3972,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ivf_cosine_topk": q_ivf_cosine_topk,
     "embedding_label_stats": q_embedding_label_stats,
+    "centroid_distances": q_centroid_distances,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_banded": q_embedding_near_dup_banded,
     "minhash_lsh": q_minhash_lsh,
@@ -4056,6 +4082,7 @@ ORACLES = {
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ivf_cosine_topk": SQL_IVF_COSINE_TOPK,
     "embedding_label_stats": SQL_EMBEDDING_LABEL_STATS,
+    "centroid_distances": SQL_CENTROID_DISTANCES,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "embedding_near_dup_banded": SQL_EMBEDDING_NEAR_DUP_BANDED,
     "minhash_lsh": SQL_MINHASH_LSH,

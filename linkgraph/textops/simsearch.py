@@ -508,3 +508,43 @@ def embedding_label_stats(vecs: DataFrame, round_to: int = 6) -> DataFrame:
             "mean_cos",
         )
     )
+
+
+def centroid_distances(vecs: DataFrame, round_to: int = 6) -> DataFrame:
+    """Pairwise cosine between per-label embedding centroids:
+    (label_a, label_b, cos) with label_a < label_b — the class-collision
+    matrix read next to `embedding_label_stats` (two centroids at
+    cos ≈ 1 mean the labels are semantically indistinguishable at this
+    embedding; the pair to merge or re-audit first).
+
+    The centroid book is the only aggregate (d·|labels| rows); the pair
+    matrix is a self-join of the book on the dimension key — C(L,2)·d
+    rows through one SUM — tiny at any real label count.
+    """
+    flat = vecs.select("label", F.posexplode("embedding").alias("pos", "val"))
+    cent = flat.groupBy("label", "pos").agg(F.avg("val").alias("c")).persist()
+    norms = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("n")
+    )
+    a = cent.select(F.col("label").alias("la"), "pos", F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("lb"), "pos", F.col("c").alias("cb"))
+    dots = (
+        a.join(b, "pos")
+        .where(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = norms.select(F.col("label").alias("la"), F.col("n").alias("na"))
+    nb = norms.select(F.col("label").alias("lb"), F.col("n").alias("nb"))
+    out = (
+        dots.join(na, "la")
+        .join(nb, "lb")
+        .select(
+            F.col("la").cast("long").alias("label_a"),
+            F.col("lb").cast("long").alias("label_b"),
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), round_to).alias("cos"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    cent.unpersist()
+    return out

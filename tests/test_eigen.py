@@ -83,3 +83,34 @@ def test_embedding_label_stats_exact(spark):
         assert abs(got[label][2] - round(sum(cos) / 5, 6)) <= 2e-6
     # tight clusters around orthogonal centers: high cohesion
     assert got[0][2] > 0.99 and got[1][2] > 0.99
+
+
+def test_centroid_distances_exact(spark):
+    import numpy as np
+
+    from linkgraph.textops.simsearch import centroid_distances
+
+    rng = np.random.default_rng(11)
+    rows = []
+    centers = {0: [1.0, 0.0, 0.0], 1: [0.0, 1.0, 0.0], 2: [0.7, 0.7, 0.0]}
+    vecs = {}
+    vid = 0
+    for lab, c in centers.items():
+        vs = []
+        for _ in range(4):
+            v = np.array(c) + rng.normal(0, 0.02, 3)
+            rows.append((vid, [float(x) for x in v], lab))
+            vs.append(v)
+            vid += 1
+        vecs[lab] = np.array(vs).astype(np.float32).astype(np.float64)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {
+        (r.label_a, r.label_b): r.cos for r in centroid_distances(df).collect()
+    }
+    cents = {l: v.mean(axis=0) for l, v in vecs.items()}
+    for (a, b), cos in got.items():
+        ca, cb = cents[a], cents[b]
+        want = float(ca @ cb / (np.linalg.norm(ca) * np.linalg.norm(cb)))
+        assert abs(cos - round(want, 6)) <= 2e-6
+    # label 2 (diagonal direction) is closer to both 0 and 1 than 0 is to 1
+    assert got[(0, 2)] > got[(0, 1)] and got[(1, 2)] > got[(0, 1)]
