@@ -2841,6 +2841,34 @@ FROM dots JOIN nrm na ON na.label = la JOIN nrm nb ON nb.label = lb
 """
 
 
+NOVELTY_K = 3  # matches NGRAM_SPAN_K (defined later in the file)
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Per-doc trigram novelty (inverse boilerplate signal)."""
+    from linkgraph.textops.textstats import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf_dir, "documents"), k=NOVELTY_K)
+
+
+SQL_NGRAM_NOVELTY = f"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents),
+g AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(ts) - {NOVELTY_K} + 2),
+                i -> array_to_string(ts[i:i+{NOVELTY_K}-1], ' '))) AS gram
+  FROM tok WHERE len(ts) >= {NOVELTY_K}),
+dfq AS MATERIALIZED (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       ROUND(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+FROM g JOIN dfq USING (gram)
+GROUP BY doc_id
+"""
+
+
 TFIDF_PAIRS_MAX_DF_PCT = 78  # excludes the ~1/3 most corpus-wide terms at sf0.01
 TFIDF_PAIRS_TOPK = 100
 
@@ -3978,6 +4006,7 @@ QUERIES = {
     "minhash_lsh": q_minhash_lsh,
     "split_leakage": q_split_leakage,
     "shared_ngram_spans": q_shared_ngram_spans,
+    "ngram_novelty": q_ngram_novelty,
     "simhash": q_simhash,
     "fingerprint": q_fingerprint,
     "text_integrity": q_text_integrity,
@@ -4088,6 +4117,7 @@ ORACLES = {
     "minhash_lsh": SQL_MINHASH_LSH,
     "split_leakage": SQL_SPLIT_LEAKAGE,
     "shared_ngram_spans": SQL_SHARED_NGRAM_SPANS,
+    "ngram_novelty": SQL_NGRAM_NOVELTY,
     "simhash": SQL_SIMHASH,
     "fingerprint": SQL_FINGERPRINT,
     "text_integrity": SQL_TEXT_INTEGRITY,

@@ -654,3 +654,57 @@ def zipf_fit(docs: DataFrame, text_col: str = "text", round_to: int = 6) -> Data
             round_to,
         ).alias("zipf_slope"),
     )
+
+
+def ngram_novelty(
+    docs: DataFrame, k: int = 3, round_to: int = 6, text_col: str = "text"
+) -> DataFrame:
+    """Per-document n-gram novelty: (doc_id, n_grams, n_novel, novelty)
+    where n_grams counts the doc's DISTINCT k-token spans and n_novel
+    those appearing in NO other document (corpus df = 1) — the inverse
+    of the shared-span dedup signal: novelty ≈ 0 flags boilerplate /
+    template bodies even when no single partner crosses a near-dup
+    threshold, novelty ≈ 1 certifies original text.  The span-level
+    complement of `source_quality_rollup`'s whole-doc digest rate.
+
+    Same vectorized span enumeration + per-doc DISTINCT as
+    `shared_ngram_spans` (codegen, text pruned pre-shuffle); the df
+    table aggregates the postings once; one count-sum per doc; ratio is
+    ONE division + round.  Docs shorter than k tokens are absent.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    n_spans = F.size(toks) - F.lit(k - 1)
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    n_spans >= 1,
+                    F.transform(
+                        F.sequence(F.lit(1), n_spans),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    dfq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        grams.join(dfq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel") / F.col("n_grams").cast("double"), round_to
+            ).alias("novelty"),
+        )
+    )

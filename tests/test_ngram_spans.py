@@ -140,3 +140,42 @@ def test_split_leakage_detects_cross_split_pair(spark):
     assert got.get(("test", "train")) == 2
     assert sum(got.values()) == 2  # the in-split (train,train) pair is
     # not counted: 3 near-dup pairs exist, only the 2 crossing count
+
+
+def test_ngram_novelty_exact(spark):
+    import re
+
+    from linkgraph.textops.dedup import TOKEN_RE
+    from linkgraph.textops.textstats import ngram_novelty
+
+    texts = [
+        "alpha beta gamma delta epsilon",     # shares a prefix with 1
+        "alpha beta gamma nine ten eleven",
+        "completely original words here today now",
+        "xx yy",                              # shorter than k: absent
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    def grams(t, k=3):
+        ts = re.findall(TOKEN_RE, t.lower())
+        return {" ".join(ts[i : i + k]) for i in range(len(ts) - k + 1)}
+
+    gs = [grams(t) for t in texts]
+    df = {}
+    for g in gs:
+        for x in g:
+            df[x] = df.get(x, 0) + 1
+    got = {
+        r.doc_id: (r.n_grams, r.n_novel, r.novelty)
+        for r in ngram_novelty(docs, k=3).collect()
+    }
+    for i, g in enumerate(gs):
+        if not g:
+            assert i not in got
+            continue
+        novel = sum(1 for x in g if df[x] == 1)
+        assert got[i] == (len(g), novel, round(novel / len(g), 6)), i
+    assert got[2][2] == 1.0            # fully original
+    assert got[0][2] < 1.0 and got[1][2] < 1.0  # shared "alpha beta gamma"
