@@ -3707,6 +3707,48 @@ l{r} AS MATERIALIZED (
 SQL_LOUVAIN = _louvain_oracle_sql(LOUVAIN_ROUNDS)
 
 
+def q_community_conductance(spark, sf_dir):
+    """Per-community conductance of the Louvain labels on the user graph
+    — the community-quality report (modularity says "better than
+    chance"; conductance says "how leaky is each community's boundary").
+    Composition: louvain_local_move × partition_conductance."""
+    from linkgraph.algos.gstats import partition_conductance
+    from linkgraph.algos.louvain import louvain_local_move
+
+    g = LinkGraph(derive.events_user_edges(_t(spark, sf_dir, "events")), symmetric=True)
+    labels = louvain_local_move(g, rounds=LOUVAIN_ROUNDS)
+    return partition_conductance(g, labels)
+
+
+def _community_conductance_sql() -> str:
+    base = _louvain_oracle_sql(LOUVAIN_ROUNDS)
+    head, _ = base.rsplit("\nSELECT CAST(vid AS BIGINT)", 1)
+    R = LOUVAIN_ROUNDS
+    return (
+        head
+        + f""",
+labf AS MATERIALIZED (SELECT vid, label FROM l{R}),
+m2c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM e),
+cutc AS MATERIALIZED (
+  SELECT ls.label AS label, COUNT(*) AS cut
+  FROM e JOIN labf ls ON ls.vid = e.src JOIN labf ld ON ld.vid = e.dst
+  WHERE ls.label <> ld.label GROUP BY ls.label),
+volc AS MATERIALIZED (
+  SELECT labf.label, COUNT(*) AS n_vertices, SUM(deg.deg) AS vol
+  FROM deg JOIN labf USING (vid) GROUP BY labf.label)
+SELECT CAST(label AS BIGINT) AS label, CAST(n_vertices AS BIGINT) AS n_vertices,
+       CAST(vol AS BIGINT) AS vol, CAST(COALESCE(cutc.cut, 0) AS BIGINT) AS cut,
+       ROUND(COALESCE(cutc.cut, 0) / (CASE
+         WHEN LEAST(CAST(vol AS DOUBLE), (SELECT m FROM m2c) - vol) > 0
+         THEN LEAST(CAST(vol AS DOUBLE), (SELECT m FROM m2c) - vol) END), 6)
+         AS conductance
+FROM volc LEFT JOIN cutc USING (label)"""
+    )
+
+
+SQL_COMMUNITY_CONDUCTANCE = _community_conductance_sql()
+
+
 KATZ_ITERS = 8  # fixed power-iteration budget shared engine <-> oracle
 
 
@@ -4052,6 +4094,7 @@ QUERIES = {
     "zipf_fit": q_zipf_fit,
     "pmi_collocations": q_pmi_collocations,
     "louvain": q_louvain,
+    "community_conductance": q_community_conductance,
     "katz": q_katz,
     "eigenvector": q_eigenvector,
     "sequence_pack": q_sequence_pack,
@@ -4163,6 +4206,7 @@ ORACLES = {
     "zipf_fit": SQL_ZIPF_FIT,
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
     "louvain": SQL_LOUVAIN,
+    "community_conductance": SQL_COMMUNITY_CONDUCTANCE,
     "katz": SQL_KATZ,
     "eigenvector": SQL_EIGENVECTOR,
     "sequence_pack": SQL_SEQUENCE_PACK,

@@ -113,3 +113,26 @@ def test_label_assortativity_exact(g, spark):
     )
     r2 = label_assortativity(g, labels2).collect()[0].r
     assert abs(r2) < 0.3
+
+
+def test_community_conductance_composition(spark):
+    """Louvain labels on two cliques: each community's cut is exactly the
+    single bridge edge and conductance is tiny."""
+    from linkgraph.algos.gstats import partition_conductance
+    from linkgraph.algos.louvain import louvain_local_move
+    from linkgraph.fixtures import edges_df, two_cliques_edges
+    from linkgraph.graph import LinkGraph
+
+    g = LinkGraph.from_undirected(
+        edges_df(spark, two_cliques_edges(8)), num_partitions=4
+    )
+    labels = louvain_local_move(g, rounds=8)
+    out = {
+        r.label: (r.n_vertices, r.cut, r.conductance)
+        for r in partition_conductance(g, labels).collect()
+    }
+    # louvain recovers the two cliques (possibly exactly 2 communities)
+    assert len(out) == 2
+    for n_vertices, cut, phi in out.values():
+        assert n_vertices == 8 and cut == 1
+        assert phi is not None and phi < 0.02
