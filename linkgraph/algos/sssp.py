@@ -100,3 +100,40 @@ def sssp(
     return state.select(
         F.col("vid").cast("long").alias("vid"), F.col("dist").cast("long").alias("dist")
     )
+
+
+def shortest_path_tree(
+    graph: LinkGraph, sources: list[int], rounds: int | None = None
+) -> DataFrame:
+    """Shortest-path TREE: (vid, dist, parent) where parent is the
+    predecessor on a shortest path from the source set — what routing /
+    "why is this conversation reachable?" queries need beyond the bare
+    distances.  Parent selection is a POST-PASS over the converged
+    distance table (the proven `sssp` kernel stays untouched): an edge
+    (u, v) is a tree edge iff dist(u) + w == dist(v), and among the
+    qualifying u the SMALLEST is chosen — one |E| join + one MIN(struct)
+    argmin, deterministic in any engine (integer equality, no float).
+    Sources carry parent NULL by definition (excluded from the argmin
+    even when a zero-weight in-edge qualifies).
+    """
+    d = sssp(graph, sources, rounds=rounds)
+    src_set = {int(v) for v in sources}
+    du = d.select(F.col("vid").alias("src"), F.col("dist").alias("d_u"))
+    dv = d.select(F.col("vid").alias("dst"), F.col("dist").alias("d_v"))
+    tree = (
+        graph.edges.select("src", "dst", "w")
+        .join(du, "src")
+        .join(dv, "dst")
+        .where(F.col("d_u") + F.col("w") == F.col("d_v"))
+        .where(~F.col("dst").isin(sorted(src_set)))
+        .groupBy("dst")
+        .agg(F.min(F.col("src")).alias("parent"))
+    )
+    return (
+        d.join(tree, d.vid == tree.dst, "left")
+        .select(
+            F.col("vid").cast("long"),
+            F.col("dist").cast("long"),
+            F.col("parent").cast("long"),
+        )
+    )

@@ -3749,6 +3749,54 @@ FROM volc LEFT JOIN cutc USING (label)"""
 SQL_COMMUNITY_CONDUCTANCE = _community_conductance_sql()
 
 
+def q_shortest_path_tree(spark, sf_dir):
+    """Shortest-path tree (vid, dist, parent) over the same weighted
+    graph and sources as sssp_weighted (post-pass argmin parents)."""
+    from linkgraph.algos.sssp import shortest_path_tree
+
+    ew = derive.copurchase_weighted_edges(_t(spark, sf_dir, "lineitem")).select(
+        "src", "dst", F.expr("CAST((100 + w - 1) DIV w AS BIGINT)").alias("w")
+    )
+    g = LinkGraph(ew, symmetric=True)
+    seeds = [
+        r[0]
+        for r in _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("s"))
+        .distinct()
+        .orderBy("s")
+        .limit(4)
+        .collect()
+    ]
+    out = shortest_path_tree(g, seeds, rounds=SSSP_ROUNDS).localCheckpoint(
+        eager=True
+    )
+    g.unpersist()
+    return out
+
+
+def _spt_oracle_sql(rounds: int) -> str:
+    base = _sssp_oracle_sql(rounds)
+    head, _ = base.rsplit("\nSELECT CAST(vid AS BIGINT)", 1)
+    return (
+        head
+        + f""",
+srcv AS (SELECT vid FROM d0),
+tree AS MATERIALIZED (
+  SELECT ew.dst, MIN(ew.src) AS parent
+  FROM ew JOIN d{rounds} du ON du.vid = ew.src
+          JOIN d{rounds} dv ON dv.vid = ew.dst
+  WHERE du.dist + ew.w = dv.dist
+    AND ew.dst NOT IN (SELECT vid FROM srcv)
+  GROUP BY ew.dst)
+SELECT CAST(d.vid AS BIGINT) AS vid, CAST(d.dist AS BIGINT) AS dist,
+       CAST(tree.parent AS BIGINT) AS parent
+FROM d{rounds} d LEFT JOIN tree ON tree.dst = d.vid"""
+    )
+
+
+SQL_SHORTEST_PATH_TREE = _spt_oracle_sql(SSSP_ROUNDS)
+
+
 KATZ_ITERS = 8  # fixed power-iteration budget shared engine <-> oracle
 
 
@@ -4064,6 +4112,7 @@ QUERIES = {
     "reciprocity": q_reciprocity,
     "hits": q_hits,
     "sssp_weighted": q_sssp,
+    "shortest_path_tree": q_shortest_path_tree,
     "mst": q_mst,
     "sparsify": q_sparsify,
     "random_walks": q_random_walks,
@@ -4176,6 +4225,7 @@ ORACLES = {
     "reciprocity": SQL_RECIPROCITY,
     "hits": SQL_HITS,
     "sssp_weighted": SQL_SSSP,
+    "shortest_path_tree": SQL_SHORTEST_PATH_TREE,
     "mst": SQL_MST,
     "sparsify": SQL_SPARSIFY,
     "random_walks": SQL_RANDOM_WALKS,

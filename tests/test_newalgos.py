@@ -705,3 +705,52 @@ def test_node2vec_bias_distribution(spark):
     sd_u = math.sqrt(n_trials * p_u * (1 - p_u))
     assert abs(ret_u - n_trials * p_u) < 4 * sd_u, ret_u
     assert ret_b > 3 * ret_u
+
+
+def test_shortest_path_tree_valid(spark):
+    """Every parent edge must be a tight relaxation (dist[p] + w ==
+    dist[v]) and following parents must reach a source."""
+    import random
+
+    from linkgraph.algos.sssp import shortest_path_tree
+    from linkgraph.fixtures import edges_df, er_edges
+    from linkgraph.graph import LinkGraph
+    from pyspark.sql import functions as F
+
+    rnd = random.Random(3)
+    pairs = er_edges(80, 0.06, seed=23)
+    wedges = {}
+    for a, b in pairs:
+        if a != b:
+            u, v = min(a, b), max(a, b)
+            wedges[(u, v)] = rnd.randint(1, 9)
+    rows = []
+    for (u, v), w in wedges.items():
+        rows.append((u, v, w))
+        rows.append((v, u, w))
+    g = LinkGraph(
+        spark.createDataFrame(rows, "src long, dst long, w long"), symmetric=True
+    )
+    sources = [0, 1]
+    out = {
+        r.vid: (r.dist, r.parent)
+        for r in shortest_path_tree(g, sources).collect()
+    }
+    wmap = {}
+    for (u, v), w in wedges.items():
+        wmap[(u, v)] = wmap[(v, u)] = w
+    for v, (dist, parent) in out.items():
+        if v in sources:
+            assert dist == 0 and parent is None
+            continue
+        assert parent is not None and parent in out
+        pd, _ = out[parent]
+        assert pd + wmap[(parent, v)] == dist, v
+    # chains terminate at a source (no cycles)
+    for v in out:
+        seen, cur = set(), v
+        while out[cur][1] is not None:
+            assert cur not in seen
+            seen.add(cur)
+            cur = out[cur][1]
+        assert cur in sources
