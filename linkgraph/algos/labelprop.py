@@ -148,6 +148,7 @@ def label_spreading(
     f = y.select("vid", "label", F.col("s").alias("score"))
     from linkgraph.graph import iteration_plan
 
+    prev = None
     with iteration_plan(spark):
         for _ in range(rounds):
             msgs = f.select(F.col("vid").alias("src"), "label", "score")
@@ -156,7 +157,7 @@ def label_spreading(
                 .groupBy(F.col("dst").alias("vid"), "label")
                 .agg((F.lit(float(alpha)) * F.sum("score")).alias("m"))
             )
-            f = (
+            new_f = (
                 agg.join(y, ["vid", "label"], "full_outer")
                 .select(
                     "vid",
@@ -168,7 +169,13 @@ def label_spreading(
                 )
                 .localCheckpoint(eager=False)
             )
-            f.count()
+            new_f.count()
+            if prev is not None:
+                try:
+                    prev.unpersist()
+                except Exception:
+                    pass
+            prev, f = f, new_f
     ranked = f.select(
         "vid", "label", F.round("score", round_to).alias("score")
     )
