@@ -3797,6 +3797,30 @@ FROM d{rounds} d LEFT JOIN tree ON tree.dst = d.vid"""
 SQL_SHORTEST_PATH_TREE = _spt_oracle_sql(SSSP_ROUNDS)
 
 
+EVENT_TRIGRAM_TOPK = 20
+
+
+def q_event_trigrams(spark, sf_dir):
+    """Top-20 ordered event-type trigrams (dialogue-act sequences)."""
+    from linkgraph.operators.events import event_trigrams
+
+    return event_trigrams(_t(spark, sf_dir, "events"), topk=EVENT_TRIGRAM_TOPK)
+
+
+SQL_EVENT_TRIGRAMS = f"""
+WITH o AS (
+  SELECT event_type AS t1,
+         LEAD(event_type, 1) OVER w AS t2,
+         LEAD(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM o WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+GROUP BY t1, t2, t3
+ORDER BY cnt DESC, t1 ASC, t2 ASC, t3 ASC LIMIT {EVENT_TRIGRAM_TOPK}
+"""
+
+
 KATZ_ITERS = 8  # fixed power-iteration budget shared engine <-> oracle
 
 
@@ -4052,6 +4076,7 @@ QUERIES = {
     "turn_adjacency": q_turn_adjacency,
     "activity_profile": q_activity_profile,
     "transition_entropy": q_transition_entropy,
+    "event_trigrams": q_event_trigrams,
     "value_outliers": q_value_outliers,
     "square_count": q_square_count,
     "bfs_distances": q_bfs_distances,
@@ -4165,6 +4190,7 @@ ORACLES = {
     "turn_adjacency": SQL_TURN_ADJACENCY,
     "activity_profile": SQL_ACTIVITY_PROFILE,
     "transition_entropy": SQL_TRANSITION_ENTROPY,
+    "event_trigrams": SQL_EVENT_TRIGRAMS,
     "value_outliers": SQL_VALUE_OUTLIERS,
     "square_count": SQL_SQUARE_COUNT,
     "bfs_distances": SQL_BFS_DISTANCES,

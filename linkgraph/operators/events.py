@@ -289,3 +289,34 @@ def value_outliers(events: DataFrame, z_cut: float = 3.0, round_to: int = 6) -> 
             F.coalesce(F.col("n_outliers"), F.lit(0)).cast("long").alias("n_outliers"),
         )
     )
+
+
+def event_trigrams(events: DataFrame, topk: int | None = 20) -> DataFrame:
+    """Top ordered event-type trigrams: (t1, t2, t3, cnt) counting
+    consecutive type triples under the stable (ts, event_id) per-user
+    ordering — the length-3 step up from the turn-adjacency transition
+    matrix (dialogue-act patterns: which three-step flows dominate?).
+
+    One window sort (two LEADs ride the same WindowExec), one count
+    aggregate; all-integer, deterministic (cnt DESC, t1, t2, t3) top-k.
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    tri = (
+        events.withColumn("t2", F.lead("event_type", 1).over(w))
+        .withColumn("t3", F.lead("event_type", 2).over(w))
+        .where(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("t1"), "t2", "t3"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    if topk is not None:
+        tri = tri.orderBy(
+            F.col("cnt").desc(),
+            F.col("t1").asc(),
+            F.col("t2").asc(),
+            F.col("t3").asc(),
+        ).limit(topk)
+    return tri

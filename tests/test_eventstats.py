@@ -148,3 +148,33 @@ def test_graphlet_census_exact(spark):
     g2 = LinkGraph.from_undirected(edges_df(spark, c4), num_partitions=2)
     row = graphlet_census(g2).collect()[0]
     assert (row.wedges, row.triangles, row.stars3, row.paths3) == (4, 0, 0, 4)
+
+
+def test_event_trigrams_exact(spark):
+    from linkgraph.operators.events import event_trigrams
+
+    rows = []
+    t0 = datetime(2026, 3, 1)
+    seq = {
+        1: ["a", "b", "c", "a", "b", "c"],   # (a,b,c)x2, (b,c,a), (c,a,b)
+        2: ["a", "b", "c"],
+        3: ["x", "y"],                        # too short for a trigram
+    }
+    eid = 0
+    for u, types in seq.items():
+        for i, et in enumerate(types):
+            rows.append((eid, t0 + timedelta(seconds=i), u, et, 1.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {
+        (r.t1, r.t2, r.t3): r.cnt for r in event_trigrams(df, topk=None).collect()
+    }
+    assert got == {
+        ("a", "b", "c"): 3,
+        ("b", "c", "a"): 1,
+        ("c", "a", "b"): 1,
+    }
+    top = event_trigrams(df, topk=1).collect()
+    assert [(top[0].t1, top[0].t2, top[0].t3, top[0].cnt)] == [("a", "b", "c", 3)]
