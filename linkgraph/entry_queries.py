@@ -3821,6 +3821,49 @@ ORDER BY cnt DESC, t1 ASC, t2 ASC, t3 ASC LIMIT {EVENT_TRIGRAM_TOPK}
 """
 
 
+def q_rfm_segments(spark, sf_dir):
+    """RFM quartile segmentation of customers over orders."""
+    from linkgraph.operators.events import rfm_segments
+
+    return rfm_segments(_t(spark, sf_dir, "orders"))
+
+
+SQL_RFM_SEGMENTS = """
+WITH per AS MATERIALIZED (
+  SELECT CAST(o_custkey AS BIGINT) AS custkey,
+         MAX(o_orderdate) AS last_order,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         ROUND(SUM(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY o_custkey),
+gm AS (SELECT MAX(o_orderdate) AS gmax FROM orders),
+pr AS MATERIALIZED (
+  SELECT custkey,
+         CAST(datediff('day', last_order, (SELECT gmax FROM gm)) AS BIGINT)
+           AS recency_days,
+         frequency, monetary
+  FROM per),
+th AS (
+  SELECT quantile_cont(recency_days, 0.25) AS rq25,
+         quantile_cont(recency_days, 0.5) AS rq50,
+         quantile_cont(recency_days, 0.75) AS rq75,
+         quantile_cont(frequency, 0.25) AS fq25,
+         quantile_cont(frequency, 0.5) AS fq50,
+         quantile_cont(frequency, 0.75) AS fq75,
+         quantile_cont(monetary, 0.25) AS mq25,
+         quantile_cont(monetary, 0.5) AS mq50,
+         quantile_cont(monetary, 0.75) AS mq75
+  FROM pr)
+SELECT custkey, recency_days, frequency, monetary,
+       CAST(1 + (recency_days > rq25)::INT + (recency_days > rq50)::INT
+              + (recency_days > rq75)::INT AS BIGINT) AS r_bucket,
+       CAST(1 + (frequency > fq25)::INT + (frequency > fq50)::INT
+              + (frequency > fq75)::INT AS BIGINT) AS f_bucket,
+       CAST(1 + (monetary > mq25)::INT + (monetary > mq50)::INT
+              + (monetary > mq75)::INT AS BIGINT) AS m_bucket
+FROM pr, th
+"""
+
+
 KATZ_ITERS = 8  # fixed power-iteration budget shared engine <-> oracle
 
 
@@ -4154,6 +4197,7 @@ QUERIES = {
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
     "quantiles_acctbal": q_quantiles_acctbal,
+    "rfm_segments": q_rfm_segments,
     "cube_orders": q_cube_orders,
     "scc": q_scc,
     "repetition_stats": q_repetition_stats,
@@ -4268,6 +4312,7 @@ ORACLES = {
     "hash_split": SQL_HASH_SPLIT,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "quantiles_acctbal": SQL_QUANTILES_ACCTBAL,
+    "rfm_segments": SQL_RFM_SEGMENTS,
     "cube_orders": SQL_CUBE_ORDERS,
     "scc": SQL_SCC,
     "repetition_stats": SQL_REPETITION_STATS,

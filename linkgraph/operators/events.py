@@ -320,3 +320,62 @@ def event_trigrams(events: DataFrame, topk: int | None = 20) -> DataFrame:
             F.col("t3").asc(),
         ).limit(topk)
     return tri
+
+
+def rfm_segments(orders: DataFrame, round_to: int = 6) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation over
+    an orders table: per customer the three raw metrics and their
+    quartile buckets (1–4, ascending in the metric's value),
+
+        bucket(x) = 1 + [x > q25] + [x > q50] + [x > q75]
+
+    with quartiles computed over the per-customer metric distribution —
+    the classic CRM / cohort segmentation query.
+
+    Engine-portability: recency is an INTEGER day difference from the
+    corpus-max order date; monetary is rounded to 2 decimals BEFORE both
+    the quartile computation and the comparisons (order totals carry 2
+    decimals, so per-customer float-sum ulp noise vanishes and both
+    engines bucket identical values against identical interpolated
+    thresholds — percentile/quantile_cont agree, the q_quantiles
+    precedent).  One aggregate per customer, one 1-row threshold
+    aggregate broadcast back; no global sort, no NTILE single-partition
+    window.
+    """
+    per = orders.groupBy(F.col("o_custkey").cast("long").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    gmax = orders.agg(F.max("o_orderdate").alias("gmax"))
+    per = per.crossJoin(F.broadcast(gmax)).select(
+        "custkey",
+        F.datediff("gmax", "last_order").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    th = per.agg(
+        *[
+            F.expr(f"percentile({c}, {q})").alias(f"{c[0]}q{int(q * 100)}")
+            for c in ("recency_days", "frequency", "monetary")
+            for q in (0.25, 0.5, 0.75)
+        ]
+    )
+
+    def bucket(col, pfx):
+        return (
+            F.lit(1)
+            + (F.col(col) > F.col(f"{pfx}q25")).cast("int")
+            + (F.col(col) > F.col(f"{pfx}q50")).cast("int")
+            + (F.col(col) > F.col(f"{pfx}q75")).cast("int")
+        ).cast("long")
+
+    return per.crossJoin(F.broadcast(th)).select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        bucket("recency_days", "r").alias("r_bucket"),
+        bucket("frequency", "f").alias("f_bucket"),
+        bucket("monetary", "m").alias("m_bucket"),
+    )

@@ -178,3 +178,48 @@ def test_event_trigrams_exact(spark):
     }
     top = event_trigrams(df, topk=1).collect()
     assert [(top[0].t1, top[0].t2, top[0].t3, top[0].cnt)] == [("a", "b", "c", 3)]
+
+
+def test_rfm_segments_exact(spark):
+    from datetime import date
+
+    from linkgraph.operators.events import rfm_segments
+
+    rows = []
+    oid = 0
+    # 8 customers with controlled recency/frequency/monetary spreads
+    for ck in range(8):
+        for j in range(ck + 1):  # frequency 1..8
+            rows.append(
+                (oid, ck, date(2026, 1, 1 + ck), 100.0 * (ck + 1))
+            )
+            oid += 1
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double"
+    )
+    got = {
+        r.custkey: (
+            r.recency_days, r.frequency, r.monetary,
+            r.r_bucket, r.f_bucket, r.m_bucket,
+        )
+        for r in rfm_segments(df).collect()
+    }
+    import statistics
+
+    rec = {ck: 7 - ck for ck in range(8)}
+    fq = {ck: ck + 1 for ck in range(8)}
+    mo = {ck: round(100.0 * (ck + 1) * (ck + 1), 2) for ck in range(8)}
+
+    def qs(vals):
+        xs = sorted(vals)
+        return [statistics.quantiles(xs, n=4, method="inclusive")[i] for i in range(3)]
+
+    def bucket(x, q):
+        return 1 + (x > q[0]) + (x > q[1]) + (x > q[2])
+
+    rq, fqq, mq = qs(rec.values()), qs(fq.values()), qs(mo.values())
+    for ck in range(8):
+        assert got[ck] == (
+            rec[ck], fq[ck], mo[ck],
+            bucket(rec[ck], rq), bucket(fq[ck], fqq), bucket(mo[ck], mq),
+        ), ck
