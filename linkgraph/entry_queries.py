@@ -3864,6 +3864,57 @@ FROM pr, th
 """
 
 
+def q_session_histogram(spark, sf_dir):
+    """Session-length distribution over the 8h-gap sessions."""
+    from linkgraph.operators.events import session_histogram
+
+    return session_histogram(_t(spark, sf_dir, "events"), gap_seconds=SESSION_GAP_S)
+
+
+SQL_SESSION_HISTOGRAM = f"""
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events),
+f AS (
+  SELECT *, CASE WHEN ep - lag(ep) OVER w > {SESSION_GAP_S} THEN 1 ELSE 0 END AS nw
+  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sno
+  FROM f),
+sess AS (SELECT user_id, sno, COUNT(*) AS n_events FROM s GROUP BY user_id, sno)
+SELECT CAST(n_events AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM sess GROUP BY n_events
+"""
+
+
+def q_chi_square(spark, sf_dir):
+    """Chi-square contingency of order priority x status."""
+    from linkgraph.operators.events import chi_square_contingency
+
+    return chi_square_contingency(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus"
+    )
+
+
+SQL_CHI_SQUARE = """
+WITH obs AS MATERIALIZED (
+  SELECT o_orderpriority AS a, o_orderstatus AS b, COUNT(*) AS o
+  FROM orders GROUP BY 1, 2),
+ra AS (SELECT a, SUM(o) AS ta FROM obs GROUP BY a),
+cb AS (SELECT b, SUM(o) AS tb FROM obs GROUP BY b),
+nn AS (SELECT CAST(SUM(o) AS DOUBLE) AS n FROM obs)
+SELECT ra.a, cb.b, CAST(COALESCE(obs.o, 0) AS BIGINT) AS observed,
+       ROUND(ra.ta * cb.tb / (SELECT n FROM nn), 6) AS expected,
+       ROUND((COALESCE(obs.o, 0) - ra.ta * cb.tb / (SELECT n FROM nn))
+             * (COALESCE(obs.o, 0) - ra.ta * cb.tb / (SELECT n FROM nn))
+             / (ra.ta * cb.tb / (SELECT n FROM nn)), 6) AS contrib
+FROM ra CROSS JOIN cb LEFT JOIN obs ON obs.a = ra.a AND obs.b = cb.b
+"""
+
+
 KATZ_ITERS = 8  # fixed power-iteration budget shared engine <-> oracle
 
 
@@ -4191,6 +4242,8 @@ QUERIES = {
     "tfidf_topk": q_tfidf,
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     "sessionize": q_sessionize,
+    "session_histogram": q_session_histogram,
+    "chi_square": q_chi_square,
     "funnel_steps": q_funnel,
     "asof_view_purchase": q_asof_view_purchase,
     "dedup_clusters": q_dedup_clusters,
@@ -4306,6 +4359,8 @@ ORACLES = {
     "tfidf_topk": SQL_TFIDF,
     "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,
     "sessionize": SQL_SESSIONIZE,
+    "session_histogram": SQL_SESSION_HISTOGRAM,
+    "chi_square": SQL_CHI_SQUARE,
     "funnel_steps": SQL_FUNNEL,
     "asof_view_purchase": SQL_ASOF,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,

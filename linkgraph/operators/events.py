@@ -379,3 +379,55 @@ def rfm_segments(orders: DataFrame, round_to: int = 6) -> DataFrame:
         bucket("frequency", "f").alias("f_bucket"),
         bucket("monetary", "m").alias("m_bucket"),
     )
+
+
+def session_histogram(events: DataFrame, gap_seconds: int = 28800) -> DataFrame:
+    """Session-length distribution: (n_events, n_sessions) — how many
+    sessions contain exactly k events, the shape report behind retention
+    and engagement dashboards (a heavy singleton bucket means the gap is
+    tuned wrong or the product has no session depth).  One rollup over
+    the single-shuffle `sessionize` plan; all-integer.
+    """
+    return (
+        sessionize(events, gap_seconds=gap_seconds)
+        .groupBy(F.col("n_events").cast("long").alias("n_events"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    )
+
+
+def chi_square_contingency(
+    df: DataFrame, col_a: str, col_b: str, round_to: int = 6
+) -> DataFrame:
+    """Pearson chi-square contingency decomposition of two categorical
+    columns: per (a, b) cell (a, b, observed, expected, contrib) with
+    expected = row_total·col_total/N and contrib = (o−e)²/e — the
+    independence test behind "does order priority depend on status?" /
+    "does event type depend on user cohort?" checks; Σ contrib is the
+    chi-square statistic.
+
+    Exact integer counts feed one closed-form float expression per cell
+    (round-6); the margins are two ≤|levels|-row aggregates broadcast
+    back.  Cells with zero observed count are emitted when both margins
+    are positive (they carry expected mass), via the margin cross join.
+    """
+    obs = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    ra = obs.groupBy("a").agg(F.sum("o").alias("ta"))
+    cb = obs.groupBy("b").agg(F.sum("o").alias("tb"))
+    n = obs.agg(F.sum("o").alias("n"))
+    grid = ra.crossJoin(cb).crossJoin(F.broadcast(n))
+    e = F.col("ta") * F.col("tb") / F.col("n").cast("double")
+    return (
+        grid.join(obs, ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("observed"),
+            F.round(e, round_to).alias("expected"),
+            F.round(
+                (F.coalesce(F.col("o"), F.lit(0)) - e) * (F.coalesce(F.col("o"), F.lit(0)) - e) / e,
+                round_to,
+            ).alias("contrib"),
+        )
+    )

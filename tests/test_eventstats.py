@@ -223,3 +223,46 @@ def test_rfm_segments_exact(spark):
             rec[ck], fq[ck], mo[ck],
             bucket(rec[ck], rq), bucket(fq[ck], fqq), bucket(mo[ck], mq),
         ), ck
+
+
+def test_session_histogram_exact(spark):
+    from linkgraph.operators.events import session_histogram
+
+    rows, eid = [], 0
+    t0 = datetime(2026, 4, 1)
+    # user 1: sessions of 3 and 1 events (gap 100s); user 2: one of 2
+    for s_off, n in [(0, 3), (10_000, 1)]:
+        for i in range(n):
+            rows.append((eid, t0 + timedelta(seconds=s_off + i), 1, "a", 1.0))
+            eid += 1
+    for i in range(2):
+        rows.append((eid, t0 + timedelta(seconds=i), 2, "a", 1.0))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {
+        r.n_events: r.n_sessions
+        for r in session_histogram(df, gap_seconds=100).collect()
+    }
+    assert got == {3: 1, 1: 1, 2: 1}
+
+
+def test_chi_square_exact(spark):
+    from linkgraph.operators.events import chi_square_contingency
+
+    rows = (
+        [("hi", "ok")] * 30 + [("hi", "bad")] * 10
+        + [("lo", "ok")] * 10 + [("lo", "bad")] * 30
+    )
+    df = spark.createDataFrame(rows, "o_orderpriority string, o_orderstatus string")
+    out = {
+        (r.a, r.b): (r.observed, r.expected, r.contrib)
+        for r in chi_square_contingency(df, "o_orderpriority", "o_orderstatus").collect()
+    }
+    # margins 40/40 and 40/40 over N=80 -> expected 20 each cell
+    for cell, (o, e, c) in out.items():
+        assert e == 20.0
+        assert c == round((o - 20.0) ** 2 / 20.0, 6)
+    chi2 = sum(c for _, _, c in out.values())
+    assert abs(chi2 - 20.0) <= 1e-6  # 4 cells x (10^2/20) = 20
