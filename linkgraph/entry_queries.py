@@ -3915,6 +3915,34 @@ FROM ra CROSS JOIN cb LEFT JOIN obs ON obs.a = ra.a AND obs.b = cb.b
 """
 
 
+def q_degree_gini(spark, sf_dir):
+    """Gini coefficient of the co-purchase degree distribution."""
+    from linkgraph.algos.gstats import degree_gini
+
+    return degree_gini(copurchase_graph(spark, sf_dir))
+
+
+SQL_DEGREE_GINI = f"""
+WITH {_COPURCHASE_E},
+d AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+hist AS MATERIALIZED (SELECT deg AS v, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY deg),
+blocks AS (
+  SELECT v, c,
+         CAST(COALESCE(SUM(c) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM hist),
+agg AS (
+  SELECT SUM(c) AS n, SUM(v * c) AS sx,
+         SUM(v * (c * cum_before + c * (c + 1) // 2)) AS six
+  FROM blocks)
+SELECT CAST(n AS BIGINT) AS n_vertices, CAST(sx AS BIGINT) AS total_deg,
+       ROUND((2.0 * six - (n + 1) * CAST(sx AS DOUBLE)) / (n * CAST(sx AS DOUBLE)), 6)
+         AS gini
+FROM agg
+"""
+
+
 KATZ_ITERS = 8  # fixed power-iteration budget shared engine <-> oracle
 
 
@@ -4223,6 +4251,7 @@ QUERIES = {
     "vertex_similarity": q_vertex_similarity,
     "graph_stats": q_graph_stats,
     "degree_hist": q_degree_hist,
+    "degree_gini": q_degree_gini,
     "rich_club": q_rich_club,
     "label_assortativity": q_label_assortativity,
     "graph_diff": q_graph_diff,
@@ -4340,6 +4369,7 @@ ORACLES = {
     "vertex_similarity": SQL_VERTEX_SIMILARITY,
     "graph_stats": SQL_GRAPH_STATS,
     "degree_hist": SQL_DEGREE_HIST,
+    "degree_gini": SQL_DEGREE_GINI,
     "rich_club": SQL_RICH_CLUB,
     "label_assortativity": SQL_LABEL_ASSORTATIVITY,
     "graph_diff": SQL_GRAPH_DIFF,

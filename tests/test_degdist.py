@@ -152,3 +152,26 @@ def test_edge_audit_exact(spark):
     assert (r.n_rows, r.n_distinct, r.n_dup_rows, r.n_self_loops, r.n_asym) == (
         7, 6, 1, 1, 1,
     )
+
+
+def test_degree_gini_exact(spark):
+    from linkgraph.algos.gstats import degree_gini
+    from linkgraph.fixtures import edges_df
+    from linkgraph.graph import LinkGraph
+
+    # regular graph (cycle): gini == 0 exactly
+    n = 10
+    cyc = [(i, (i + 1) % n) for i in range(n)]
+    g = LinkGraph.from_undirected(edges_df(spark, cyc), num_partitions=2)
+    row = degree_gini(g).collect()[0]
+    assert (row.n_vertices, row.total_deg, row.gini) == (n, 2 * n, 0.0)
+
+    # star: python oracle via the textbook sorted-rank formula
+    star = [(0, i) for i in range(1, 9)]
+    gs = LinkGraph.from_undirected(edges_df(spark, star), num_partitions=2)
+    degs = sorted([1] * 8 + [8])
+    nn, sx = len(degs), sum(degs)
+    six = sum((i + 1) * x for i, x in enumerate(degs))
+    want = round((2 * six - (nn + 1) * sx) / (nn * sx), 6)
+    row = degree_gini(gs).collect()[0]
+    assert row.gini == want and row.gini > 0.3
