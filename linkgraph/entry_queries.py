@@ -3943,6 +3943,39 @@ FROM agg
 """
 
 
+def q_char_entropy(spark, sf_dir):
+    """Per-doc character entropy (garbled-text / blob detector)."""
+    from linkgraph.textops.textstats import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents"))
+
+
+SQL_CHAR_ENTROPY = """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split_regex(text, '')) AS ch FROM documents),
+cnt AS MATERIALIZED (
+  SELECT doc_id, ch, COUNT(*) AS c FROM ch WHERE ch <> '' GROUP BY doc_id, ch)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_chars,
+       ROUND(LN(CAST(SUM(c) AS DOUBLE)) - SUM(c * LN(c)) / SUM(c), 6) AS entropy
+FROM cnt GROUP BY doc_id
+"""
+
+
+def q_daily_active(spark, sf_dir):
+    """DAU series: per-day event and distinct-user counts."""
+    from linkgraph.operators.events import daily_active
+
+    return daily_active(_t(spark, sf_dir, "events"))
+
+
+SQL_DAILY_ACTIVE = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+"""
+
+
 KATZ_ITERS = 8  # fixed power-iteration budget shared engine <-> oracle
 
 
@@ -4230,6 +4263,8 @@ QUERIES = {
     "rollup_lineitem": q_rollup_lineitem,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
+    "char_entropy": q_char_entropy,
+    "daily_active": q_daily_active,
     "language_id": q_language_id,
     "token_totals": q_token_totals,
     "jaccard_pairs": q_jaccard_pairs,
@@ -4348,6 +4383,8 @@ ORACLES = {
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,
     "dedup_exact": SQL_DEDUP_EXACT,
     "text_stats": SQL_TEXT_STATS,
+    "char_entropy": SQL_CHAR_ENTROPY,
+    "daily_active": SQL_DAILY_ACTIVE,
     "language_id": SQL_LANGUAGE_ID,
     "token_totals": SQL_TOKEN_TOTALS,
     "jaccard_pairs": SQL_JACCARD_PAIRS,

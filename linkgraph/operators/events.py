@@ -431,3 +431,20 @@ def chi_square_contingency(
             ).alias("contrib"),
         )
     )
+
+
+def daily_active(events: DataFrame) -> DataFrame:
+    """Daily activity rollup: (day, n_events, n_users) — the DAU series
+    every event pipeline charts first.  One aggregate on the date
+    truncation; the distinct-user count lowers to Spark's two-phase
+    distinct aggregate (the activity_profile note).  All-integer.
+    """
+    # day as an ISO string: engines disagree on DATE's dataframe dtype
+    # (DuckDB hands back datetime64), so the portable form is the string
+    return (
+        events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )

@@ -708,3 +708,36 @@ def ngram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def char_entropy(docs: DataFrame, text_col: str = "text", round_to: int = 6) -> DataFrame:
+    """Per-document character-level Shannon entropy (nats):
+    (doc_id, n_chars, entropy) with the algebraic form
+
+        H = ln(n) − (Σ_c cnt_c · ln cnt_c) / n
+
+    over the doc's own character histogram — the classic garbled-text /
+    base64-blob / key-dump detector (natural language sits ~2.9–3.3
+    nats; random base64 ≫; "aaaa…" → 0), complementing the word-level
+    stats (a base64 blob is ONE long "word" and sails through token
+    ratios).
+
+    The explode ships (doc_id, char) narrow rows; counts map-side
+    combine; ONE aggregate per doc; the LN sum is absorbed by one
+    division + round (the transition-entropy argument).  Empty documents
+    are absent.
+    """
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), "")).alias("ch")
+    ).where(F.col("ch") != "")
+    cnt = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    return cnt.groupBy("doc_id").agg(
+        n.cast("long").alias("n_chars"),
+        F.round(
+            F.log(n.cast("double")) - F.sum(F.col("c") * F.log("c")) / n,
+            round_to,
+        ).alias("entropy"),
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "n_chars", "entropy"
+    )

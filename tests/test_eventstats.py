@@ -266,3 +266,44 @@ def test_chi_square_exact(spark):
         assert c == round((o - 20.0) ** 2 / 20.0, 6)
     chi2 = sum(c for _, _, c in out.values())
     assert abs(chi2 - 20.0) <= 1e-6  # 4 cells x (10^2/20) = 20
+
+
+def test_char_entropy_exact(spark):
+    import collections
+    import math
+
+    from linkgraph.textops.textstats import char_entropy
+
+    texts = ["aaaa", "abcd", "aabb", ""]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_chars, r.entropy) for r in char_entropy(docs).collect()
+    }
+    for i, t in enumerate(texts):
+        if not t:
+            assert i not in got
+            continue
+        cnt = collections.Counter(t)
+        n = len(t)
+        h = math.log(n) - sum(c * math.log(c) for c in cnt.values()) / n
+        assert got[i][0] == n and abs(got[i][1] - round(h, 6)) <= 1e-6
+    assert got[0][1] == 0.0                      # constant text
+    assert got[1][1] > got[2][1] > got[0][1]     # diversity orders entropy
+
+
+def test_daily_active_exact(spark):
+    from linkgraph.operators.events import daily_active
+
+    rows = [
+        (0, datetime(2026, 5, 1, 9), 1, "a", 1.0),
+        (1, datetime(2026, 5, 1, 10), 1, "a", 1.0),
+        (2, datetime(2026, 5, 1, 11), 2, "a", 1.0),
+        (3, datetime(2026, 5, 2, 9), 2, "a", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {r.day: (r.n_events, r.n_users) for r in daily_active(df).collect()}
+    assert got == {"2026-05-01": (3, 2), "2026-05-02": (1, 1)}
