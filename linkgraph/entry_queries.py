@@ -3976,6 +3976,49 @@ FROM events GROUP BY 1
 """
 
 
+def q_retention_cohorts(spark, sf_dir):
+    """Retention triangle over the events stream."""
+    from linkgraph.operators.events import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+SQL_RETENTION_COHORTS = """
+WITH first AS MATERIALIZED (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS c0 FROM events GROUP BY user_id)
+SELECT strftime(first.c0, '%Y-%m-%d') AS cohort_day,
+       CAST(datediff('day', first.c0, CAST(e.ts AS DATE)) AS BIGINT) AS day_offset,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+CTFIDF_K = 5
+
+
+def q_ctfidf(spark, sf_dir):
+    """Top-5 c-TF-IDF characteristic terms per source."""
+    from linkgraph.textops.textstats import ctfidf_topk
+
+    return ctfidf_topk(_t(spark, sf_dir, "documents"), group_col="source", k=CTFIDF_K)
+
+
+SQL_CTFIDF = f"""
+WITH tok AS (SELECT source AS grp, unnest({_SQL_TOKENS}) AS term FROM documents),
+tf AS MATERIALIZED (SELECT grp, term, COUNT(*) AS tf FROM tok GROUP BY grp, term),
+gf AS MATERIALIZED (SELECT term, COUNT(*) AS gf FROM tf GROUP BY term),
+ng AS (SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) AS g FROM documents),
+sc AS (SELECT grp, term, tf,
+              ROUND(tf * LN((SELECT g FROM ng) / gf), 6) AS score
+       FROM tf JOIN gf USING (term))
+SELECT grp AS source, term, CAST(tf AS BIGINT) AS tf, score
+FROM (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY grp ORDER BY score DESC, term ASC) AS rk FROM sc)
+WHERE rk <= {CTFIDF_K}
+"""
+
+
 KATZ_ITERS = 8  # fixed power-iteration budget shared engine <-> oracle
 
 
@@ -4265,6 +4308,7 @@ QUERIES = {
     "text_stats": q_text_stats,
     "char_entropy": q_char_entropy,
     "daily_active": q_daily_active,
+    "retention_cohorts": q_retention_cohorts,
     "language_id": q_language_id,
     "token_totals": q_token_totals,
     "jaccard_pairs": q_jaccard_pairs,
@@ -4305,6 +4349,7 @@ QUERIES = {
     "k_truss": q_k_truss,
     "tfidf_topk": q_tfidf,
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+    "ctfidf_topk": q_ctfidf,
     "sessionize": q_sessionize,
     "session_histogram": q_session_histogram,
     "chi_square": q_chi_square,
@@ -4385,6 +4430,7 @@ ORACLES = {
     "text_stats": SQL_TEXT_STATS,
     "char_entropy": SQL_CHAR_ENTROPY,
     "daily_active": SQL_DAILY_ACTIVE,
+    "retention_cohorts": SQL_RETENTION_COHORTS,
     "language_id": SQL_LANGUAGE_ID,
     "token_totals": SQL_TOKEN_TOTALS,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
@@ -4425,6 +4471,7 @@ ORACLES = {
     "k_truss": SQL_K_TRUSS,
     "tfidf_topk": SQL_TFIDF,
     "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,
+    "ctfidf_topk": SQL_CTFIDF,
     "sessionize": SQL_SESSIONIZE,
     "session_histogram": SQL_SESSION_HISTOGRAM,
     "chi_square": SQL_CHI_SQUARE,

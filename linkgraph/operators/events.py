@@ -448,3 +448,23 @@ def daily_active(events: DataFrame) -> DataFrame:
             F.countDistinct("user_id").cast("long").alias("n_users"),
         )
     )
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Retention triangle: (cohort_day, day_offset, n_users) counting,
+    for each first-seen cohort, how many of its users are active again
+    `day_offset` days later — THE retention report.  Two aggregates:
+    first-activity day per user (one shuffle), then a distinct-user
+    count per (cohort, offset) over the events joined back to their
+    user's cohort.  Days are integer offsets and ISO-string cohort days
+    (the daily_active portability lesson); all-integer counts.
+    """
+    first = events.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("c0"))
+    joined = events.join(first, "user_id").select(
+        "user_id",
+        F.date_format("c0", "yyyy-MM-dd").alias("cohort_day"),
+        F.datediff(F.to_date("ts"), F.col("c0")).cast("long").alias("day_offset"),
+    )
+    return joined.groupBy("cohort_day", "day_offset").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )

@@ -741,3 +741,49 @@ def char_entropy(docs: DataFrame, text_col: str = "text", round_to: int = 6) -> 
     ).select(
         F.col("doc_id").cast("long").alias("doc_id"), "n_chars", "entropy"
     )
+
+
+def ctfidf_topk(
+    docs: DataFrame, group_col: str = "source", k: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Class-based TF-IDF (BERTopic's c-TF-IDF, public formulation): the
+    top-k characteristic terms PER GROUP, scoring each term by its
+    in-group frequency against its cross-group spread,
+
+        score(t, g) = tf_g(t) · ln(G / gf(t))
+
+    (tf_g = term count inside group g, gf = number of groups containing
+    t, G = group count) — "what does each source/cluster talk about?",
+    the labeling step after any clustering.
+
+    Same shape as tfidf_topk with groups in place of documents: the
+    explode ships (group, term) narrow rows, the group-frequency table
+    is a ≤|vocab|-row broadcastable dim, ranking ties break on the
+    ROUNDED score then term (WindowGroupLimit per group).  G is a
+    bounded scalar.
+    """
+    tokens = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+        ).alias("term"),
+    )
+    tf = tokens.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("tf"))
+    gf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("gf"))
+    n_groups = docs.select(group_col).distinct().count()
+    scored = tf.join(gf, "term").select(
+        "grp",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_groups)) / F.col("gf")), 6
+        ).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(F.col("grp").alias(group_col), "term", "tf", "score")
+    )

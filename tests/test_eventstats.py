@@ -307,3 +307,47 @@ def test_daily_active_exact(spark):
     )
     got = {r.day: (r.n_events, r.n_users) for r in daily_active(df).collect()}
     assert got == {"2026-05-01": (3, 2), "2026-05-02": (1, 1)}
+
+
+def test_retention_cohorts_exact(spark):
+    from linkgraph.operators.events import retention_cohorts
+
+    rows = [
+        (0, datetime(2026, 6, 1), 1, "a", 1.0),
+        (1, datetime(2026, 6, 2), 1, "a", 1.0),   # user 1 retained day 1
+        (2, datetime(2026, 6, 1), 2, "a", 1.0),   # user 2 day-0 only
+        (3, datetime(2026, 6, 2), 3, "a", 1.0),   # user 3 cohort of day 2
+        (4, datetime(2026, 6, 4), 3, "a", 1.0),   # retained day 2
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {
+        (r.cohort_day, r.day_offset): r.n_users
+        for r in retention_cohorts(df).collect()
+    }
+    assert got == {
+        ("2026-06-01", 0): 2,
+        ("2026-06-01", 1): 1,
+        ("2026-06-02", 0): 1,
+        ("2026-06-02", 2): 1,
+    }
+
+
+def test_ctfidf_topk_characteristic_terms(spark):
+    from linkgraph.textops.textstats import ctfidf_topk
+
+    rows = [
+        (0, "spark shuffle join spark spark", "eng"),
+        (1, "spark agg scan", "eng"),
+        (2, "pasta garlic olive pasta", "food"),
+        (3, "pasta basil", "food"),
+        (4, "the the the", "noise"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {}
+    for r in ctfidf_topk(docs, group_col="source", k=2).collect():
+        got.setdefault(r.source, []).append(r.term)
+    assert got["eng"][0] == "spark" and got["food"][0] == "pasta"
+    # group-exclusive terms outrank shared ones; "the" is noise-only here
+    assert "the" not in got["eng"] and "the" not in got["food"]
