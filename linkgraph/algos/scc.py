@@ -306,3 +306,76 @@ def strongly_connected_components(
     for p in assigned_parts[1:]:
         out = out.union(p)
     return out.select(F.col("vid").cast("long"), F.col("comp").cast("long"))
+
+
+def bowtie_decomposition(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """Bow-tie structure map of a directed graph [Broder et al., WWW
+    2000, public formulation]: one row (scc_size, in_size, out_size,
+    other_size, n_vertices) where SCC is the LARGEST strongly connected
+    component, IN the vertices reaching it (but not in it), OUT those it
+    reaches, and OTHER the rest (tendrils/tubes/disconnected) — the
+    first structural question asked of any web-scale directed graph.
+
+    Pipeline: `strongly_connected_components` → largest component
+    (max size, min-comp-id tie-break — one bounded scalar action) →
+    forward reachability by iterative frontier expansion over the edge
+    table and backward over its transpose (each round ONE semi-join
+    expand + an anti-join against the visited set, frontier rows
+    measured; O(diameter) rounds).  All-integer output.
+    """
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    e = e.persist()
+    comp = strongly_connected_components(e)
+    comp = comp.persist()
+    top = (
+        comp.groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("comp").asc())
+        .first()
+    )
+    scc = comp.where(F.col("comp") == int(top["comp"])).select("vid")
+    scc = scc.localCheckpoint(eager=True)
+    scc_size = int(top["n"])
+
+    def reach(ed: DataFrame) -> DataFrame:
+        """All vertices reachable from the SCC set along `ed` (SCC
+        members excluded from the result)."""
+        visited = scc
+        frontier = scc
+        for _ in range(max_rounds):
+            nxt = (
+                ed.join(frontier.withColumnRenamed("vid", "src"), "src")
+                .select(F.col("dst").alias("vid"))
+                .distinct()
+                .join(visited, "vid", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        return visited.join(scc, "vid", "left_anti")
+
+    out_set = reach(e)
+    in_set = reach(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    verts = e.select(F.col("src").alias("vid")).unionByName(
+        e.select(F.col("dst").alias("vid"))
+    ).distinct()
+    n_total = verts.count()
+    out_size = out_set.count()
+    in_size = in_set.count()
+    e.unpersist()
+    comp.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                scc_size,
+                in_size,
+                out_size,
+                n_total - scc_size - in_size - out_size,
+                n_total,
+            )
+        ],
+        "scc_size long, in_size long, out_size long, other_size long, n_vertices long",
+    )

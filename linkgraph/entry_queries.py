@@ -4019,6 +4019,55 @@ WHERE rk <= {CTFIDF_K}
 """
 
 
+def q_bowtie(spark, sf_dir):
+    """Bow-tie decomposition of the directed sequential co-purchase
+    graph [Broder et al. 2000]: sizes of the largest SCC, its IN/OUT
+    reachability sets, and everything else."""
+    from linkgraph.algos.scc import bowtie_decomposition
+    from linkgraph.sources.derive import sequential_copurchase_edges
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > SCC_QTY)
+    return bowtie_decomposition(sequential_copurchase_edges(li))
+
+
+SQL_BOWTIE = f"""
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT DISTINCT l_partkey AS src, nxt AS dst FROM (
+    SELECT l_partkey,
+           lead(l_partkey) OVER (PARTITION BY l_orderkey
+                ORDER BY l_linenumber, l_partkey) AS nxt
+    FROM lineitem WHERE l_quantity > {SCC_QTY})
+  WHERE nxt IS NOT NULL AND nxt <> l_partkey),
+verts AS MATERIALIZED (
+  SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+reach(v, u) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT reach.v, e.dst FROM reach JOIN e ON e.src = reach.u),
+sccm AS MATERIALIZED (
+  SELECT r1.v AS vid, MIN(r1.u) AS comp
+  FROM reach r1 JOIN reach r2 ON r2.v = r1.u AND r2.u = r1.v
+  GROUP BY r1.v),
+top AS (SELECT comp FROM (
+  SELECT comp, COUNT(*) AS n FROM sccm GROUP BY comp
+  ORDER BY n DESC, comp ASC LIMIT 1)),
+s AS MATERIALIZED (SELECT vid FROM sccm WHERE comp = (SELECT comp FROM top)),
+outr AS MATERIALIZED (
+  SELECT DISTINCT r.u AS vid FROM reach r JOIN s ON s.vid = r.v
+  WHERE r.u NOT IN (SELECT vid FROM s)),
+inr AS MATERIALIZED (
+  SELECT DISTINCT r.v AS vid FROM reach r JOIN s ON s.vid = r.u
+  WHERE r.v NOT IN (SELECT vid FROM s))
+SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS scc_size,
+       CAST((SELECT COUNT(*) FROM inr) AS BIGINT) AS in_size,
+       CAST((SELECT COUNT(*) FROM outr) AS BIGINT) AS out_size,
+       CAST((SELECT COUNT(*) FROM verts) - (SELECT COUNT(*) FROM s)
+            - (SELECT COUNT(*) FROM inr) - (SELECT COUNT(*) FROM outr)
+            AS BIGINT) AS other_size,
+       CAST((SELECT COUNT(*) FROM verts) AS BIGINT) AS n_vertices
+"""
+
+
 KATZ_ITERS = 8  # fixed power-iteration budget shared engine <-> oracle
 
 
@@ -4362,6 +4411,7 @@ QUERIES = {
     "rfm_segments": q_rfm_segments,
     "cube_orders": q_cube_orders,
     "scc": q_scc,
+    "bowtie": q_bowtie,
     "repetition_stats": q_repetition_stats,
     "contamination": q_contamination,
     "community_modularity": q_community_modularity,
@@ -4484,6 +4534,7 @@ ORACLES = {
     "rfm_segments": SQL_RFM_SEGMENTS,
     "cube_orders": SQL_CUBE_ORDERS,
     "scc": SQL_SCC,
+    "bowtie": SQL_BOWTIE,
     "repetition_stats": SQL_REPETITION_STATS,
     "contamination": SQL_CONTAMINATION,
     "community_modularity": SQL_COMMUNITY_MODULARITY,

@@ -463,3 +463,23 @@ def test_label_spreading_two_cliques(spark):
     # community recovery: clique 0 labeled 0, clique 1 labeled 1
     assert all(got[v][0] == 0 for v in range(6))
     assert all(got[v][0] == 1 for v in range(6, 12))
+
+
+def test_bowtie_decomposition_exact(spark):
+    """Hand-built bow-tie: 3-cycle core, one IN chain, one OUT chain,
+    one disconnected pair, one tendril off IN."""
+    from linkgraph.algos.scc import bowtie_decomposition
+
+    edges = [
+        (1, 2), (2, 3), (3, 1),      # SCC {1,2,3}
+        (10, 11), (11, 1),           # IN chain 10 -> 11 -> SCC
+        (3, 20), (20, 21),           # OUT chain SCC -> 20 -> 21
+        (11, 30),                    # tendril from IN (not reachable from SCC,
+                                     # does not reach SCC) -> OTHER
+        (40, 41),                    # disconnected pair -> OTHER
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = bowtie_decomposition(df).collect()[0]
+    assert (r.scc_size, r.in_size, r.out_size, r.other_size, r.n_vertices) == (
+        3, 2, 2, 3, 10,
+    )
