@@ -4068,6 +4068,65 @@ SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS scc_size,
 """
 
 
+def q_hourly_profile(spark, sf_dir):
+    """Time-of-day seasonality of the events stream."""
+    from linkgraph.operators.events import hourly_profile
+
+    return hourly_profile(_t(spark, sf_dir, "events"))
+
+
+SQL_HOURLY_PROFILE = """
+SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+"""
+
+
+AB_BASELINE = "view"
+
+
+def q_value_ab(spark, sf_dir):
+    """Welch z of value per event type vs the 'view' baseline."""
+    from linkgraph.operators.events import value_ab_test
+
+    return value_ab_test(_t(spark, sf_dir, "events"), baseline_type=AB_BASELINE)
+
+
+SQL_VALUE_AB = f"""
+WITH mom AS MATERIALIZED (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         AVG(value) AS m, VAR_SAMP(value) AS v
+  FROM events GROUP BY event_type),
+base AS (SELECT n AS n0, m AS m0, v AS v0 FROM mom
+         WHERE event_type = '{AB_BASELINE}')
+SELECT event_type, n, ROUND(m, 6) AS mean_v,
+       ROUND((m - base.m0) / SQRT(v / n + base.v0 / base.n0), 6) AS z
+FROM mom, base WHERE event_type <> '{AB_BASELINE}'
+"""
+
+
+def q_corpus_composition(spark, sf_dir):
+    """Mixture-weight report: per (lang, source) doc/token shares."""
+    from linkgraph.textops.textstats import corpus_composition
+
+    return corpus_composition(_t(spark, sf_dir, "documents"))
+
+
+SQL_CORPUS_COMPOSITION = f"""
+WITH per AS MATERIALIZED (
+  SELECT lang, source,
+         CAST(len({_SQL_TOKENS}) AS BIGINT) AS nt
+  FROM documents),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd, CAST(SUM(nt) AS DOUBLE) AS tt FROM per)
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       ROUND(COUNT(*) / (SELECT nd FROM tot), 6) AS doc_share,
+       ROUND(SUM(nt) / (SELECT tt FROM tot), 6) AS token_share
+FROM per GROUP BY lang, source
+"""
+
+
 KATZ_ITERS = 8  # fixed power-iteration budget shared engine <-> oracle
 
 
@@ -4358,6 +4417,9 @@ QUERIES = {
     "char_entropy": q_char_entropy,
     "daily_active": q_daily_active,
     "retention_cohorts": q_retention_cohorts,
+    "hourly_profile": q_hourly_profile,
+    "value_ab": q_value_ab,
+    "corpus_composition": q_corpus_composition,
     "language_id": q_language_id,
     "token_totals": q_token_totals,
     "jaccard_pairs": q_jaccard_pairs,
@@ -4481,6 +4543,9 @@ ORACLES = {
     "char_entropy": SQL_CHAR_ENTROPY,
     "daily_active": SQL_DAILY_ACTIVE,
     "retention_cohorts": SQL_RETENTION_COHORTS,
+    "hourly_profile": SQL_HOURLY_PROFILE,
+    "value_ab": SQL_VALUE_AB,
+    "corpus_composition": SQL_CORPUS_COMPOSITION,
     "language_id": SQL_LANGUAGE_ID,
     "token_totals": SQL_TOKEN_TOTALS,
     "jaccard_pairs": SQL_JACCARD_PAIRS,

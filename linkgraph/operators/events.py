@@ -468,3 +468,53 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
     return joined.groupBy("cohort_day", "day_offset").agg(
         F.countDistinct("user_id").cast("long").alias("n_users")
     )
+
+
+def hourly_profile(events: DataFrame) -> DataFrame:
+    """Time-of-day seasonality: (hour, n_events, n_users) for hour 0–23
+    — the load/engagement shape behind capacity planning and bot
+    detection (human traffic has a diurnal curve; scripted traffic is
+    flat).  One aggregate on the hour truncation; all-integer.
+    """
+    return events.groupBy(F.hour("ts").cast("long").alias("hour")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+def value_ab_test(
+    events: DataFrame, baseline_type: str, round_to: int = 6
+) -> DataFrame:
+    """Two-sample Welch z readout of `value` for every event type against
+    a baseline type: (event_type, n, mean_v, z) with
+
+        z = (m − m₀) / sqrt(s²/n + s₀²/n₀)
+
+    — the experiment-dashboard number ("does this event type move the
+    metric vs baseline?").  Per-type moments are ONE aggregate; the
+    baseline row broadcasts; z is a closed-form expression of exact
+    per-type sums (round-6; sample variances via Spark/DuckDB's shared
+    n−1 convention).  The baseline row itself is omitted (z ≡ 0).
+    """
+    mom = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    base = mom.where(F.col("event_type") == baseline_type).select(
+        F.col("n").alias("n0"), F.col("m").alias("m0"), F.col("v").alias("v0")
+    )
+    return (
+        mom.where(F.col("event_type") != baseline_type)
+        .crossJoin(F.broadcast(base))
+        .select(
+            "event_type",
+            "n",
+            F.round("m", round_to).alias("mean_v"),
+            F.round(
+                (F.col("m") - F.col("m0"))
+                / F.sqrt(F.col("v") / F.col("n") + F.col("v0") / F.col("n0")),
+                round_to,
+            ).alias("z"),
+        )
+    )

@@ -787,3 +787,37 @@ def ctfidf_topk(
         .where(F.col("rk") <= k)
         .select(F.col("grp").alias(group_col), "term", "tf", "score")
     )
+
+
+def corpus_composition(docs: DataFrame, round_to: int = 6) -> DataFrame:
+    """Corpus composition report: per (lang, source) cell the document
+    count, token mass, and share of the corpus — the first table a
+    training-data curator reads before setting mixture weights.
+    One scan, one aggregate; shares are single divisions of exact
+    integers (round-6).
+    """
+    toks = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0))
+    per = docs.select("lang", "source", toks.alias("nt"))
+    total = per.agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("nt").alias("tt")
+    )
+    return (
+        per.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_docs") / F.col("nd").cast("double"), round_to).alias(
+                "doc_share"
+            ),
+            F.round(F.col("n_tokens") / F.col("tt").cast("double"), round_to).alias(
+                "token_share"
+            ),
+        )
+    )

@@ -351,3 +351,61 @@ def test_ctfidf_topk_characteristic_terms(spark):
     assert got["eng"][0] == "spark" and got["food"][0] == "pasta"
     # group-exclusive terms outrank shared ones; "the" is noise-only here
     assert "the" not in got["eng"] and "the" not in got["food"]
+
+
+def test_hourly_profile_exact(spark):
+    from linkgraph.operators.events import hourly_profile
+
+    rows = [
+        (0, datetime(2026, 7, 1, 9, 5), 1, "a", 1.0),
+        (1, datetime(2026, 7, 1, 9, 55), 2, "a", 1.0),
+        (2, datetime(2026, 7, 2, 9, 10), 1, "a", 1.0),
+        (3, datetime(2026, 7, 1, 23, 0), 1, "a", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {r.hour: (r.n_events, r.n_users) for r in hourly_profile(df).collect()}
+    assert got == {9: (3, 2), 23: (1, 1)}
+
+
+def test_value_ab_exact(spark):
+    import math
+    import statistics
+
+    from linkgraph.operators.events import value_ab_test
+
+    base = [10.0, 12.0, 11.0, 13.0]
+    lift = [14.0, 15.0, 16.0, 17.0, 18.0]
+    rows, eid = [], 0
+    for v in base:
+        rows.append((eid, datetime(2026, 7, 1), 1, "view", v)); eid += 1
+    for v in lift:
+        rows.append((eid, datetime(2026, 7, 1), 2, "buy", v)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {r.event_type: (r.n, r.mean_v, r.z) for r in value_ab_test(df, "view").collect()}
+    m0, v0 = statistics.mean(base), statistics.variance(base)
+    m1, v1 = statistics.mean(lift), statistics.variance(lift)
+    z = (m1 - m0) / math.sqrt(v1 / len(lift) + v0 / len(base))
+    assert set(got) == {"buy"}
+    assert got["buy"] == (len(lift), round(m1, 6), round(z, 6))
+    assert got["buy"][2] > 2  # real lift is significant
+
+
+def test_corpus_composition_exact(spark):
+    from linkgraph.textops.textstats import corpus_composition
+
+    rows = [
+        (0, "one two three", "en", "a"),
+        (1, "four five", "en", "a"),
+        (2, "sechs sieben acht", "de", "b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    got = {
+        (r.lang, r.source): (r.n_docs, r.n_tokens, r.doc_share, r.token_share)
+        for r in corpus_composition(docs).collect()
+    }
+    assert got[("en", "a")] == (2, 5, round(2 / 3, 6), round(5 / 8, 6))
+    assert got[("de", "b")] == (1, 3, round(1 / 3, 6), round(3 / 8, 6))
