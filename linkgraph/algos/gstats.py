@@ -552,3 +552,46 @@ def degree_gini(graph: LinkGraph, round_to: int = 6) -> DataFrame:
             round_to,
         ).alias("gini"),
     )
+
+
+def correlation_matrix(
+    df: DataFrame, cols: list[str], round_to: int = 6
+) -> DataFrame:
+    """Pairwise Pearson correlations of numeric columns: (col_a, col_b,
+    corr) for every a < b pair — the EDA screen before any modeling on
+    tabular facts.  ONE aggregate computes every moment (n, Σx, Σx²,
+    Σxy for each pair) in a single scan — never one pass per pair — and
+    each correlation is a closed-form expression of those exact sums
+    (round-6).
+    """
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast("double")).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c).cast("double") * F.col(c)).alias(f"ss_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(
+                F.sum(F.col(a).cast("double") * F.col(b)).alias(f"sp_{a}_{b}")
+            )
+    mom = df.agg(*aggs)
+    rows = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            num = F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+            den = F.sqrt(
+                (F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+                * (F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+            )
+            rows.append(
+                mom.select(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.round(num / den, round_to).alias("corr"),
+                )
+            )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -4127,6 +4127,46 @@ FROM per GROUP BY lang, source
 """
 
 
+CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_correlation_matrix(spark, sf_dir):
+    """Pearson correlations of the lineitem numeric columns (single-scan
+    moment aggregate)."""
+    from linkgraph.algos.gstats import correlation_matrix
+
+    return correlation_matrix(_t(spark, sf_dir, "lineitem"), CORR_COLS)
+
+
+def _corr_sql(cols):
+    cells = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            cells.append(f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+  ROUND((COUNT(*) * SUM({a}*{b}) - SUM({a}) * SUM({b}))
+        / SQRT((COUNT(*) * SUM({a}*{a}) - SUM({a}) * SUM({a}))
+             * (COUNT(*) * SUM({b}*{b}) - SUM({b}) * SUM({b}))), 6) AS corr
+FROM lineitem""")
+    return " UNION ALL ".join(cells)
+
+
+SQL_CORRELATION_MATRIX = _corr_sql(CORR_COLS)
+
+
+def q_dup_cluster_histogram(spark, sf_dir):
+    """Exact-duplicate multiplicity profile of the documents corpus."""
+    from linkgraph.textops.dedup import dup_cluster_histogram
+
+    return dup_cluster_histogram(_t(spark, sf_dir, "documents"))
+
+
+SQL_DUP_CLUSTER_HISTOGRAM = """
+WITH sz AS (SELECT md5(text) AS d, COUNT(*) AS k FROM documents GROUP BY md5(text))
+SELECT CAST(k AS BIGINT) AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM sz GROUP BY k
+"""
+
+
 KATZ_ITERS = 8  # fixed power-iteration budget shared engine <-> oracle
 
 
@@ -4413,6 +4453,7 @@ QUERIES = {
     "event_props_hourly": q_event_props_hourly,
     "rollup_lineitem": q_rollup_lineitem,
     "dedup_exact": q_dedup_exact,
+    "dup_cluster_histogram": q_dup_cluster_histogram,
     "text_stats": q_text_stats,
     "char_entropy": q_char_entropy,
     "daily_active": q_daily_active,
@@ -4470,6 +4511,7 @@ QUERIES = {
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
     "quantiles_acctbal": q_quantiles_acctbal,
+    "correlation_matrix": q_correlation_matrix,
     "rfm_segments": q_rfm_segments,
     "cube_orders": q_cube_orders,
     "scc": q_scc,
@@ -4539,6 +4581,7 @@ ORACLES = {
     "event_props_hourly": SQL_EVENT_PROPS_HOURLY,
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dup_cluster_histogram": SQL_DUP_CLUSTER_HISTOGRAM,
     "text_stats": SQL_TEXT_STATS,
     "char_entropy": SQL_CHAR_ENTROPY,
     "daily_active": SQL_DAILY_ACTIVE,
@@ -4596,6 +4639,7 @@ ORACLES = {
     "hash_split": SQL_HASH_SPLIT,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "quantiles_acctbal": SQL_QUANTILES_ACCTBAL,
+    "correlation_matrix": SQL_CORRELATION_MATRIX,
     "rfm_segments": SQL_RFM_SEGMENTS,
     "cube_orders": SQL_CUBE_ORDERS,
     "scc": SQL_SCC,

@@ -175,3 +175,41 @@ def test_degree_gini_exact(spark):
     want = round((2 * six - (nn + 1) * sx) / (nn * sx), 6)
     row = degree_gini(gs).collect()[0]
     assert row.gini == want and row.gini > 0.3
+
+
+def test_correlation_matrix_exact(spark):
+    import numpy as np
+
+    from linkgraph.algos.gstats import correlation_matrix
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(0, 1, 200)
+    y = 2 * x + rng.normal(0, 0.1, 200)   # strongly correlated
+    z = rng.normal(0, 1, 200)             # independent
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)],
+        "x double, y double, z double",
+    )
+    got = {
+        (r.col_a, r.col_b): r.corr
+        for r in correlation_matrix(df, ["x", "y", "z"]).collect()
+    }
+    for (a, b), v in got.items():
+        arr = {"x": x, "y": y, "z": z}
+        want = float(np.corrcoef(arr[a], arr[b])[0, 1])
+        assert abs(v - round(want, 6)) <= 2e-6, (a, b)
+    assert got[("x", "y")] > 0.99 and abs(got[("x", "z")]) < 0.2
+
+
+def test_dup_cluster_histogram_exact(spark):
+    from linkgraph.textops.dedup import dup_cluster_histogram
+
+    texts = ["a"] * 3 + ["b"] * 2 + ["c", "d"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.cluster_size: r.n_clusters
+        for r in dup_cluster_histogram(docs).collect()
+    }
+    assert got == {3: 1, 2: 1, 1: 2}
