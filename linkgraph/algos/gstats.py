@@ -595,3 +595,48 @@ def correlation_matrix(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def clustering_by_degree(graph: LinkGraph, round_to: int = 6) -> DataFrame:
+    """c(k) hierarchy curve: (deg, n_vertices, mean_lcc) — the mean
+    local clustering coefficient of degree-k vertices, the standard
+    companion to the k_nn(k) degree-correlation curve (`knn_curve`).
+    A falling c(k) ~ k^-1 is the signature of hierarchical modularity;
+    a flat one of ER-like mixing.
+
+    Exactness: within a degree class every vertex shares the same
+    k(k-1) denominator, so
+
+        mean_lcc(k) = 2 · Σ_v tri(v) / (n_k · k · (k−1))
+
+    is ONE division of exact integers (triangle counts and the class
+    size), not an average of per-vertex doubles — no float-summation
+    order sensitivity, so the round-6 value is engine-portable by
+    construction.  Plan: the triangle-per-vertex table (wedge join +
+    closing semi-join) left-joined to degrees, then one ≤max-degree-row
+    aggregate.  deg < 2 classes are excluded (lcc undefined).
+    """
+    from linkgraph.algos.triangles import triangles_per_vertex
+
+    deg = graph.degrees()
+    tri = triangles_per_vertex(graph, by_degree=True)
+    per = deg.join(tri, "vid", "left").select(
+        F.col("deg").cast("long").alias("deg"),
+        F.coalesce(F.col("tri"), F.lit(0)).cast("long").alias("tri"),
+    )
+    return (
+        per.where(F.col("deg") >= 2)
+        .groupBy("deg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vertices"),
+            F.round(
+                2.0
+                * F.sum("tri").cast("double")
+                / (
+                    F.count(F.lit(1)).cast("double")
+                    * (F.col("deg") * (F.col("deg") - 1)).cast("double")
+                ),
+                round_to,
+            ).alias("mean_lcc"),
+        )
+    )

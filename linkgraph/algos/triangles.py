@@ -181,3 +181,43 @@ def graphlet_census(graph: LinkGraph) -> DataFrame:
             (F.col("s") - F.lit(3 * tri)).cast("long").alias("paths3"),
         )
     )
+
+
+def local_bridges(graph: LinkGraph) -> DataFrame:
+    """(src, dst, src_deg, dst_deg) for every src<dst edge whose
+    endpoints share NO common neighbor — Granovetter's local bridges.
+    Removing such an edge raises its endpoints' distance above 2, so
+    these are the ties that span otherwise-disconnected social
+    neighborhoods: the structural-hole readout a community analysis
+    ships next to its triangle/k-truss tables (k-truss keeps the
+    embedded core; this surfaces the exact complement, support = 0).
+
+    Plan: oriented wedge join + closing semi-join (the `_supports`
+    shape from the k-truss peel) produces each edge that sits in ≥1
+    triangle; a LEFT ANTI join against those sides keeps support-0
+    edges without ever counting — cheaper than the left-join+COALESCE
+    support form when only the zero class is wanted.  Degrees ride in
+    on two vid-keyed joins of the |V|-row degree table.  No driver
+    action; at scale the wedge join is the same degree-ordered-safe
+    shape as triangle counting.
+    """
+    t = graph.edges.where(F.col("src") < F.col("dst")).select("src", "dst")
+    e1 = t.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = t.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    closing = t.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = e1.join(e2, "b").join(closing, ["a", "c"], "inner")
+    sides = (
+        tri.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(tri.select(F.col("b").alias("src"), F.col("c").alias("dst")))
+        .union(tri.select(F.col("a").alias("src"), F.col("c").alias("dst")))
+    )
+    bridges = t.join(sides, ["src", "dst"], "left_anti")
+    deg = graph.degrees()
+    ds = deg.select(F.col("vid").alias("src"), F.col("deg").alias("src_deg"))
+    dd = deg.select(F.col("vid").alias("dst"), F.col("deg").alias("dst_deg"))
+    return bridges.join(ds, "src").join(dd, "dst").select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.col("src_deg").cast("long").alias("src_deg"),
+        F.col("dst_deg").cast("long").alias("dst_deg"),
+    )

@@ -4413,6 +4413,133 @@ GROUP BY tf.doc_id, tot.T
 """
 
 
+
+
+def q_transition_latency(spark, sf_dir):
+    """Per-transition dwell-time stats (one window + one aggregate)."""
+    from linkgraph.operators.events import transition_latency
+
+    return transition_latency(_t(spark, sf_dir, "events"))
+
+
+SQL_TRANSITION_LATENCY = """
+WITH o AS (
+  SELECT event_type AS src_type,
+         LEAD(event_type) OVER w AS dst_type,
+         LEAD(CAST(floor(epoch(ts)) AS BIGINT)) OVER w
+           - CAST(floor(epoch(ts)) AS BIGINT) AS gap_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+SELECT src_type, dst_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(gap_s) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_gap_s,
+       CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+FROM o WHERE dst_type IS NOT NULL
+GROUP BY src_type, dst_type
+"""
+
+
+BRIDGE_MIN_W = 2  # strong-tie threshold: ties seen in >= 2 distinct orders
+
+
+def q_local_bridges(spark, sf_dir):
+    """Granovetter local bridges (zero common neighbors) on the
+    STRONG-TIE co-purchase subgraph (w >= 2): the plain co-purchase
+    graph is dense enough that support-0 edges barely exist, while the
+    strong-tie backbone exposes the structural holes (80 bridges /
+    2324 edges at sf0.001, 3264 / 3445 at sf0.01 — measured)."""
+    from linkgraph.algos.triangles import local_bridges
+
+    ew = derive.copurchase_weighted_edges(_t(spark, sf_dir, "lineitem"))
+    g = LinkGraph(
+        ew.where(F.col("w") >= BRIDGE_MIN_W).select("src", "dst"),
+        materialize=False,
+    )
+    return local_bridges(g)
+
+
+SQL_LOCAL_BRIDGES = f"""
+WITH pk AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+wt AS MATERIALIZED (
+  SELECT a.p AS src, b.p AS dst, COUNT(*) AS w
+  FROM pk a JOIN pk b ON a.k = b.k AND a.p <> b.p GROUP BY a.p, b.p),
+se AS MATERIALIZED (SELECT src, dst FROM wt WHERE w >= {BRIDGE_MIN_W}),
+t AS MATERIALIZED (SELECT src, dst FROM se WHERE src < dst),
+tr AS MATERIALIZED (
+  SELECT t1.src AS a, t1.dst AS b, t2.dst AS c
+  FROM t t1 JOIN t t2 ON t2.src = t1.dst
+  JOIN t t3 ON t3.src = t1.src AND t3.dst = t2.dst),
+sides AS (
+  SELECT a AS src, b AS dst FROM tr
+  UNION SELECT b, c FROM tr
+  UNION SELECT a, c FROM tr),
+d AS MATERIALIZED (
+  SELECT src AS vid, CAST(COUNT(*) AS BIGINT) AS deg FROM se GROUP BY src)
+SELECT CAST(t.src AS BIGINT) AS src, CAST(t.dst AS BIGINT) AS dst,
+       ds.deg AS src_deg, dd.deg AS dst_deg
+FROM t ANTI JOIN sides USING (src, dst)
+JOIN d ds ON ds.vid = t.src
+JOIN d dd ON dd.vid = t.dst
+"""
+
+
+def q_clustering_by_degree(spark, sf_dir):
+    """c(k) hierarchy curve over the co-purchase graph — mean lcc per
+    degree class from exact integer triangle sums (one division)."""
+    from linkgraph.algos.gstats import clustering_by_degree
+
+    return clustering_by_degree(copurchase_graph(spark, sf_dir))
+
+
+SQL_CLUSTERING_BY_DEGREE = f"""
+WITH {_COPURCHASE_E},
+d AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS deg FROM e GROUP BY src),
+ot AS MATERIALIZED (SELECT src AS a, dst AS b FROM e WHERE src < dst),
+tr AS MATERIALIZED (
+  SELECT t1.a, t1.b, t2.b AS c
+  FROM ot t1 JOIN ot t2 ON t2.a = t1.b
+  JOIN ot t3 ON t3.a = t1.a AND t3.b = t2.b),
+tpv AS MATERIALIZED (
+  SELECT vid, COUNT(*) AS tri FROM (
+    SELECT a AS vid FROM tr
+    UNION ALL SELECT b FROM tr
+    UNION ALL SELECT c FROM tr)
+  GROUP BY vid)
+SELECT CAST(d.deg AS BIGINT) AS deg,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       ROUND(2.0 * CAST(SUM(COALESCE(t.tri, 0)) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * CAST(d.deg * (d.deg - 1) AS DOUBLE)),
+             6) AS mean_lcc
+FROM d LEFT JOIN tpv t USING (vid)
+WHERE d.deg >= 2
+GROUP BY d.deg
+"""
+
+
+def q_fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility / chars-per-token per language."""
+    from linkgraph.textops.textstats import fertility_by_lang
+
+    return fertility_by_lang(_t(spark, sf_dir, "documents"))
+
+
+SQL_FERTILITY_BY_LANG = """
+WITH per AS (
+  SELECT lang,
+         CASE WHEN LENGTH(TRIM(text)) > 0
+              THEN len(regexp_split_to_array(TRIM(text), '\\s+'))
+              ELSE 0 END AS nw,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+')) AS nb,
+         LENGTH(text) AS nc
+  FROM documents)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nw) AS BIGINT) AS n_words,
+       CAST(SUM(nb) AS BIGINT) AS n_bpe_tokens,
+       ROUND(SUM(nb) / CAST(SUM(nw) AS DOUBLE), 6) AS fertility,
+       ROUND(SUM(nc) / CAST(SUM(nb) AS DOUBLE), 6) AS chars_per_token
+FROM per GROUP BY lang
+"""
+
+
 QUERIES = {
     "degree_topk": q_degree_topk,
     "edges_shared_key": q_edges_shared_key,
@@ -4422,6 +4549,7 @@ QUERIES = {
     "turn_adjacency": q_turn_adjacency,
     "activity_profile": q_activity_profile,
     "transition_entropy": q_transition_entropy,
+    "transition_latency": q_transition_latency,
     "event_trigrams": q_event_trigrams,
     "value_outliers": q_value_outliers,
     "square_count": q_square_count,
@@ -4444,6 +4572,8 @@ QUERIES = {
     "triangles_per_vertex": q_triangles_per_vertex,
     "graphlet_census": q_graphlet_census,
     "knn_curve": q_knn_curve,
+    "clustering_by_degree": q_clustering_by_degree,
+    "local_bridges": q_local_bridges,
     "edge_audit": q_edge_audit,
     "pagerank": q_pagerank,
     "personalized_pagerank": q_personalized_pagerank,
@@ -4463,6 +4593,7 @@ QUERIES = {
     "corpus_composition": q_corpus_composition,
     "language_id": q_language_id,
     "token_totals": q_token_totals,
+    "fertility_by_lang": q_fertility_by_lang,
     "jaccard_pairs": q_jaccard_pairs,
     "containment_pairs": q_containment,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -4550,6 +4681,7 @@ ORACLES = {
     "turn_adjacency": SQL_TURN_ADJACENCY,
     "activity_profile": SQL_ACTIVITY_PROFILE,
     "transition_entropy": SQL_TRANSITION_ENTROPY,
+    "transition_latency": SQL_TRANSITION_LATENCY,
     "event_trigrams": SQL_EVENT_TRIGRAMS,
     "value_outliers": SQL_VALUE_OUTLIERS,
     "square_count": SQL_SQUARE_COUNT,
@@ -4572,6 +4704,8 @@ ORACLES = {
     "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
     "graphlet_census": SQL_GRAPHLET_CENSUS,
     "knn_curve": SQL_KNN_CURVE,
+    "clustering_by_degree": SQL_CLUSTERING_BY_DEGREE,
+    "local_bridges": SQL_LOCAL_BRIDGES,
     "edge_audit": SQL_EDGE_AUDIT,
     "pagerank": SQL_PAGERANK,
     "personalized_pagerank": SQL_PERSONALIZED_PAGERANK,
@@ -4591,6 +4725,7 @@ ORACLES = {
     "corpus_composition": SQL_CORPUS_COMPOSITION,
     "language_id": SQL_LANGUAGE_ID,
     "token_totals": SQL_TOKEN_TOTALS,
+    "fertility_by_lang": SQL_FERTILITY_BY_LANG,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "containment_pairs": SQL_CONTAINMENT,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,

@@ -518,3 +518,38 @@ def value_ab_test(
             ).alias("z"),
         )
     )
+
+
+def transition_latency(events: DataFrame, round_to: int = 6) -> DataFrame:
+    """Per-transition dwell-time dashboard: (src_type, dst_type, n,
+    mean_gap_s, max_gap_s) — how long each dialogue state sits before
+    continuing into each next state, under the stable (ts, event_id)
+    per-user ordering.  The latency companion to `transition_entropy`
+    (same one-window derivation): entropy says WHERE a state goes,
+    this says HOW LONG it takes to go there — the agent/tool response-
+    time table a transcript pipeline ships next to its transition
+    matrix.
+
+    One window + ONE aggregate.  Gaps are exact integer differences of
+    FLOORED epoch seconds (the module-wide portability convention), so
+    n, max and the gap sum are engine-exact; the mean is one division
+    + round.  At corpus scale this is a single user-keyed shuffle for
+    the window and one (src,dst)-keyed aggregate over ≤|types|² groups
+    — the transition table stays tiny no matter how large the stream.
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    ep = F.floor(F.unix_timestamp(F.col("ts"))).cast("long")
+    trans = events.select(
+        F.col("event_type").alias("src_type"),
+        F.lead("event_type").over(w).alias("dst_type"),
+        (F.lead(ep).over(w) - ep).alias("gap_s"),
+    ).where(F.col("dst_type").isNotNull())
+    return trans.groupBy("src_type", "dst_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum("gap_s") / F.count(F.lit(1)).cast("double"), round_to
+        ).alias("mean_gap_s"),
+        F.max("gap_s").cast("long").alias("max_gap_s"),
+    )

@@ -821,3 +821,38 @@ def corpus_composition(docs: DataFrame, round_to: int = 6) -> DataFrame:
             ),
         )
     )
+
+
+def fertility_by_lang(docs: DataFrame, round_to: int = 6) -> DataFrame:
+    """Tokenizer-budget report per language: (lang, n_docs, n_words,
+    n_bpe_tokens, fertility, chars_per_token) where fertility =
+    BPE-ish tokens per whitespace word and chars_per_token = chars per
+    BPE-ish token — the two numbers that decide how much of a model's
+    context window (and training budget) each language actually costs.
+    High-fertility languages are systematically under-served at a fixed
+    token budget; this is the table that quantifies it before setting
+    mixture weights (the companion to `corpus_composition`).
+
+    ONE scan + one ≤|langs|-row aggregate; counts are exact integers
+    under the shared BPE_RE / whitespace conventions of
+    `token_count_total`, ratios are single divisions + round.
+    """
+    t = F.col("text")
+    ws = F.when(
+        F.length(F.trim(t)) > 0, F.size(F.split(F.trim(t), r"\s+"))
+    ).otherwise(F.lit(0))
+    bpe = F.size(F.regexp_extract_all(F.lower(t), F.lit(BPE_RE), 0))
+    per = docs.select(
+        "lang", ws.alias("nw"), bpe.alias("nb"), F.length(t).alias("nc")
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nw").cast("long").alias("n_words"),
+        F.sum("nb").cast("long").alias("n_bpe_tokens"),
+        F.round(F.sum("nb") / F.sum("nw").cast("double"), round_to).alias(
+            "fertility"
+        ),
+        F.round(F.sum("nc") / F.sum("nb").cast("double"), round_to).alias(
+            "chars_per_token"
+        ),
+    )
