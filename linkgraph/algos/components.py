@@ -123,3 +123,60 @@ def connected_components(
             stacklevel=2,
         )
     return comp.select("vid", "comp")
+
+
+def attack_robustness(graph: LinkGraph, ks: list[int]) -> DataFrame:
+    """Targeted-attack robustness curve (Albert–Barabási): for each hub
+    budget k in `ks`, remove the top-k degree vertices (ties by vid, so
+    the removal set is deterministic and engine-portable) and report
+
+        (n_removed, n_vertices, n_components, giant_size)
+
+    over the RESIDUAL edge set — vertices isolated by the removal drop
+    out entirely (the curve measures what the surviving edges still
+    connect).  A scale-free graph collapses fast under this curve and
+    barely moves under random removal; this is the one-table robustness
+    readout a link-graph operator reads before trusting hub-dependent
+    infrastructure.
+
+    Plan per k: the ≤k-row hub set broadcast anti-joins both endpoints
+    (no shuffle of the edge table beyond the CC runs themselves), then
+    one pointer-doubling CC + a two-level count aggregate.  |ks| is a
+    handful; each CC is the standard O(E·log V)-work job chain.
+    """
+    out: list[tuple] = []
+    spark = graph.edges.sparkSession
+    for k in sorted(ks):
+        if k == 0:
+            sub = graph
+        else:
+            hubs = (
+                graph.degrees()
+                .orderBy(F.col("deg").desc(), F.col("vid").asc())
+                .limit(k)
+                .select("vid")
+            )
+            e = (
+                graph.edges.join(
+                    F.broadcast(hubs.withColumnRenamed("vid", "src")), "src", "left_anti"
+                )
+                .join(
+                    F.broadcast(hubs.withColumnRenamed("vid", "dst")), "dst", "left_anti"
+                )
+                .select("src", "dst")
+            )
+            sub = LinkGraph(e, materialize=False)
+        cc = connected_components(sub)
+        sizes = cc.groupBy("comp").agg(F.count(F.lit(1)).alias("sz"))
+        row = sizes.agg(
+            F.sum("sz").cast("long").alias("n_vertices"),
+            F.count(F.lit(1)).cast("long").alias("n_components"),
+            F.max("sz").cast("long").alias("giant_size"),
+        ).collect()[0]  # one summary row per k — bounded driver action
+        out.append((k, row.n_vertices, row.n_components, row.giant_size))
+        if sub is not graph:
+            sub.unpersist()
+    return spark.createDataFrame(
+        out,
+        "n_removed long, n_vertices long, n_components long, giant_size long",
+    )

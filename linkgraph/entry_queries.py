@@ -4540,6 +4540,58 @@ FROM per GROUP BY lang
 """
 
 
+
+
+ATTACK_KS = [0, 16, 128]  # hub budgets: full graph, boundary, 7% of vertices
+
+
+def q_attack_robustness(spark, sf_dir):
+    """Targeted-attack robustness curve on the strong-tie co-purchase
+    backbone (w >= BRIDGE_MIN_W): remove the top-k degree hubs
+    (deterministic ties by vid) and report residual component structure.
+    The backbone holding a 1649-vertex giant after losing its 128
+    biggest hubs (sf0.01, measured) IS the readout — this co-occurrence
+    graph is not hub-fragile."""
+    from linkgraph.algos.components import attack_robustness
+
+    ew = derive.copurchase_weighted_edges(_t(spark, sf_dir, "lineitem"))
+    g = LinkGraph(ew.where(F.col("w") >= BRIDGE_MIN_W).select("src", "dst"))
+    out = attack_robustness(g, ATTACK_KS)
+    g.unpersist()
+    return out
+
+
+def _attack_oracle_sql(ks) -> str:
+    parts = [f"""pk AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+wt AS MATERIALIZED (
+  SELECT a.p AS src, b.p AS dst, COUNT(*) AS w
+  FROM pk a JOIN pk b ON a.k = b.k AND a.p <> b.p GROUP BY a.p, b.p),
+se AS MATERIALIZED (SELECT src, dst FROM wt WHERE w >= {BRIDGE_MIN_W}),
+dg AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS deg FROM se GROUP BY src)"""]
+    selects = []
+    for k in ks:
+        parts.append(f"""h{k} AS (SELECT vid FROM dg ORDER BY deg DESC, vid ASC LIMIT {k}),
+e{k} AS MATERIALIZED (
+  SELECT src, dst FROM se
+  WHERE src NOT IN (SELECT vid FROM h{k}) AND dst NOT IN (SELECT vid FROM h{k})),
+v{k} AS (SELECT DISTINCT src AS v FROM e{k}),
+r{k}(v, u) AS (
+  SELECT v, v FROM v{k}
+  UNION
+  SELECT r{k}.v, e{k}.dst FROM r{k} JOIN e{k} ON e{k}.src = r{k}.u),
+s{k} AS (SELECT MIN(u) AS comp, COUNT(DISTINCT v) AS sz
+         FROM (SELECT v, MIN(u) AS u FROM r{k} GROUP BY v) GROUP BY u)""")
+        selects.append(f"""SELECT CAST({k} AS BIGINT) AS n_removed,
+       CAST(SUM(sz) AS BIGINT) AS n_vertices,
+       CAST(COUNT(*) AS BIGINT) AS n_components,
+       CAST(MAX(sz) AS BIGINT) AS giant_size
+FROM s{k}""")
+    return "WITH RECURSIVE " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+SQL_ATTACK_ROBUSTNESS = _attack_oracle_sql(ATTACK_KS)
+
+
 QUERIES = {
     "degree_topk": q_degree_topk,
     "edges_shared_key": q_edges_shared_key,
@@ -4566,6 +4618,7 @@ QUERIES = {
     "harmonic": q_harmonic,
     "khop_sample": q_khop_sample,
     "connected_components": q_connected_components,
+    "attack_robustness": q_attack_robustness,
     "k_core": q_k_core,
     "coreness": q_coreness,
     "triangle_count": q_triangle_count,
@@ -4698,6 +4751,7 @@ ORACLES = {
     "harmonic": SQL_HARMONIC,
     "khop_sample": SQL_KHOP_SAMPLE,
     "connected_components": SQL_CONNECTED_COMPONENTS,
+    "attack_robustness": SQL_ATTACK_ROBUSTNESS,
     "k_core": SQL_K_CORE,
     "coreness": SQL_CORENESS,
     "triangle_count": SQL_TRIANGLE_COUNT,

@@ -143,3 +143,21 @@ def test_fertility_by_lang_exact(spark):
     for lang, (nd, nw, nb, nc) in agg.items():
         want[lang] = (nd, nw, nb, round(nb / nw, 6), round(nc / nb, 6))
     assert got == want
+
+
+def test_attack_robustness_bowtie(spark):
+    from linkgraph.algos.components import attack_robustness
+
+    g = LinkGraph(
+        spark.createDataFrame(_sym(BOWTIE), "src long, dst long"),
+        materialize=False,
+    )
+    got = {
+        r.n_removed: (r.n_vertices, r.n_components, r.giant_size)
+        for r in attack_robustness(g, [0, 1]).collect()
+    }
+    # k=0: the bowtie is one 7-vertex component.
+    assert got[0] == (7, 1, 7)
+    # k=1 removes vid=3 (deg 3, lowest vid among the deg-3 tie): the
+    # residual edges are {1,2} and the right triangle + pendant.
+    assert got[1] == (6, 2, 4)
