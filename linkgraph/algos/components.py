@@ -125,7 +125,9 @@ def connected_components(
     return comp.select("vid", "comp")
 
 
-def attack_robustness(graph: LinkGraph, ks: list[int]) -> DataFrame:
+def attack_robustness(
+    graph: LinkGraph, ks: list[int], by: str = "degree"
+) -> DataFrame:
     """Targeted-attack robustness curve (Albert–Barabási): for each hub
     budget k in `ks`, remove the top-k degree vertices (ties by vid, so
     the removal set is deterministic and engine-portable) and report
@@ -139,23 +141,46 @@ def attack_robustness(graph: LinkGraph, ks: list[int]) -> DataFrame:
     readout a link-graph operator reads before trusting hub-dependent
     infrastructure.
 
+    `by="hash"` is the random-FAILURE control: the same curve but
+    removing k vertices in `portable_hash60(vid#fail)` order — a
+    deterministic, engine-portable stand-in for uniform-random removal
+    (md5 is standardized, so the DuckDB oracle draws the identical
+    sample).  Reading the two curves together is the Albert–Barabási
+    diagnostic: scale-free ⟹ attack collapses the giant while failure
+    barely dents it.
+
     Plan per k: the ≤k-row hub set broadcast anti-joins both endpoints
     (no shuffle of the edge table beyond the CC runs themselves), then
     one pointer-doubling CC + a two-level count aggregate.  |ks| is a
     handful; each CC is the standard O(E·log V)-work job chain.
     """
+    if by not in ("degree", "hash"):
+        raise ValueError(f"attack_robustness: unknown removal order {by!r}")
     out: list[tuple] = []
     spark = graph.edges.sparkSession
     for k in sorted(ks):
         if k == 0:
             sub = graph
         else:
-            hubs = (
-                graph.degrees()
-                .orderBy(F.col("deg").desc(), F.col("vid").asc())
-                .limit(k)
-                .select("vid")
-            )
+            if by == "degree":
+                ordered = graph.degrees().orderBy(
+                    F.col("deg").desc(), F.col("vid").asc()
+                )
+            else:
+                from linkgraph.textops.dedup import portable_hash60
+
+                ordered = (
+                    graph.edges.select(F.col("src").alias("vid"))
+                    .union(graph.edges.select(F.col("dst").alias("vid")))
+                    .distinct()
+                    .orderBy(
+                        portable_hash60(
+                            F.concat(F.col("vid").cast("string"), F.lit("#fail"))
+                        ).asc(),
+                        F.col("vid").asc(),
+                    )
+                )
+            hubs = ordered.limit(k).select("vid")
             e = (
                 graph.edges.join(
                     F.broadcast(hubs.withColumnRenamed("vid", "src")), "src", "left_anti"

@@ -4561,16 +4561,37 @@ def q_attack_robustness(spark, sf_dir):
     return out
 
 
-def _attack_oracle_sql(ks) -> str:
+def q_failure_robustness(spark, sf_dir):
+    """Random-failure control for the attack curve: identical residual-
+    component readout but removing k vertices in portable-md5-hash order
+    (a deterministic uniform-random stand-in both engines reproduce).
+    Read against q_attack_robustness: the gap between the two curves at
+    the same k is the Albert–Barabási scale-free fragility signature."""
+    from linkgraph.algos.components import attack_robustness
+
+    ew = derive.copurchase_weighted_edges(_t(spark, sf_dir, "lineitem"))
+    g = LinkGraph(ew.where(F.col("w") >= BRIDGE_MIN_W).select("src", "dst"))
+    out = attack_robustness(g, ATTACK_KS, by="hash")
+    g.unpersist()
+    return out
+
+
+def _attack_oracle_sql(ks, by: str = "degree") -> str:
     parts = [f"""pk AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
 wt AS MATERIALIZED (
   SELECT a.p AS src, b.p AS dst, COUNT(*) AS w
   FROM pk a JOIN pk b ON a.k = b.k AND a.p <> b.p GROUP BY a.p, b.p),
 se AS MATERIALIZED (SELECT src, dst FROM wt WHERE w >= {BRIDGE_MIN_W}),
 dg AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS deg FROM se GROUP BY src)"""]
+    if by == "degree":
+        order = "deg DESC, vid ASC"
+    else:
+        # portable_hash60(vid || '#fail'): mirrors dedup.portable_hash60
+        order = ("CAST('0x' || substr(md5(CAST(vid AS VARCHAR) || '#fail'), 1, 15) "
+                 "AS BIGINT) ASC, vid ASC")
     selects = []
     for k in ks:
-        parts.append(f"""h{k} AS (SELECT vid FROM dg ORDER BY deg DESC, vid ASC LIMIT {k}),
+        parts.append(f"""h{k} AS (SELECT vid FROM dg ORDER BY {order} LIMIT {k}),
 e{k} AS MATERIALIZED (
   SELECT src, dst FROM se
   WHERE src NOT IN (SELECT vid FROM h{k}) AND dst NOT IN (SELECT vid FROM h{k})),
@@ -4590,6 +4611,7 @@ FROM s{k}""")
 
 
 SQL_ATTACK_ROBUSTNESS = _attack_oracle_sql(ATTACK_KS)
+SQL_FAILURE_ROBUSTNESS = _attack_oracle_sql(ATTACK_KS, by="hash")
 
 
 QUERIES = {
@@ -4619,6 +4641,7 @@ QUERIES = {
     "khop_sample": q_khop_sample,
     "connected_components": q_connected_components,
     "attack_robustness": q_attack_robustness,
+    "failure_robustness": q_failure_robustness,
     "k_core": q_k_core,
     "coreness": q_coreness,
     "triangle_count": q_triangle_count,
@@ -4752,6 +4775,7 @@ ORACLES = {
     "khop_sample": SQL_KHOP_SAMPLE,
     "connected_components": SQL_CONNECTED_COMPONENTS,
     "attack_robustness": SQL_ATTACK_ROBUSTNESS,
+    "failure_robustness": SQL_FAILURE_ROBUSTNESS,
     "k_core": SQL_K_CORE,
     "coreness": SQL_CORENESS,
     "triangle_count": SQL_TRIANGLE_COUNT,

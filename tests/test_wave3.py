@@ -161,3 +161,24 @@ def test_attack_robustness_bowtie(spark):
     # k=1 removes vid=3 (deg 3, lowest vid among the deg-3 tie): the
     # residual edges are {1,2} and the right triangle + pendant.
     assert got[1] == (6, 2, 4)
+
+
+def test_failure_robustness_bowtie_hash_order(spark):
+    import hashlib
+
+    from linkgraph.algos.components import attack_robustness
+
+    g = LinkGraph(
+        spark.createDataFrame(_sym(BOWTIE), "src long, dst long"),
+        materialize=False,
+    )
+    got = {
+        r.n_removed: (r.n_vertices, r.n_components, r.giant_size)
+        for r in attack_robustness(g, [1], by="hash").collect()
+    }
+    # independent recomputation of the portable-hash argmin:
+    h = lambda v: int(hashlib.md5(f"{v}#fail".encode()).hexdigest()[:15], 16)
+    assert min(range(1, 8), key=lambda v: (h(v), v)) == 6
+    # removing vid=6 isolates the pendant 7 (drops out) and leaves the
+    # left triangle chained to {4,5}: one 5-vertex component.
+    assert got[1] == (5, 1, 5)
