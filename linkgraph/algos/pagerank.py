@@ -44,6 +44,7 @@ def pagerank(
     verbose: bool = False,
     sources: list[int] | None = None,
     weight_col: str | None = None,
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """Returns (vid, pr).  Ranks sum to 1 (dangling mass redistributed).
 
@@ -60,6 +61,15 @@ def pagerank(
     seed set (10s-1000s), not a data-scale object; a DataFrame-valued
     reset vector would join instead.
 
+    init: warm start — a (vid, pr) DataFrame seeding the rank vector
+    instead of uniform 1/n (vertices absent from init fall back to 1/n).
+    This is the incremental-update path: after a graph delta, continue
+    the power iteration from the previous snapshot's scores rather than
+    recomputing from scratch — at 10^12-turn scale with daily edge
+    deltas, the warm start converges in a handful of iterations because
+    the spectrum barely moved.  One extra seed-time join; the
+    per-iteration plan is unchanged.
+
     weight_col: weighted PageRank — each out-edge carries its share
     w/strength(src) of the source's rank (strength = Σ out-weights,
     replacing out-degree).  The iteration plan is IDENTICAL to the
@@ -71,6 +81,9 @@ def pagerank(
     personalized = sources is not None
     if personalized and not sources:
         raise ValueError("personalized pagerank needs a non-empty source list")
+    if personalized and init is not None:
+        # the personalized branch seeds pr from the reset vector itself
+        raise ValueError("init warm start is not supported with sources=")
 
     it0 = 0
     state = None
@@ -109,6 +122,24 @@ def pagerank(
                     "vid",
                     F.coalesce(F.col("deg"), F.lit(0)).cast(deg_type).alias("deg"),
                     F.lit(1.0 / n).alias("pr"),
+                )
+            )
+        if init is not None:
+            # warm start: previous snapshot's scores replace the uniform
+            # seed; vertices the snapshot never saw keep the 1/n default
+            state = (
+                state.alias("st")
+                .join(
+                    init.select(
+                        F.col("vid").alias("ivid"), F.col("pr").alias("ipr")
+                    ),
+                    F.col("st.vid") == F.col("ivid"),
+                    "left",
+                )
+                .select(
+                    F.col("st.vid").alias("vid"),
+                    F.col("st.deg").alias("deg"),
+                    F.coalesce(F.col("ipr"), F.col("st.pr")).alias("pr"),
                 )
             )
         if personalized:

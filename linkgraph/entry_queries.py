@@ -4614,6 +4614,208 @@ SQL_ATTACK_ROBUSTNESS = _attack_oracle_sql(ATTACK_KS)
 SQL_FAILURE_ROBUSTNESS = _attack_oracle_sql(ATTACK_KS, by="hash")
 
 
+MIXTURE_ALPHA = 0.5  # sampling temperature shared with the SQL oracle
+
+
+def q_mixture_weights(spark, sf_dir):
+    """Temperature-scaled (alpha=0.5) per-language training-mixture
+    weights: raw token share -> smoothed sampling share -> upsample
+    factor (the mT5/XLM-R rule). One scan + two tiny normalizations."""
+    from linkgraph.textops.textstats import mixture_weights
+
+    return mixture_weights(_t(spark, sf_dir, "documents"), alpha=MIXTURE_ALPHA)
+
+
+SQL_MIXTURE_WEIGHTS = f"""
+WITH per AS MATERIALIZED (
+  SELECT lang, CAST(SUM(len({_SQL_TOKENS})) AS DOUBLE) AS nt
+  FROM documents GROUP BY lang),
+tot AS (SELECT SUM(nt) AS tt FROM per),
+sh AS (SELECT lang, CAST(nt AS BIGINT) AS n_tokens,
+              nt / (SELECT tt FROM tot) AS raw,
+              POW(nt / (SELECT tt FROM tot), {MIXTURE_ALPHA}) AS pw
+       FROM per),
+z AS (SELECT SUM(pw) AS z FROM sh)
+SELECT lang, n_tokens, ROUND(raw, 6) AS raw_share,
+       ROUND(pw / (SELECT z FROM z), 6) AS sample_share,
+       ROUND(pw / (SELECT z FROM z) / raw, 6) AS upsample
+FROM sh
+"""
+
+
+def q_dedup_token_stats(spark, sf_dir):
+    """Per-source token mass before vs after exact dedup (min-doc_id
+    survivor per md5 cluster) — the 'how much of this source is new
+    data' accounting table."""
+    from linkgraph.textops.dedup import dedup_token_stats
+
+    return dedup_token_stats(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_TOKEN_STATS = f"""
+WITH b AS MATERIALIZED (
+  SELECT doc_id, source, md5(text) AS h,
+         CAST(len({_SQL_TOKENS}) AS BIGINT) AS nt
+  FROM documents),
+k AS MATERIALIZED (SELECT h, MIN(doc_id) AS keep_id FROM b GROUP BY h)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_kept,
+       CAST(SUM(CASE WHEN doc_id = keep_id THEN nt ELSE 0 END) AS BIGINT)
+         AS n_tokens_kept,
+       ROUND(1.0 - SUM(CASE WHEN doc_id = keep_id THEN nt ELSE 0 END)
+                   / CAST(SUM(nt) AS DOUBLE), 6) AS dup_token_frac
+FROM b JOIN k USING (h) GROUP BY source
+"""
+
+
+WS_K = 64  # weighted-sample size shared with the SQL oracle
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis exponential keys off the portable md5 hash): the 64 docs
+    with the smallest -ln(u)/n_chars keys — the engine-portable 'sample
+    a corpus proportional to length' primitive."""
+    from linkgraph.operators.sampling import weighted_sample
+
+    out = weighted_sample(_t(spark, sf_dir, "documents"), "doc_id", "n_chars", WS_K)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "weight",
+        F.round("ws_key", 9).alias("ws_key"),
+    )
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH s AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+         -LN((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#ws'), 1, 15)
+                   AS BIGINT) AS DOUBLE) + 1.0) / 1152921504606846976.0)
+           / CAST(n_chars AS DOUBLE) AS ws_key
+  FROM documents WHERE n_chars > 0)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, weight, ROUND(ws_key, 9) AS ws_key
+FROM s ORDER BY ws_key ASC, doc_id ASC LIMIT {WS_K}
+"""
+
+
+LANDMARK_L = 4  # landmark count shared with the SQL oracle
+LANDMARK_P = 12  # query-pair vertex pool (top-degree)
+
+
+def q_landmark_distances(spark, sf_dir):
+    """Landmark distance sketches (Potamias CIKM'09): triangle-inequality
+    lower/upper bounds for all pairs of the 12 top-degree vertices via
+    one 4-landmark MS-BFS batch — the serving pattern for point-to-point
+    distance queries at graph scale."""
+    from linkgraph.algos.landmarks import landmark_distance_bounds
+
+    g = copurchase_graph(spark, sf_dir)
+    pool = [
+        r["vid"]
+        for r in g.degrees()
+        .orderBy(F.col("deg").desc(), F.col("vid").asc())
+        .limit(LANDMARK_P)
+        .collect()
+    ]
+    return landmark_distance_bounds(g, LANDMARK_L, pool, BFS_MAX_LEVELS)
+
+
+SQL_LANDMARK_DISTANCES = f"""
+WITH RECURSIVE {_COPURCHASE_E},
+dg AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS deg FROM e GROUP BY src),
+lm AS (SELECT vid FROM dg ORDER BY deg DESC, vid ASC LIMIT {LANDMARK_L}),
+pv AS MATERIALIZED (SELECT vid FROM dg ORDER BY deg DESC, vid ASC LIMIT {LANDMARK_P}),
+bfs(l, v, dist) AS (
+  SELECT vid, vid, 0 FROM lm
+  UNION
+  SELECT bfs.l, e.dst, bfs.dist + 1 FROM bfs JOIN e ON e.src = bfs.v
+  WHERE bfs.dist < {BFS_MAX_LEVELS}),
+md AS MATERIALIZED (SELECT l, v, MIN(dist) AS d FROM bfs GROUP BY l, v),
+dp AS MATERIALIZED (
+  SELECT md.l, md.v AS u, md.d AS du FROM md JOIN pv ON pv.vid = md.v)
+SELECT CAST(a.u AS BIGINT) AS u, CAST(b.u AS BIGINT) AS v,
+       CAST(MAX(ABS(a.du - b.du)) AS INT) AS d_lb,
+       CAST(MIN(a.du + b.du) AS INT) AS d_ub
+FROM dp a JOIN dp b ON a.l = b.l AND a.u < b.u
+GROUP BY a.u, b.u
+"""
+
+
+INC_ITERS = 6  # warm-start budget after the delta, shared with the oracle
+INC_DELTA_TYPE = "purchase"  # the event slice that 'arrives later'
+
+
+def q_pagerank_incremental(spark, sf_dir):
+    """Incremental PageRank on a graph delta: run PR_ITERS iterations on
+    the user graph WITHOUT the '{purchase}' slice, then add those edges
+    (restricted to the existing vertex set, so the snapshot covers every
+    vertex) and continue INC_ITERS warm-started iterations from the
+    previous scores — the daily-delta update path at 10^12-turn scale.
+    Hash-checked against a DuckDB recursive CTE whose edge/degree tables
+    switch at the phase boundary."""
+    from linkgraph.algos.pagerank import pagerank
+
+    ev = _t(spark, sf_dir, "events")
+    e1 = derive.events_user_edges(ev.where(F.col("event_type") != INC_DELTA_TYPE))
+    g1 = LinkGraph(e1)
+    pr1 = pagerank(g1, tol=0, max_iter=PR_ITERS)
+    v1 = g1.vertices()
+    e2 = (
+        derive.events_user_edges(ev.where(F.col("event_type") == INC_DELTA_TYPE))
+        .join(v1.withColumnRenamed("vid", "src"), "src", "left_semi")
+        .join(v1.withColumnRenamed("vid", "dst"), "dst", "left_semi")
+        .select("src", "dst")
+    )
+    g2 = LinkGraph(e1.select("src", "dst").union(e2).distinct())
+    pr2 = pagerank(g2, tol=0, max_iter=INC_ITERS, init=pr1)
+    g1.unpersist()
+    g2.unpersist()
+    return pr2.select(
+        F.col("vid").cast("long").alias("vid"), F.round("pr", 9).alias("pr")
+    )
+
+
+SQL_PAGERANK_INCREMENTAL = f"""
+WITH RECURSIVE
+uk1 AS MATERIALIZED (
+  SELECT DISTINCT event_type AS k, user_id AS u FROM events
+  WHERE event_type <> '{INC_DELTA_TYPE}'),
+e1 AS MATERIALIZED (
+  SELECT DISTINCT a.u AS src, b.u AS dst FROM uk1 a JOIN uk1 b
+  ON a.k = b.k AND a.u <> b.u),
+v1 AS MATERIALIZED (SELECT DISTINCT src AS vid FROM e1),
+uk2 AS (SELECT DISTINCT user_id AS u FROM events
+        WHERE event_type = '{INC_DELTA_TYPE}'),
+e2 AS MATERIALIZED (
+  SELECT a.u AS src, b.u AS dst FROM uk2 a JOIN uk2 b ON a.u <> b.u
+  WHERE a.u IN (SELECT vid FROM v1) AND b.u IN (SELECT vid FROM v1)),
+ef AS MATERIALIZED (SELECT src, dst FROM e1 UNION SELECT src, dst FROM e2),
+ea AS MATERIALIZED (
+  SELECT src, dst, 0 AS ph FROM e1
+  UNION ALL SELECT src, dst, 1 AS ph FROM ef),
+da AS MATERIALIZED (
+  SELECT ph, src AS vid, CAST(COUNT(*) AS DOUBLE) AS deg
+  FROM ea GROUP BY ph, src),
+nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v1),
+pr(it, vid, pr) AS (
+  SELECT 0, vid, 1.0/(SELECT n FROM nv) FROM v1
+  UNION ALL
+  SELECT p.it + 1, ea.dst,
+         (1.0 - 0.85)/(SELECT n FROM nv) + 0.85*SUM(p.pr/da.deg)
+  FROM pr p
+  JOIN da ON da.vid = p.vid
+         AND da.ph = (CASE WHEN p.it < {PR_ITERS} THEN 0 ELSE 1 END)
+  JOIN ea ON ea.src = p.vid AND ea.ph = da.ph
+  WHERE p.it < {PR_ITERS} + {INC_ITERS}
+  GROUP BY p.it + 1, ea.dst
+)
+SELECT CAST(vid AS BIGINT) AS vid, ROUND(pr, 9) AS pr
+FROM pr WHERE it = {PR_ITERS} + {INC_ITERS}
+"""
+
+
 QUERIES = {
     "degree_topk": q_degree_topk,
     "edges_shared_key": q_edges_shared_key,
@@ -4642,6 +4844,11 @@ QUERIES = {
     "connected_components": q_connected_components,
     "attack_robustness": q_attack_robustness,
     "failure_robustness": q_failure_robustness,
+    "mixture_weights": q_mixture_weights,
+    "dedup_token_stats": q_dedup_token_stats,
+    "weighted_sample": q_weighted_sample,
+    "landmark_distances": q_landmark_distances,
+    "pagerank_incremental": q_pagerank_incremental,
     "k_core": q_k_core,
     "coreness": q_coreness,
     "triangle_count": q_triangle_count,
@@ -4776,6 +4983,11 @@ ORACLES = {
     "connected_components": SQL_CONNECTED_COMPONENTS,
     "attack_robustness": SQL_ATTACK_ROBUSTNESS,
     "failure_robustness": SQL_FAILURE_ROBUSTNESS,
+    "mixture_weights": SQL_MIXTURE_WEIGHTS,
+    "dedup_token_stats": SQL_DEDUP_TOKEN_STATS,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "landmark_distances": SQL_LANDMARK_DISTANCES,
+    "pagerank_incremental": SQL_PAGERANK_INCREMENTAL,
     "k_core": SQL_K_CORE,
     "coreness": SQL_CORENESS,
     "triangle_count": SQL_TRIANGLE_COUNT,

@@ -166,3 +166,42 @@ def stratified_sample(
         F.lit(BUCKETS),
     )
     return df.where(b < int(round(fraction * BUCKETS)))
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col,
+    k: int,
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): each row draws an exponential key
+    -ln(u)/w with u = hash-uniform(0,1] from the portable md5 family,
+    and the k smallest keys win.  Inclusion probability is proportional
+    to weight under without-replacement semantics; the draw is a pure
+    projection of (id, weight) — reproducible across engines, cluster
+    shapes and task retries, so the same corpus sample can be re-drawn
+    bit-identically by the DuckDB oracle.
+
+    Returns (id, weight, ws_key) for the k winners, ties broken by id.
+    Plan: projection + global top-k (TakeOrdered, O2) — no full sort,
+    no shuffle of anything but the k survivors.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    # (h+1)/2^60 ∈ (0,1]: never 0, so ln(u) is finite; 60-bit resolution
+    u = (
+        portable_hash60(
+            F.concat(F.col(id_col).cast("string"), F.lit("#" + salt))
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 60))
+    key = -F.log(u) / w.cast("double")
+    return (
+        df.where(w > 0)
+        .select(F.col(id_col), w.cast("double").alias("weight"), key.alias("ws_key"))
+        .orderBy(F.col("ws_key").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -856,3 +856,42 @@ def fertility_by_lang(docs: DataFrame, round_to: int = 6) -> DataFrame:
             "chars_per_token"
         ),
     )
+
+
+def mixture_weights(
+    docs: DataFrame, alpha: float = 0.5, round_to: int = 6
+) -> DataFrame:
+    """Temperature-scaled training-mixture weights per language
+    (the mT5/XLM-R sampling rule): the sampling probability is
+    p_l ∝ share_l^alpha, i.e. raw token shares flattened toward uniform
+    by the temperature alpha in [0, 1] (alpha=1 keeps natural shares,
+    alpha=0 is uniform-over-languages).  Emits, per language, the raw
+    token share, the smoothed sampling share, and the upsample factor
+    smoothed/raw — the epochs multiplier each language's data receives
+    at a fixed token budget.
+
+    One corpus scan -> ≤|langs|-row aggregate -> a broadcastable
+    two-level normalization: POW is IEEE-identical across engines for
+    the oracle, and everything after the scan is driver-trivial.
+    """
+    toks = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0))
+    per = docs.select("lang", toks.alias("nt")).groupBy("lang").agg(
+        F.sum("nt").cast("double").alias("nt")
+    )
+    tot = per.agg(F.sum("nt").alias("tt"))
+    shares = per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.col("nt").cast("long").alias("n_tokens"),
+        (F.col("nt") / F.col("tt")).alias("raw"),
+        F.pow(F.col("nt") / F.col("tt"), F.lit(float(alpha))).alias("pw"),
+    )
+    z = shares.agg(F.sum("pw").alias("z"))
+    return shares.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_tokens",
+        F.round("raw", round_to).alias("raw_share"),
+        F.round(F.col("pw") / F.col("z"), round_to).alias("sample_share"),
+        F.round(F.col("pw") / F.col("z") / F.col("raw"), round_to).alias(
+            "upsample"
+        ),
+    )
