@@ -205,3 +205,67 @@ def attack_robustness(
         out,
         "n_removed long, n_vertices long, n_components long, giant_size long",
     )
+
+
+def edge_percolation(graph: LinkGraph, ps: list[float]) -> DataFrame:
+    """Bond-percolation curve: for each retention probability p, keep an
+    undirected edge iff its canonical-pair portable hash falls under p
+    (both directions of an edge draw the SAME coin via the
+    least/greatest key, so the subgraph stays symmetric), then report
+
+        (p_keep, n_edges, n_vertices, n_components, giant_size)
+
+    over the surviving edges.  The giant-component emergence point of
+    this curve is the percolation threshold — together with
+    attack/failure robustness it completes the standard resilience
+    triptych (random EDGE loss vs random/targeted VERTEX loss).  The
+    md5-derived coin is deterministic and engine-portable, so the
+    DuckDB oracle reproduces the identical subgraph per p.
+
+    Plan per p: pure filter on the edge scan (the coin is a projection —
+    no shuffle, no sample-collect), one pointer-doubling CC, one
+    two-level count aggregate; |ps| is a handful.
+    """
+    from linkgraph.textops.dedup import portable_hash60
+
+    out: list[tuple] = []
+    spark = graph.edges.sparkSession
+    coin = F.pmod(
+        portable_hash60(
+            F.concat(
+                F.least("src", "dst").cast("string"),
+                F.lit("#"),
+                F.greatest("src", "dst").cast("string"),
+                F.lit("#perc"),
+            )
+        ),
+        F.lit(10_000),
+    )
+    for p in sorted(ps):
+        if not (0.0 <= p <= 1.0):
+            raise ValueError(f"edge_percolation: p={p} outside [0, 1]")
+        e = graph.edges.where(coin < int(round(p * 10_000))).select("src", "dst")
+        sub = LinkGraph(e, materialize=False)
+        ne = sub.edges.count() // 2  # undirected count of the symmetric table
+        cc = connected_components(sub)
+        sizes = cc.groupBy("comp").agg(F.count(F.lit(1)).alias("sz"))
+        row = sizes.agg(
+            F.sum("sz").cast("long").alias("n_vertices"),
+            F.count(F.lit(1)).cast("long").alias("n_components"),
+            F.max("sz").cast("long").alias("giant_size"),
+        ).collect()[0]
+        out.append(
+            (
+                round(p, 6),
+                ne,
+                row.n_vertices or 0,
+                row.n_components or 0,
+                row.giant_size or 0,
+            )
+        )
+        sub.unpersist()
+    return spark.createDataFrame(
+        out,
+        "p_keep double, n_edges long, n_vertices long, n_components long, "
+        "giant_size long",
+    )

@@ -4614,6 +4614,104 @@ SQL_ATTACK_ROBUSTNESS = _attack_oracle_sql(ATTACK_KS)
 SQL_FAILURE_ROBUSTNESS = _attack_oracle_sql(ATTACK_KS, by="hash")
 
 
+PERC_PS = [0.1, 0.4, 0.7, 1.0]  # bond-percolation retention grid
+
+
+def q_edge_percolation(spark, sf_dir):
+    """Bond-percolation curve on the strong-tie backbone: per retention
+    p, keep edges whose canonical-pair md5 coin falls under p and report
+    the residual component structure — the edge-loss member of the
+    resilience triptych next to attack/failure robustness."""
+    from linkgraph.algos.components import edge_percolation
+
+    ew = derive.copurchase_weighted_edges(_t(spark, sf_dir, "lineitem"))
+    g = LinkGraph(ew.where(F.col("w") >= BRIDGE_MIN_W).select("src", "dst"))
+    out = edge_percolation(g, PERC_PS)
+    g.unpersist()
+    return out
+
+
+def _percolation_oracle_sql(ps) -> str:
+    coin = (
+        "CAST('0x' || substr(md5(CAST(LEAST(src, dst) AS VARCHAR) || '#' || "
+        "CAST(GREATEST(src, dst) AS VARCHAR) || '#perc'), 1, 15) AS BIGINT) "
+        "% 10000"
+    )
+    parts = [f"""pk AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+wt AS MATERIALIZED (
+  SELECT a.p AS src, b.p AS dst, COUNT(*) AS w
+  FROM pk a JOIN pk b ON a.k = b.k AND a.p <> b.p GROUP BY a.p, b.p),
+se AS MATERIALIZED (SELECT src, dst FROM wt WHERE w >= {BRIDGE_MIN_W})"""]
+    selects = []
+    for idx, p in enumerate(sorted(ps)):
+        cut = int(round(p * 10_000))
+        parts.append(f"""e{idx} AS MATERIALIZED (
+  SELECT src, dst FROM se WHERE {coin} < {cut}),
+v{idx} AS (SELECT DISTINCT src AS v FROM e{idx}),
+r{idx}(v, u) AS (
+  SELECT v, v FROM v{idx}
+  UNION
+  SELECT r{idx}.v, e{idx}.dst FROM r{idx} JOIN e{idx} ON e{idx}.src = r{idx}.u),
+s{idx} AS (SELECT MIN(u) AS comp, COUNT(DISTINCT v) AS sz
+           FROM (SELECT v, MIN(u) AS u FROM r{idx} GROUP BY v) GROUP BY u)""")
+        selects.append(f"""SELECT {round(p, 6)} AS p_keep,
+       (SELECT CAST(COUNT(*)/2 AS BIGINT) FROM e{idx}) AS n_edges,
+       CAST(COALESCE(SUM(sz), 0) AS BIGINT) AS n_vertices,
+       CAST(COUNT(*) AS BIGINT) AS n_components,
+       CAST(COALESCE(MAX(sz), 0) AS BIGINT) AS giant_size
+FROM s{idx}""")
+    return "WITH RECURSIVE " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+SQL_EDGE_PERCOLATION = _percolation_oracle_sql(PERC_PS)
+
+
+EMB_D = 64  # embeddings.parquet dimension (TESTDATA.md contract)
+PCA_ITERS = 24  # fixed power-iteration budget shared with the SQL oracle
+
+
+def q_embedding_top_pc(spark, sf_dir):
+    """Top principal component + explained-variance ratio of the
+    embedding corpus (the ABTT anisotropy readout) — fixed-budget
+    deferred-normalization power iteration, hash-checked against a
+    recursive-CTE mirror of the same arithmetic."""
+    from linkgraph.textops.simsearch import embedding_top_pc
+
+    return embedding_top_pc(_t(spark, sf_dir, "embeddings"), iters=PCA_ITERS)
+
+
+SQL_EMBEDDING_TOP_PC = f"""
+WITH RECURSIVE
+flat AS MATERIALIZED (
+  SELECT vec_id, CAST(t.i AS INT) AS i, CAST(embedding[t.i] AS DOUBLE) AS v
+  FROM embeddings, range(1, {EMB_D} + 1) t(i)),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+mu AS MATERIALIZED (SELECT i, SUM(v) / (SELECT n FROM nn) AS m FROM flat GROUP BY i),
+cov AS MATERIALIZED (
+  SELECT p.i, p.j, p.s / (SELECT n FROM nn) - ma.m * mb.m AS c
+  FROM (SELECT a.i, b.i AS j, SUM(a.v * b.v) AS s
+        FROM flat a JOIN flat b ON a.vec_id = b.vec_id GROUP BY a.i, b.i) p
+  JOIN mu ma ON ma.i = p.i JOIN mu mb ON mb.i = p.j),
+pv(it, i, val) AS (
+  SELECT 0, CAST(t.i AS INT), 1.0 / {EMB_D} FROM range(1, {EMB_D} + 1) t(i)
+  UNION ALL
+  SELECT pv.it + 1, cov.i, SUM(cov.c * pv.val)
+  FROM pv JOIN cov ON cov.j = pv.i
+  WHERE pv.it < {PCA_ITERS}
+  GROUP BY pv.it + 1, cov.i),
+fin AS MATERIALIZED (SELECT i, val FROM pv WHERE it = {PCA_ITERS}),
+nrm AS (SELECT SQRT(SUM(val * val)) AS nv FROM fin),
+vv AS MATERIALIZED (SELECT i, val / (SELECT nv FROM nrm) AS v FROM fin),
+cv AS (SELECT cov.i, SUM(cov.c * vv.v) AS w
+       FROM cov JOIN vv ON vv.i = cov.j GROUP BY cov.i),
+lam AS (SELECT SUM(vv.v * cv.w) AS l FROM vv JOIN cv ON cv.i = vv.i),
+tr AS (SELECT SUM(c) AS t FROM cov WHERE i = j)
+SELECT CAST(vv.i - 1 AS BIGINT) AS dim_i, ROUND(vv.v, 6) + 0 AS loading,
+       ROUND((SELECT l FROM lam) / (SELECT t FROM tr), 6) + 0 AS evr
+FROM vv
+"""
+
+
 MIXTURE_ALPHA = 0.5  # sampling temperature shared with the SQL oracle
 
 
@@ -4844,6 +4942,8 @@ QUERIES = {
     "connected_components": q_connected_components,
     "attack_robustness": q_attack_robustness,
     "failure_robustness": q_failure_robustness,
+    "edge_percolation": q_edge_percolation,
+    "embedding_top_pc": q_embedding_top_pc,
     "mixture_weights": q_mixture_weights,
     "dedup_token_stats": q_dedup_token_stats,
     "weighted_sample": q_weighted_sample,
@@ -4983,6 +5083,8 @@ ORACLES = {
     "connected_components": SQL_CONNECTED_COMPONENTS,
     "attack_robustness": SQL_ATTACK_ROBUSTNESS,
     "failure_robustness": SQL_FAILURE_ROBUSTNESS,
+    "edge_percolation": SQL_EDGE_PERCOLATION,
+    "embedding_top_pc": SQL_EMBEDDING_TOP_PC,
     "mixture_weights": SQL_MIXTURE_WEIGHTS,
     "dedup_token_stats": SQL_DEDUP_TOKEN_STATS,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,

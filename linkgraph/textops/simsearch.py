@@ -548,3 +548,67 @@ def centroid_distances(vecs: DataFrame, round_to: int = 6) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     cent.unpersist()
     return out
+
+
+def embedding_top_pc(
+    vecs: DataFrame, iters: int = 24, round_to: int = 6
+) -> DataFrame:
+    """Top principal component of the embedding corpus: (dim_i, loading,
+    evr) — the dominant covariance eigenvector by fixed-budget power
+    iteration plus its explained-variance ratio.  This is the
+    all-but-the-top (ABTT, Mu & Viswanath ICLR'18) readout: a large evr
+    says the corpus rides one anisotropic direction that cosine
+    similarity should strip before dedup/ANN.
+
+    Scale shape: ONE mapInPandas pass accumulates per-partition moments
+    (n, Σx, Σxxᵀ) — the driver reduce is P·(d²+d+1) doubles (the IVF
+    ≤k·P precedent; 32 KB per partition at d=64), never the n·d² row
+    blowup of a relational self-join on the dimension key.  The 64×64
+    eigen-solve is driver math by construction.  Power iteration runs a
+    FIXED `iters` budget with deferred normalization (normalize once at
+    the end), so the DuckDB oracle's recursive CTE reproduces the same
+    arithmetic; round-6 absorbs summation-order noise, and `+0.0` after
+    the round canonicalizes -0.0 loadings on both engines.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = vecs.sparkSession
+
+    def moments(batches):
+        n = 0
+        s = None
+        m = None
+        for pdf in batches:
+            X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n += X.shape[0]
+            s = X.sum(axis=0) if s is None else s + X.sum(axis=0)
+            m = X.T @ X if m is None else m + X.T @ X
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "m": [m.reshape(-1).tolist()]}
+            )
+
+    parts = vecs.select("embedding").mapInPandas(
+        moments, "n long, s array<double>, m array<double>"
+    ).collect()  # bounded: P rows of (1 + d + d^2) doubles
+    if not parts:
+        return spark.createDataFrame(
+            [], "dim_i long, loading double, evr double"
+        )
+    n = sum(r["n"] for r in parts)
+    s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
+    d = s.shape[0]
+    M = np.sum([np.asarray(r["m"]).reshape(d, d) for r in parts], axis=0)
+    mu = s / n
+    C = M / n - np.outer(mu, mu)
+    v = np.full(d, 1.0 / d)
+    for _ in range(iters):
+        v = C @ v  # deferred normalization: direction is all that matters
+    v = v / np.sqrt(v @ v)
+    lam = float(v @ (C @ v))
+    evr = round(lam / float(np.trace(C)), round_to) + 0.0
+    rows = [
+        (int(i), round(float(v[i]), round_to) + 0.0, evr) for i in range(d)
+    ]
+    return spark.createDataFrame(rows, "dim_i long, loading double, evr double")
