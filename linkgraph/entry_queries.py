@@ -4712,6 +4712,137 @@ FROM vv
 """
 
 
+CM_WIDTH, CM_DEPTH, CM_TOPK = 1024, 4, 20  # count-min sketch geometry
+_H60 = (
+    "CAST('0x' || substr(md5({x} || '#' || CAST(q.r AS VARCHAR)), 1, 15) "
+    "AS BIGINT)"
+)
+
+
+def q_countmin_tokens(spark, sf_dir):
+    """Count-min sketch frequency estimates next to exact counts for the
+    top-20 corpus tokens — the fixed-size mergeable-summary path (the
+    counter table is depth×width longs no matter the corpus)."""
+    from linkgraph.textops.sketches import count_min_tokens
+
+    return count_min_tokens(
+        _t(spark, sf_dir, "documents"), width=CM_WIDTH, depth=CM_DEPTH, k=CM_TOPK
+    )
+
+
+SQL_COUNTMIN_TOKENS = f"""
+WITH tok AS MATERIALIZED (
+  SELECT unnest({_SQL_TOKENS}) AS tok FROM documents),
+pos AS (SELECT tok, q.r, {_H60.format(x='tok')} % {CM_WIDTH} AS b
+        FROM tok CROSS JOIN range(0, {CM_DEPTH}) q(r)),
+counters AS MATERIALIZED (SELECT r, b, COUNT(*) AS c FROM pos GROUP BY r, b),
+exact AS (SELECT tok, COUNT(*) AS exact_n FROM tok GROUP BY tok),
+topk AS (SELECT tok, exact_n FROM exact ORDER BY exact_n DESC, tok ASC LIMIT {CM_TOPK}),
+probe AS (SELECT t.tok, t.exact_n, q.r, {_H60.format(x='t.tok')} % {CM_WIDTH} AS b
+          FROM topk t CROSS JOIN range(0, {CM_DEPTH}) q(r))
+SELECT probe.tok AS token, CAST(probe.exact_n AS BIGINT) AS exact_n,
+       CAST(MIN(c.c) AS BIGINT) AS cm_est
+FROM probe JOIN counters c ON c.r = probe.r AND c.b = probe.b
+GROUP BY probe.tok, probe.exact_n
+"""
+
+
+BLOOM_M, BLOOM_K = 1024, 5  # bits / hash functions
+
+
+def q_bloom_dedup_audit(spark, sf_dir):
+    """Bloom-filter pre-dedup audit: filter built over even-id docs,
+    probed by odd-id docs; reports hits / true dups / false positives —
+    the ship-yesterday's-filter-to-today's-scan incremental-dedup shape."""
+    from linkgraph.textops.sketches import bloom_dedup_audit
+
+    return bloom_dedup_audit(
+        _t(spark, sf_dir, "documents"), m_bits=BLOOM_M, k_hashes=BLOOM_K
+    )
+
+
+SQL_BLOOM_DEDUP_AUDIT = f"""
+WITH dg AS (SELECT doc_id AS id, md5(text) AS h FROM documents),
+build AS MATERIALIZED (SELECT * FROM dg WHERE id % 2 = 0),
+probe AS MATERIALIZED (SELECT * FROM dg WHERE id % 2 = 1),
+bpos AS MATERIALIZED (
+  SELECT DISTINCT {_H60.format(x='h')} % {BLOOM_M} AS pos
+  FROM build CROSS JOIN range(0, {BLOOM_K}) q(r)),
+bh AS (SELECT DISTINCT h FROM build),
+ppos AS (SELECT id, {_H60.format(x='h')} % {BLOOM_M} AS pos
+         FROM probe CROSS JOIN range(0, {BLOOM_K}) q(r)),
+hits AS (SELECT id FROM ppos JOIN bpos USING (pos)
+         GROUP BY id HAVING COUNT(*) = {BLOOM_K}),
+agg AS (SELECT
+  (SELECT COUNT(*) FROM build) AS n_build,
+  (SELECT COUNT(*) FROM probe) AS n_probe,
+  (SELECT COUNT(*) FROM hits) AS bloom_hits,
+  (SELECT COUNT(*) FROM probe JOIN bh USING (h)) AS true_dups)
+SELECT CAST(n_build AS BIGINT) AS n_build, CAST(n_probe AS BIGINT) AS n_probe,
+       CAST(bloom_hits AS BIGINT) AS bloom_hits,
+       CAST(true_dups AS BIGINT) AS true_dups,
+       CAST(bloom_hits - true_dups AS BIGINT) AS false_pos,
+       ROUND(CAST(bloom_hits - true_dups AS DOUBLE)
+             / GREATEST(n_probe - true_dups, 1), 6) AS fp_rate
+FROM agg
+"""
+
+
+SALSA_ROUNDS = 8  # fixed budget, mirrored by the unrolled oracle
+
+
+def q_salsa(spark, sf_dir):
+    """SALSA hubs/authorities on the ORIENTED (src < dst) co-purchase
+    graph — HITS's degree-normalized cousin: stationary masses of the
+    alternating random walk, immune to dense-vertex score capture."""
+    from linkgraph.algos.salsa import salsa
+
+    g = copurchase_graph(spark, sf_dir)
+    oriented = LinkGraph(
+        g.edges.where(F.col("src") < F.col("dst")).select("src", "dst"),
+        materialize=False,
+    )
+    out = salsa(oriented, rounds=SALSA_ROUNDS)
+    oriented.unpersist()
+    return out
+
+
+def _salsa_oracle_sql(rounds: int) -> str:
+    parts = [
+        "ed AS MATERIALIZED (SELECT src, dst FROM e WHERE src < dst)",
+        "v AS MATERIALIZED (SELECT DISTINCT vid FROM "
+        "(SELECT src AS vid FROM ed UNION ALL SELECT dst AS vid FROM ed))",
+        "od AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS d FROM ed GROUP BY src)",
+        "idg AS MATERIALIZED (SELECT dst AS vid, COUNT(*) AS d FROM ed GROUP BY dst)",
+        """h0 AS MATERIALIZED (
+  SELECT v.vid, CASE WHEN od.vid IS NOT NULL
+                     THEN 1.0 / (SELECT COUNT(*) FROM od) ELSE 0.0 END AS x
+  FROM v LEFT JOIN od ON od.vid = v.vid)""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f"""a{i} AS MATERIALIZED (
+  SELECT v.vid, COALESCE(s.acc, 0) AS x FROM v LEFT JOIN (
+    SELECT ed.dst AS vid, SUM(h.x / od.d) AS acc
+    FROM ed JOIN h{i - 1} h ON h.vid = ed.src JOIN od ON od.vid = ed.src
+    WHERE h.x <> 0 GROUP BY ed.dst) s USING (vid))""")
+        parts.append(f"""h{i} AS MATERIALIZED (
+  SELECT v.vid, COALESCE(s.acc, 0) AS x FROM v LEFT JOIN (
+    SELECT ed.src AS vid, SUM(a.x / idg.d) AS acc
+    FROM ed JOIN a{i} a ON a.vid = ed.dst JOIN idg ON idg.vid = ed.dst
+    WHERE a.x <> 0 GROUP BY ed.src) s USING (vid))""")
+    return (
+        f"WITH {_COPURCHASE_E},"
+        + ",".join(parts)
+        + f"""
+SELECT CAST(v.vid AS BIGINT) AS vid, ROUND(h.x, 6) + 0 AS hub,
+       ROUND(a.x, 6) + 0 AS auth
+FROM v JOIN h{rounds} h USING (vid) JOIN a{rounds} a USING (vid)"""
+    )
+
+
+SQL_SALSA = _salsa_oracle_sql(SALSA_ROUNDS)
+
+
 MIXTURE_ALPHA = 0.5  # sampling temperature shared with the SQL oracle
 
 
@@ -4944,6 +5075,9 @@ QUERIES = {
     "failure_robustness": q_failure_robustness,
     "edge_percolation": q_edge_percolation,
     "embedding_top_pc": q_embedding_top_pc,
+    "countmin_tokens": q_countmin_tokens,
+    "bloom_dedup_audit": q_bloom_dedup_audit,
+    "salsa": q_salsa,
     "mixture_weights": q_mixture_weights,
     "dedup_token_stats": q_dedup_token_stats,
     "weighted_sample": q_weighted_sample,
@@ -5085,6 +5219,9 @@ ORACLES = {
     "failure_robustness": SQL_FAILURE_ROBUSTNESS,
     "edge_percolation": SQL_EDGE_PERCOLATION,
     "embedding_top_pc": SQL_EMBEDDING_TOP_PC,
+    "countmin_tokens": SQL_COUNTMIN_TOKENS,
+    "bloom_dedup_audit": SQL_BLOOM_DEDUP_AUDIT,
+    "salsa": SQL_SALSA,
     "mixture_weights": SQL_MIXTURE_WEIGHTS,
     "dedup_token_stats": SQL_DEDUP_TOKEN_STATS,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,

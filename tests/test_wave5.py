@@ -79,3 +79,87 @@ def test_embedding_top_pc_empty_corpus(spark):
 
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert embedding_top_pc(df).count() == 0
+
+
+DOCS5 = [
+    (0, "alpha beta gamma delta", "en", "s0", 22),
+    (1, "alpha beta gamma delta", "en", "s1", 22),  # dup of 0 (cross-parity)
+    (2, "epsilon zeta", "en", "s0", 12),
+    (3, "epsilon zeta eta theta", "en", "s1", 22),
+    (4, "iota kappa lambda", "en", "s0", 17),
+    (5, "iota kappa lambda", "en", "s1", 17),  # dup of 4 (cross-parity)
+    (6, "unique six words here only once ok", "en", "s0", 34),
+    (7, "totally fresh probe text", "en", "s1", 24),
+]
+
+
+@pytest.fixture(scope="module")
+def docs5(spark):
+    return spark.createDataFrame(
+        DOCS5, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_countmin_never_underestimates(docs5):
+    from linkgraph.textops.sketches import count_min_tokens
+
+    rows = count_min_tokens(docs5, width=8, depth=2, k=50).collect()
+    assert rows and all(r.cm_est >= r.exact_n for r in rows)
+
+
+def test_countmin_exact_when_wide(docs5):
+    """A sketch wider than the vocabulary with enough depth is exact on
+    this fixture (min over rows kills residual collisions)."""
+    from linkgraph.textops.sketches import count_min_tokens
+
+    rows = count_min_tokens(docs5, width=4096, depth=4, k=50).collect()
+    assert rows and all(r.cm_est == r.exact_n for r in rows)
+    got = {r.token: r.exact_n for r in rows}
+    assert got["alpha"] == 2 and got["epsilon"] == 2 and got["once"] == 1
+
+
+def test_bloom_no_false_negatives(docs5):
+    """Every true cross-parity duplicate is a Bloom hit, for any m/k."""
+    from linkgraph.textops.sketches import bloom_dedup_audit
+
+    for m in (16, 64, 4096):
+        r = bloom_dedup_audit(docs5, m_bits=m, k_hashes=3).collect()[0]
+        assert r.n_build == 4 and r.n_probe == 4
+        assert r.true_dups == 2  # docs 1 and 5 duplicate build-side texts
+        assert r.bloom_hits >= r.true_dups and r.false_pos >= 0
+    # a huge filter has no false positives on 4 build docs
+    r = bloom_dedup_audit(docs5, m_bits=2**16, k_hashes=3).collect()[0]
+    assert (r.bloom_hits, r.false_pos, r.fp_rate) == (2, 0, 0.0)
+
+
+def test_salsa_star_is_stationary(spark):
+    """Directed star 0->{1,2,3,4}: hub mass stays on 0, authority mass
+    splits equally — the SALSA walk is stationary from round 1."""
+    from linkgraph.algos.salsa import salsa
+
+    e = spark.createDataFrame([(0, i) for i in range(1, 5)], "src long, dst long")
+    out = {r.vid: r for r in salsa(LinkGraph(e, materialize=False), rounds=3).collect()}
+    assert out[0].hub == pytest.approx(1.0) and out[0].auth == 0.0
+    for i in range(1, 5):
+        assert out[i].auth == pytest.approx(0.25) and out[i].hub == 0.0
+
+
+def test_salsa_conserves_mass_and_differs_from_hits(spark):
+    """On a dense-vs-sparse hub graph, total hub/auth mass is exactly 1
+    per side and the dense hub does NOT capture the score the way HITS
+    lets it (degree normalization splits its mass)."""
+    from linkgraph.algos.salsa import salsa
+
+    # hub 0 points at 6 targets, hub 10 points at 1 of them
+    pairs = [(0, i) for i in range(1, 7)] + [(10, 1)]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    rows = salsa(LinkGraph(e, materialize=False), rounds=12, round_to=None).collect()
+    hub_mass = sum(r.hub for r in rows)
+    auth_mass = sum(r.auth for r in rows)
+    assert hub_mass == pytest.approx(1.0, abs=1e-9)
+    assert auth_mass == pytest.approx(1.0, abs=1e-9)
+    by = {r.vid: r for r in rows}
+    # vertex 1 has indegree 2, others 1: its stationary authority is 2/7
+    # (the walk mixes geometrically; 12 rounds lands within 1e-3)
+    assert by[1].auth == pytest.approx(2 / 7, abs=1e-3)
+    assert by[1].auth == max(r.auth for r in rows)
