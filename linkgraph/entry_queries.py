@@ -4788,6 +4788,133 @@ FROM agg
 """
 
 
+def q_hll_daily_users(spark, sf_dir):
+    """Portable-HLL daily distinct users next to the exact count — the
+    64-byte mergeable register state vs the full COUNT(DISTINCT)
+    shuffle; both engines build bit-identical registers."""
+    from linkgraph.textops.sketches import hll_distinct
+
+    d = _t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    return hll_distinct(d, "user_id", "day")
+
+
+def _hll_oracle_sql() -> str:
+    from linkgraph.textops.sketches import HLL_ALPHA, HLL_M, HLL_P, HLL_W
+
+    scale = HLL_W + 1
+    num = repr(HLL_ALPHA * HLL_M * HLL_M * float(1 << scale))
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events),
+hx AS (SELECT day, CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) AS h FROM d),
+rr AS (SELECT day, h % {HLL_M} AS reg,
+        CASE WHEN h // {HLL_M} = 0 THEN {HLL_W + 1}
+             ELSE {HLL_W} - CAST(FLOOR(LOG2(CAST(h // {HLL_M} AS DOUBLE)))
+                                 AS BIGINT) END AS rho
+       FROM hx),
+regs AS (SELECT day, reg, MAX(rho) AS m FROM rr GROUP BY day, reg),
+per AS (SELECT day,
+         SUM(CAST(1 AS BIGINT) << ({scale} - m)) AS isum,
+         COUNT(*) AS nreg FROM regs GROUP BY day),
+est AS (SELECT day,
+         isum + ({HLL_M} - nreg) * (CAST(1 AS BIGINT) << {scale}) AS isum_full,
+         {HLL_M} - nreg AS vz FROM per),
+fin AS (SELECT day,
+         CASE WHEN {num} / isum_full <= {2.5 * HLL_M} AND vz > 0
+              THEN {float(HLL_M)} * LN({float(HLL_M)} / vz)
+              ELSE {num} / isum_full END AS e FROM est),
+ex AS (SELECT day, COUNT(DISTINCT user_id) AS exact_n FROM d GROUP BY day)
+SELECT ex.day AS day, CAST(ex.exact_n AS BIGINT) AS exact_n,
+       ROUND(fin.e, 4) AS hll_est
+FROM ex JOIN fin USING (day)
+"""
+
+
+SQL_HLL_DAILY_USERS = _hll_oracle_sql()
+
+
+def q_mutual_knn(spark, sf_dir):
+    """Mutual top-1 cosine pairs within label blocks — the bitext-miner
+    shape: per-block quadratic (block = LSH bucket / IVF list at scale),
+    mutuality filters one-directional hubness errors."""
+    from linkgraph.textops.simsearch import mutual_top1
+
+    return mutual_top1(_t(spark, sf_dir, "embeddings"), block_col="label")
+
+
+SQL_MUTUAL_KNN = """
+WITH emb AS MATERIALIZED (
+  SELECT vec_id AS id, label AS blk,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+sims AS (
+  SELECT a.blk, a.id AS id_a, b.id AS id_b,
+         ROUND(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) *
+                sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+  FROM emb a JOIN emb b ON a.blk = b.blk AND a.id <> b.id),
+nn AS MATERIALIZED (
+  SELECT id_a, id_b, sim FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY blk, id_a
+                                 ORDER BY sim DESC, id_b ASC) AS rn
+    FROM sims) WHERE rn = 1)
+SELECT CAST(x.id_a AS BIGINT) AS id_a, CAST(x.id_b AS BIGINT) AS id_b, x.sim
+FROM nn x JOIN nn y
+  ON x.id_a = y.id_b AND x.id_b = y.id_a AND x.id_a < x.id_b
+"""
+
+
+HIT_ROUNDS = 8  # truncation horizon T, mirrored by the unrolled oracle
+
+
+def q_hitting_time(spark, sf_dir):
+    """Truncated random-walk hitting time to the 4 lowest part keys over
+    the co-purchase graph — the many-short-paths proximity score."""
+    from linkgraph.algos.hitting import hitting_time
+
+    g = copurchase_graph(spark, sf_dir)
+    seeds = [
+        r[0]
+        for r in _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("s"))
+        .distinct()
+        .orderBy("s")
+        .limit(4)
+        .collect()
+    ]
+    return hitting_time(g, seeds, rounds=HIT_ROUNDS)
+
+
+def _hitting_oracle_sql(rounds: int) -> str:
+    parts = [
+        "deg AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS d FROM e GROUP BY src)",
+        "seeds AS MATERIALIZED (SELECT DISTINCT l_partkey AS s FROM lineitem "
+        "ORDER BY s ASC LIMIT 4)",
+        "v AS MATERIALIZED (SELECT vid, d, vid IN (SELECT s FROM seeds) AS isseed "
+        "FROM deg)",
+        "t0 AS MATERIALIZED (SELECT vid, 0.0 AS x FROM v)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f"""t{i} AS MATERIALIZED (
+  SELECT v.vid, CASE WHEN v.isseed THEN 0.0
+                     ELSE 1.0 + COALESCE(s.acc, 0) / v.d END AS x
+  FROM v LEFT JOIN (
+    SELECT e.dst AS vid, SUM(h.x) AS acc FROM e JOIN t{i - 1} h ON h.vid = e.src
+    GROUP BY e.dst) s USING (vid))""")
+    return (
+        f"WITH {_COPURCHASE_E},"
+        + ",".join(parts)
+        + f"""
+SELECT CAST(vid AS BIGINT) AS vid, ROUND(x, 6) + 0 AS hit FROM t{rounds}"""
+    )
+
+
+SQL_HITTING_TIME = _hitting_oracle_sql(HIT_ROUNDS)
+
+
 SALSA_ROUNDS = 8  # fixed budget, mirrored by the unrolled oracle
 
 
@@ -5077,6 +5204,9 @@ QUERIES = {
     "embedding_top_pc": q_embedding_top_pc,
     "countmin_tokens": q_countmin_tokens,
     "bloom_dedup_audit": q_bloom_dedup_audit,
+    "hll_daily_users": q_hll_daily_users,
+    "mutual_knn": q_mutual_knn,
+    "hitting_time": q_hitting_time,
     "salsa": q_salsa,
     "mixture_weights": q_mixture_weights,
     "dedup_token_stats": q_dedup_token_stats,
@@ -5221,6 +5351,9 @@ ORACLES = {
     "embedding_top_pc": SQL_EMBEDDING_TOP_PC,
     "countmin_tokens": SQL_COUNTMIN_TOKENS,
     "bloom_dedup_audit": SQL_BLOOM_DEDUP_AUDIT,
+    "hll_daily_users": SQL_HLL_DAILY_USERS,
+    "mutual_knn": SQL_MUTUAL_KNN,
+    "hitting_time": SQL_HITTING_TIME,
     "salsa": SQL_SALSA,
     "mixture_weights": SQL_MIXTURE_WEIGHTS,
     "dedup_token_stats": SQL_DEDUP_TOKEN_STATS,

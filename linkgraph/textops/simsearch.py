@@ -612,3 +612,68 @@ def embedding_top_pc(
         (int(i), round(float(v[i]), round_to) + 0.0, evr) for i in range(d)
     ]
     return spark.createDataFrame(rows, "dim_i long, loading double, evr double")
+
+
+def mutual_top1(
+    embeddings: DataFrame,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Mutual nearest-neighbor pairs within blocks: (id_a, id_b, sim)
+    where each vector is the other's top-1 cosine neighbor inside their
+    shared block, id_a < id_b.
+
+    Mutual top-1 is the standard high-precision pair miner (bitext
+    mining, near-dup canonicalization): mutuality filters the asymmetric
+    hubness errors a one-directional kNN keeps.  Blocking on `block_col`
+    is the scale story — the all-pairs join is quadratic per block, never
+    corpus-quadratic; at 100 TB the block key is an LSH bucket or IVF
+    centroid (the prebuilt indexes in this module) instead of a label.
+
+    Argmax determinism: similarities are rounded BEFORE the top-1 window
+    (ties then break by neighbor id), so engines whose float sums differ
+    at 1e-15 still pick the same neighbor.
+    """
+    from pyspark.sql import Window
+
+    emb = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    sims = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") != F.col("b.id")))
+        .select(
+            F.col("a.blk").alias("blk"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(
+                _dot(F.col("a.v"), F.col("b.v"))
+                / (_norm(F.col("a.v")) * _norm(F.col("b.v"))),
+                round_to,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("blk", "id_a").orderBy(F.desc("sim"), F.asc("id_b"))
+    nn = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id_a", "id_b", "sim")
+    )
+    x, y = nn.alias("x"), nn.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.id_a") == F.col("y.id_b"))
+            & (F.col("x.id_b") == F.col("y.id_a"))
+            & (F.col("x.id_a") < F.col("x.id_b")),
+        )
+        .select(
+            F.col("x.id_a").cast("long").alias("id_a"),
+            F.col("x.id_b").cast("long").alias("id_b"),
+            F.col("x.sim").alias("sim"),
+        )
+    )

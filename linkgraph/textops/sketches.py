@@ -171,3 +171,73 @@ def bloom_dedup_audit(
             ).alias("fp_rate"),
         )
     )
+
+
+HLL_P = 6                      # 2^6 = 64 registers
+HLL_M = 1 << HLL_P
+HLL_W = 60 - HLL_P             # bits left after the register index
+# alpha_m for m=64 [FFGM07]: 0.7213 / (1 + 1.079/m)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def hll_distinct(
+    df: DataFrame, key_col: str, group_col: str
+) -> DataFrame:
+    """Portable HyperLogLog distinct-count per group, reported next to
+    the exact count: (group, exact_n, hll_est).
+
+    [FFGM07] Flajolet, Fusy, Gandouet, Meunier, "HyperLogLog: the
+    analysis of a near-optimal cardinality estimation algorithm",
+    AofA 2007.
+
+    The register stream is the 100 TB shape: COUNT(DISTINCT) shuffles
+    every distinct key, while the HLL state is m=64 bytes per group,
+    merged map-side by MAX and additive across partitions, days, and
+    reruns.  Spark ships approx_count_distinct built in, but its sketch
+    is not reproducible outside the JVM — this one is built from
+    `portable_hash60`, so the DuckDB oracle computes bit-identical
+    registers, and the harmonic-mean denominator is assembled as an
+    EXACT integer (Σ 2^(W+1-M_j) ≤ m·2^(W+1) < 2^61 fits a long), so the
+    estimate is ONE float division on both engines — no
+    summation-order noise to round away.  Small-range correction
+    (linear counting, E ≤ 2.5m with empty registers) matches [FFGM07].
+    """
+    key = F.col(key_col).cast("string")
+    h = portable_hash60(key)
+    reg = F.pmod(h, F.lit(HLL_M))
+    w = F.shiftright(h, HLL_P)  # h is 60-bit nonnegative: logical shift
+    # rank of the first set bit in the W-bit window, 1-based; W+1 if w=0.
+    # floor(log2) runs in float64 on BOTH engines, so any rounding at the
+    # 2^53 boundary is reproduced identically.
+    rho = F.when(w == 0, F.lit(HLL_W + 1)).otherwise(
+        F.lit(HLL_W) - F.floor(F.log2(w.cast("double"))).cast("long")
+    )
+    regs = (
+        df.select(F.col(group_col).alias("grp"), reg.alias("reg"), rho.alias("rho"))
+        .groupBy("grp", "reg")
+        .agg(F.max("rho").alias("m"))
+    )
+    scale = HLL_W + 1  # 2^(scale - M_j) is integral for every M_j in [1, W+1]
+    per = regs.groupBy("grp").agg(
+        # pyspark's F.shiftleft only takes a literal bit count; the SQL
+        # form accepts an expression
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale} - m)")).alias("isum"),
+        F.count(F.lit(1)).alias("nreg"),
+    )
+    v_zero = F.lit(HLL_M) - F.col("nreg")
+    isum_full = F.col("isum") + v_zero * F.lit(1 << scale)
+    e_raw = F.lit(HLL_ALPHA * HLL_M * HLL_M * float(1 << scale)) / isum_full
+    est = F.when(
+        (e_raw <= 2.5 * HLL_M) & (v_zero > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_zero),
+    ).otherwise(e_raw)
+    exact = (
+        df.select(F.col(group_col).alias("grp"), F.col(key_col).alias("k"))
+        .groupBy("grp")
+        .agg(F.countDistinct("k").alias("exact_n"))
+    )
+    return exact.join(per, "grp").select(
+        F.col("grp").alias(group_col),
+        F.col("exact_n").cast("long").alias("exact_n"),
+        F.round(est, 4).alias("hll_est"),
+    )

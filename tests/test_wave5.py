@@ -163,3 +163,81 @@ def test_salsa_conserves_mass_and_differs_from_hits(spark):
     # (the walk mixes geometrically; 12 rounds lands within 1e-3)
     assert by[1].auth == pytest.approx(2 / 7, abs=1e-3)
     assert by[1].auth == max(r.auth for r in rows)
+
+
+def test_hll_distinct_small_range_and_bound(spark):
+    """Tiny groups hit the linear-counting branch (near-exact); a
+    1000-key group lands within the [FFGM07] error envelope for m=64."""
+    from linkgraph.textops.sketches import hll_distinct
+
+    rows = [("small", f"u{i}") for i in range(5)]
+    rows += [("big", f"v{i}") for i in range(1000)]
+    # duplicates must not move the estimate: registers are MAX-merged
+    rows += [("big", "v0")] * 50
+    df = spark.createDataFrame(rows, "grp string, k string")
+    out = {r.grp: r for r in hll_distinct(df, "k", "grp").collect()}
+    assert out["small"].exact_n == 5
+    assert abs(out["small"].hll_est - 5) <= 1  # linear counting regime
+    assert out["big"].exact_n == 1000
+    # m=64 -> relative std error 1.04/8 = 13%; 3 sigma envelope
+    assert abs(out["big"].hll_est - 1000) / 1000 < 0.4
+
+
+def test_hll_distinct_deterministic(spark):
+    from linkgraph.textops.sketches import hll_distinct
+
+    df = spark.createDataFrame(
+        [("g", f"u{i}") for i in range(137)], "grp string, k string"
+    )
+    a = hll_distinct(df, "k", "grp").collect()[0]
+    b = hll_distinct(df, "k", "grp").collect()[0]
+    assert a.hll_est == b.hll_est
+
+
+def test_mutual_top1_planted_pair(spark):
+    """Chain a->b, b->c, c->b inside one block: only (b, c) is mutual;
+    a second block contributes its own obvious pair."""
+    from linkgraph.textops.simsearch import mutual_top1
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 1),        # a: closest to b
+        (1, [0.9, 0.4, 0.0], 1),        # b: closest to c
+        (2, [0.88, 0.45, 0.0], 1),      # c: closest to b  -> mutual (1,2)
+        (10, [0.0, 1.0, 0.0], 2),
+        (11, [0.0, 0.99, 0.1], 2),      # mutual (10, 11) in block 2
+        (12, [0.5, 0.5, 0.7], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = {(r.id_a, r.id_b) for r in mutual_top1(df).collect()}
+    assert (1, 2) in got and (0, 1) not in got
+    assert (10, 11) in got and all(a < b for a, b in got)
+
+
+def test_hitting_time_path_and_unreachable(spark):
+    """Line 0-1-2 with seed 0: fixpoint is h(1)=3, h(2)=4; a component
+    that cannot reach the seed saturates at exactly T."""
+    from linkgraph.algos.hitting import hitting_time
+
+    pairs = [(0, 1), (1, 2), (10, 11)]
+    sym = pairs + [(b, a) for a, b in pairs]
+    g = LinkGraph(spark.createDataFrame(sym, "src long, dst long"))
+    T = 16
+    out = {r.vid: r.hit for r in hitting_time(g, [0], rounds=T).collect()}
+    assert out[0] == 0.0
+    assert out[1] == pytest.approx(3.0, abs=0.05)
+    assert out[2] == pytest.approx(4.0, abs=0.07)
+    assert out[10] == float(T) and out[11] == float(T)
+    g.unpersist()
+
+
+def test_hitting_time_monotone_in_horizon(spark):
+    """h_T is nondecreasing in T (truncation only ever cuts cost)."""
+    from linkgraph.algos.hitting import hitting_time
+
+    pairs = [(0, 1), (1, 2), (2, 3)]
+    sym = pairs + [(b, a) for a, b in pairs]
+    g = LinkGraph(spark.createDataFrame(sym, "src long, dst long"))
+    h4 = {r.vid: r.hit for r in hitting_time(g, [0], rounds=4).collect()}
+    h8 = {r.vid: r.hit for r in hitting_time(g, [0], rounds=8).collect()}
+    assert all(h8[v] >= h4[v] for v in h4)
+    g.unpersist()
