@@ -4915,6 +4915,88 @@ SELECT CAST(vid AS BIGINT) AS vid, ROUND(x, 6) + 0 AS hit FROM t{rounds}"""
 SQL_HITTING_TIME = _hitting_oracle_sql(HIT_ROUNDS)
 
 
+KMV_K = 64  # bottom-k signature size
+
+
+def q_kmv_user_overlap(spark, sf_dir):
+    """Pairwise Jaccard of event-type user-sets: exact vs the KMV
+    bottom-k estimate — fixed-size mergeable set synopses (k longs per
+    set) vs the full distinct-pair intersection."""
+    from linkgraph.textops.sketches import kmv_jaccard_pairs
+
+    return kmv_jaccard_pairs(
+        _t(spark, sf_dir, "events"), set_col="event_type", key_col="user_id", k=KMV_K
+    )
+
+
+SQL_KMV_USER_OVERLAP = f"""
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT event_type AS s,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM events),
+sk AS MATERIALIZED (SELECT s, h FROM (
+  SELECT s, h, ROW_NUMBER() OVER (PARTITION BY s ORDER BY h ASC) AS rn FROM m)
+  WHERE rn <= {KMV_K}),
+prs AS (SELECT DISTINCT a.s AS sa, b.s AS sb FROM sk a JOIN sk b ON a.s < b.s),
+uni AS (SELECT DISTINCT p.sa, p.sb, k.h
+        FROM prs p JOIN sk k ON k.s = p.sa OR k.s = p.sb),
+uk AS MATERIALIZED (SELECT sa, sb, h FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h ASC) AS rn FROM uni)
+  WHERE rn <= {KMV_K}),
+tri AS (SELECT sa, sb, COUNT(*) AS both FROM uk
+        WHERE EXISTS (SELECT 1 FROM sk WHERE sk.s = uk.sa AND sk.h = uk.h)
+          AND EXISTS (SELECT 1 FROM sk WHERE sk.s = uk.sb AND sk.h = uk.h)
+        GROUP BY sa, sb),
+kk AS (SELECT sa, sb, COUNT(*) AS kk FROM uk GROUP BY sa, sb),
+sets AS (SELECT s, COUNT(*) AS n FROM m GROUP BY s),
+inter AS (SELECT x.s AS sa, y.s AS sb, COUNT(*) AS i
+          FROM m x JOIN m y ON x.h = y.h AND x.s < y.s GROUP BY 1, 2)
+SELECT p.sa AS set_a, p.sb AS set_b,
+       ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE)
+             / (ps.n + qs.n - COALESCE(i.i, 0)), 6) AS exact_j,
+       ROUND(CAST(COALESCE(t.both, 0) AS DOUBLE) / k.kk, 6) AS kmv_j
+FROM prs p
+JOIN sets ps ON ps.s = p.sa JOIN sets qs ON qs.s = p.sb
+LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
+LEFT JOIN tri t ON t.sa = p.sa AND t.sb = p.sb
+JOIN kk k ON k.sa = p.sa AND k.sb = p.sb
+"""
+
+
+CMJ_WIDTH, CMJ_DEPTH = 4096, 4  # join-size sketch geometry
+
+
+def q_join_size_estimate(spark, sf_dir):
+    """Self-join cardinality of lineitem on l_partkey (the F2 moment)
+    estimated by count-min inner product vs the exact join count — the
+    planner-side cardinality primitive: sketches are built in one
+    map-side pass per side; the estimate never scans a joined row."""
+    from linkgraph.textops.sketches import cm_join_size
+
+    li = _t(spark, sf_dir, "lineitem")
+    return cm_join_size(
+        li, li, "l_partkey", "l_partkey", width=CMJ_WIDTH, depth=CMJ_DEPTH
+    )
+
+
+SQL_JOIN_SIZE_ESTIMATE = f"""
+WITH pos AS (
+  SELECT q.r, CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR) || '#' ||
+              CAST(q.r AS VARCHAR)), 1, 15) AS BIGINT) % {CMJ_WIDTH} AS b
+  FROM lineitem CROSS JOIN range(0, {CMJ_DEPTH}) q(r)),
+cnt AS MATERIALIZED (SELECT r, b, COUNT(*) AS c FROM pos GROUP BY r, b),
+est AS (SELECT MIN(ip) AS cm_est FROM (
+  SELECT r, SUM(c * c) AS ip FROM cnt GROUP BY r)),
+ex AS (SELECT SUM(n * n) AS exact_n FROM (
+  SELECT COUNT(*) AS n FROM lineitem GROUP BY l_partkey))
+SELECT CAST(ex.exact_n AS BIGINT) AS exact_n,
+       CAST(est.cm_est AS BIGINT) AS cm_est,
+       ROUND(CAST(est.cm_est - ex.exact_n AS DOUBLE)
+             / GREATEST(ex.exact_n, 1), 6) AS rel_err
+FROM ex, est
+"""
+
+
 SALSA_ROUNDS = 8  # fixed budget, mirrored by the unrolled oracle
 
 
@@ -5205,6 +5287,8 @@ QUERIES = {
     "countmin_tokens": q_countmin_tokens,
     "bloom_dedup_audit": q_bloom_dedup_audit,
     "hll_daily_users": q_hll_daily_users,
+    "kmv_user_overlap": q_kmv_user_overlap,
+    "join_size_estimate": q_join_size_estimate,
     "mutual_knn": q_mutual_knn,
     "hitting_time": q_hitting_time,
     "salsa": q_salsa,
@@ -5352,6 +5436,8 @@ ORACLES = {
     "countmin_tokens": SQL_COUNTMIN_TOKENS,
     "bloom_dedup_audit": SQL_BLOOM_DEDUP_AUDIT,
     "hll_daily_users": SQL_HLL_DAILY_USERS,
+    "kmv_user_overlap": SQL_KMV_USER_OVERLAP,
+    "join_size_estimate": SQL_JOIN_SIZE_ESTIMATE,
     "mutual_knn": SQL_MUTUAL_KNN,
     "hitting_time": SQL_HITTING_TIME,
     "salsa": SQL_SALSA,

@@ -241,3 +241,160 @@ def hll_distinct(
         F.col("exact_n").cast("long").alias("exact_n"),
         F.round(est, 4).alias("hll_est"),
     )
+
+
+def kmv_jaccard_pairs(
+    df: DataFrame, set_col: str, key_col: str, k: int = 64
+) -> DataFrame:
+    """Pairwise Jaccard similarity between the key-sets of every pair of
+    `set_col` values, exact next to the KMV (bottom-k) estimate:
+    (set_a, set_b, exact_j, kmv_j), set_a < set_b.
+
+    [BHRSG07] Beyer, Haas, Reinwald, Sismanis, Gemulla, "On synopses for
+    distinct-value estimation under multiset operations", SIGMOD 2007.
+
+    The bottom-k signature B_k(S) = the k smallest portable-hash values
+    of S is a fixed-size, mergeable set synopsis: B_k(A ∪ B) is computed
+    from the two signatures alone, and J(A,B) ≈ |B_k(A∪B) ∩ B_k(A) ∩
+    B_k(B)| / k.  At 100 TB each set ships k longs instead of its
+    members, and the pairwise stage runs over signatures only — the
+    exact side here (distinct-pair intersection counts) is the part that
+    stops scaling.  Estimates are pure integer counting until the final
+    division, so both engines agree exactly.
+    """
+    if k < 1:
+        raise ValueError("kmv_jaccard_pairs: k must be >= 1")
+    from pyspark.sql import Window
+
+    m = df.select(
+        F.col(set_col).alias("s"),
+        portable_hash60(F.col(key_col).cast("string")).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("s").orderBy(F.asc("h"))
+    sk = m.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+    a, b = sk.alias("a"), sk.alias("b")
+    # bottom-k of the UNION from the two signatures alone
+    uni = (
+        a.join(b, F.col("a.s") < F.col("b.s"))
+        .select(
+            F.col("a.s").alias("sa"),
+            F.col("b.s").alias("sb"),
+            F.col("a.h").alias("h"),
+        )
+        .union(
+            a.join(b, F.col("a.s") < F.col("b.s")).select(
+                F.col("a.s").alias("sa"),
+                F.col("b.s").alias("sb"),
+                F.col("b.h").alias("h"),
+            )
+        )
+        .distinct()
+    )
+    wu = Window.partitionBy("sa", "sb").orderBy(F.asc("h"))
+    uk = uni.withColumn("rn", F.row_number().over(wu)).where(F.col("rn") <= k)
+    in_a = sk.select(F.col("s").alias("sa"), "h")
+    in_b = sk.select(F.col("s").alias("sb"), "h")
+    tri = (
+        uk.join(in_a, ["sa", "h"], "left_semi")
+        .join(in_b, ["sb", "h"], "left_semi")
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("both"))
+    )
+    ksz = uk.groupBy("sa", "sb").agg(F.count(F.lit(1)).alias("kk"))
+
+    sets = m.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        m.alias("x")
+        .join(m.alias("y"), (F.col("x.h") == F.col("y.h")) & (F.col("x.s") < F.col("y.s")))
+        .groupBy(F.col("x.s").alias("sa"), F.col("y.s").alias("sb"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    pairs = (
+        sets.alias("p")
+        .join(sets.alias("q"), F.col("p.s") < F.col("q.s"))
+        .select(
+            F.col("p.s").alias("sa"),
+            F.col("q.s").alias("sb"),
+            F.col("p.n").alias("na"),
+            F.col("q.n").alias("nb"),
+        )
+        .join(inter, ["sa", "sb"], "left")
+        .withColumn("i", F.coalesce("i", F.lit(0)))
+    )
+    return (
+        pairs.join(tri, ["sa", "sb"], "left")
+        .join(ksz, ["sa", "sb"], "left")
+        .select(
+            F.col("sa").alias("set_a"),
+            F.col("sb").alias("set_b"),
+            F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6).alias(
+                "exact_j"
+            ),
+            F.round(
+                F.coalesce(F.col("both"), F.lit(0)) / F.col("kk"), 6
+            ).alias("kmv_j"),
+        )
+    )
+
+
+def cm_join_size(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Equi-join cardinality estimate by count-min inner product, next to
+    the exact size: one row (exact_n, cm_est, rel_err).
+
+    |A ⋈ B| = Σ_k f_A(k)·f_B(k); the CM estimate is min over rows of
+    Σ_b cmA[r][b]·cmB[r][b] — an overestimate in expectation [CMS05 §4.2].
+    This is the cardinality-estimation primitive a distributed planner
+    needs BEFORE committing to a join strategy: each side's sketch is a
+    depth×width counter table built in one map-side-combined pass, and
+    the inner product is a depth×width elementwise job — no data moves.
+    Integer arithmetic end-to-end (counts and products fit longs at any
+    realistic skew), so both engines agree exactly until rel_err's one
+    division.
+    """
+    if width < 1 or depth < 1:
+        raise ValueError("cm_join_size: width and depth must be >= 1")
+
+    def counters(df: DataFrame, key: str) -> DataFrame:
+        return (
+            df.select(
+                F.posexplode(
+                    F.array(
+                        *[
+                            _cm_bucket(F.col(key).cast("string"), r, width)
+                            for r in range(depth)
+                        ]
+                    )
+                ).alias("r", "b")
+            )
+            .groupBy("r", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    ca = counters(left, left_key)
+    cb = counters(right, right_key)
+    est = (
+        ca.join(cb.withColumnRenamed("c", "c2"), ["r", "b"])
+        .groupBy("r")
+        .agg(F.sum(F.col("c") * F.col("c2")).alias("ip"))
+        .agg(F.min("ip").cast("long").alias("cm_est"))
+    )
+    exact = (
+        left.select(F.col(left_key).alias("k"))
+        .join(right.select(F.col(right_key).alias("k")), "k")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+    )
+    return exact.crossJoin(est).select(
+        "exact_n",
+        "cm_est",
+        F.round(
+            (F.col("cm_est") - F.col("exact_n")) / F.greatest("exact_n", F.lit(1)), 6
+        ).alias("rel_err"),
+    )

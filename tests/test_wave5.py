@@ -2,6 +2,7 @@
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from linkgraph.graph import LinkGraph
 
@@ -241,3 +242,57 @@ def test_hitting_time_monotone_in_horizon(spark):
     h8 = {r.vid: r.hit for r in hitting_time(g, [0], rounds=8).collect()}
     assert all(h8[v] >= h4[v] for v in h4)
     g.unpersist()
+
+
+def test_kmv_jaccard_identical_and_disjoint(spark):
+    """Identical sets estimate J=1 exactly; disjoint sets estimate 0;
+    a half-overlap lands near 0.5 once k covers the whole union."""
+    from linkgraph.textops.sketches import kmv_jaccard_pairs
+
+    rows = [("a", f"u{i}") for i in range(40)]
+    rows += [("b", f"u{i}") for i in range(40)]          # b == a
+    rows += [("c", f"w{i}") for i in range(40)]          # c disjoint
+    rows += [("d", f"u{i}") for i in range(20)] + [
+        ("d", f"x{i}") for i in range(20)
+    ]  # |d ∩ a| = 20, |d ∪ a| = 60
+    df = spark.createDataFrame(rows, "s string, k string")
+    out = {(r.set_a, r.set_b): r for r in kmv_jaccard_pairs(df, "s", "k", k=64).collect()}
+    assert out[("a", "b")].exact_j == 1.0 and out[("a", "b")].kmv_j == 1.0
+    assert out[("a", "c")].exact_j == 0.0 and out[("a", "c")].kmv_j == 0.0
+    # k=64 >= |union|=60: the sketch IS the set, estimate is exact
+    assert out[("a", "d")].exact_j == pytest.approx(20 / 60, abs=1e-6)
+    assert out[("a", "d")].kmv_j == pytest.approx(20 / 60, abs=1e-6)
+
+
+def test_kmv_jaccard_sketched_regime(spark):
+    """k much smaller than the sets: the estimate stays within a loose
+    envelope of the true Jaccard (std err ~ 1/sqrt(k))."""
+    from linkgraph.textops.sketches import kmv_jaccard_pairs
+
+    rows = [("p", f"u{i}") for i in range(500)]
+    rows += [("q", f"u{i}") for i in range(250, 750)]  # J = 250/750 = 1/3
+    df = spark.createDataFrame(rows, "s string, k string")
+    r = kmv_jaccard_pairs(df, "s", "k", k=64).collect()[0]
+    assert r.exact_j == pytest.approx(1 / 3, abs=1e-6)
+    assert abs(r.kmv_j - 1 / 3) < 0.2
+
+
+def test_cm_join_size_overestimates_and_converges(spark):
+    """CM inner product never underestimates the true join size, and a
+    wide-enough sketch is exact (no bucket collisions)."""
+    from linkgraph.textops.sketches import cm_join_size
+
+    left = spark.createDataFrame(
+        [(i % 7,) for i in range(100)], "k long"
+    )
+    right = spark.createDataFrame(
+        [(i % 11,) for i in range(80)], "k long"
+    )
+    exact = (
+        left.join(right.withColumnRenamed("k", "k2"), F.col("k") == F.col("k2"))
+        .count()
+    )
+    narrow = cm_join_size(left, right, "k", "k", width=4, depth=2).collect()[0]
+    assert narrow.exact_n == exact and narrow.cm_est >= exact
+    wide = cm_join_size(left, right, "k", "k", width=1 << 14, depth=4).collect()[0]
+    assert wide.cm_est == exact and wide.rel_err == 0.0
