@@ -221,3 +221,34 @@ def local_bridges(graph: LinkGraph) -> DataFrame:
         F.col("src_deg").cast("long").alias("src_deg"),
         F.col("dst_deg").cast("long").alias("dst_deg"),
     )
+
+
+def doulion_sampled_graph(graph: LinkGraph, p: float, tag: str = "#tri") -> LinkGraph:
+    """Doulion edge-sparsified graph [Tsourakakis KDD'09]: keep each
+    undirected edge with probability p via the deterministic canonical-
+    pair md5 coin (both directions draw the SAME coin, so the sample
+    stays symmetric; the same coin family as edge_percolation).  Exact
+    triangle count on the sample times 1/p³ is an unbiased estimator of
+    the full count — counting on a p-sparsified graph costs ~p³ of the
+    wedge-join work, the cheap first answer at 100 TB before committing
+    to the exact orientation join.
+    """
+    from linkgraph.textops.dedup import portable_hash60
+
+    if not (0.0 < p <= 1.0):
+        raise ValueError(f"doulion_sampled_graph: p={p} outside (0, 1]")
+    coin = F.pmod(
+        portable_hash60(
+            F.concat(
+                F.least("src", "dst").cast("string"),
+                F.lit("#"),
+                F.greatest("src", "dst").cast("string"),
+                F.lit(tag),
+            )
+        ),
+        F.lit(10_000),
+    )
+    return LinkGraph(
+        graph.edges.where(coin < int(round(p * 10_000))).select("src", "dst"),
+        materialize=False,
+    )

@@ -4997,6 +4997,98 @@ FROM ex, est
 """
 
 
+SKEW_COLS = ["l_partkey", "l_suppkey", "l_orderkey"]
+
+
+def q_skew_report(spark, sf_dir):
+    """Join-key skew diagnostics for lineitem's three join keys — the
+    measurement that decides the salting question: top1_share is the
+    single-reducer load fraction of a shuffle on that key."""
+    from linkgraph.operators.skew import key_skew_report
+
+    return key_skew_report(_t(spark, sf_dir, "lineitem"), SKEW_COLS)
+
+
+def _skew_oracle_sql(cols) -> str:
+    parts = []
+    for c in cols:
+        parts.append(f"""SELECT '{c}' AS key_col,
+       CAST(SUM(f) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(f) AS BIGINT) AS max_freq,
+       ROUND(quantile_cont(f, 0.5), 6) AS med_freq,
+       ROUND(quantile_cont(f, 0.99), 6) AS p99_freq,
+       ROUND(CAST(MAX(f) AS DOUBLE) / SUM(f), 6) AS top1_share
+FROM (SELECT COUNT(*) AS f FROM lineitem GROUP BY {c})""")
+    return "\nUNION ALL\n".join(parts)
+
+
+SQL_SKEW_REPORT = _skew_oracle_sql(SKEW_COLS)
+
+
+K_ANON_K = 10  # Sweeney re-identification threshold
+
+
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit of customers under the (nation, segment)
+    quasi-identifier pair: classes below k are re-identifiable and must
+    be suppressed/generalized before release."""
+    from linkgraph.textops.pii import k_anonymity
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return k_anonymity(c, ["nation", "segment"], k=K_ANON_K)
+
+
+SQL_K_ANONYMITY = f"""
+SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS group_n,
+       CAST(CASE WHEN COUNT(*) < {K_ANON_K} THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+FROM customer GROUP BY 1, 2
+"""
+
+
+DOULION_P = 0.5  # edge retention; estimator scale = 1/p^3 = 8
+
+
+def q_triangle_estimate(spark, sf_dir):
+    """Doulion approximate triangle count: exact count on the md5-coin
+    p-sparsified graph scaled by 1/p³, next to the true count — the
+    cheap first answer before the full orientation join."""
+    from linkgraph.algos.triangles import doulion_sampled_graph, triangle_count
+
+    g = user_graph(spark, sf_dir)
+    sub = doulion_sampled_graph(g, DOULION_P)
+    n_s = triangle_count(sub, by_degree=True)
+    n_e = triangle_count(g, by_degree=True)
+    sub.unpersist()
+    est = n_s * 8  # 1/p^3 with p=1/2 — integer-exact
+    return spark.createDataFrame(
+        [(n_e, n_s, est, round((est - n_e) / max(n_e, 1), 6))],
+        "n_exact long, n_sampled long, doulion_est long, rel_err double",
+    )
+
+
+SQL_TRIANGLE_ESTIMATE = f"""
+WITH {_USER_E},
+se AS (SELECT src, dst FROM e
+       WHERE CAST('0x' || substr(md5(CAST(LEAST(src, dst) AS VARCHAR) || '#' ||
+             CAST(GREATEST(src, dst) AS VARCHAR) || '#tri'), 1, 15) AS BIGINT)
+             % 10000 < {int(round(DOULION_P * 10_000))}),
+o AS MATERIALIZED (SELECT src AS a, dst AS b FROM e WHERE src < dst),
+os AS MATERIALIZED (SELECT src AS a, dst AS b FROM se WHERE src < dst),
+tx AS (SELECT COUNT(*) AS n FROM o e1 JOIN o e2 ON e1.b = e2.a
+       JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b),
+ts AS (SELECT COUNT(*) AS n FROM os e1 JOIN os e2 ON e1.b = e2.a
+       JOIN os e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT CAST(tx.n AS BIGINT) AS n_exact, CAST(ts.n AS BIGINT) AS n_sampled,
+       CAST(ts.n * 8 AS BIGINT) AS doulion_est,
+       ROUND(CAST(ts.n * 8 - tx.n AS DOUBLE) / GREATEST(tx.n, 1), 6) AS rel_err
+FROM tx, ts
+"""
+
+
 SALSA_ROUNDS = 8  # fixed budget, mirrored by the unrolled oracle
 
 
@@ -5289,6 +5381,9 @@ QUERIES = {
     "hll_daily_users": q_hll_daily_users,
     "kmv_user_overlap": q_kmv_user_overlap,
     "join_size_estimate": q_join_size_estimate,
+    "skew_report": q_skew_report,
+    "k_anonymity": q_k_anonymity,
+    "triangle_estimate": q_triangle_estimate,
     "mutual_knn": q_mutual_knn,
     "hitting_time": q_hitting_time,
     "salsa": q_salsa,
@@ -5438,6 +5533,9 @@ ORACLES = {
     "hll_daily_users": SQL_HLL_DAILY_USERS,
     "kmv_user_overlap": SQL_KMV_USER_OVERLAP,
     "join_size_estimate": SQL_JOIN_SIZE_ESTIMATE,
+    "skew_report": SQL_SKEW_REPORT,
+    "k_anonymity": SQL_K_ANONYMITY,
+    "triangle_estimate": SQL_TRIANGLE_ESTIMATE,
     "mutual_knn": SQL_MUTUAL_KNN,
     "hitting_time": SQL_HITTING_TIME,
     "salsa": SQL_SALSA,

@@ -81,3 +81,38 @@ class SaltedEdges:
     def unpersist(self):
         self.edges.unpersist()
         self.hubs.unpersist()
+
+
+def key_skew_report(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Join-key skew diagnostics per key column: (key_col, n_rows,
+    n_keys, max_freq, med_freq, p99_freq, top1_share).
+
+    This is the measurement that DECIDES the salting question the rest of
+    this module answers: top1_share approximates the single-reducer load
+    fraction of a shuffle on that key, and max/median frequency is the
+    hub-to-typical ratio the auto-salt threshold (graph.py) keys off.
+    One groupBy per column builds the frequency table; the summary is a
+    one-row aggregate over it (exact percentile — the frequency table is
+    |distinct keys| rows, the bounded-dimension argument of
+    quantiles_acctbal; approx_percentile is the 100 TB swap-in).
+    """
+    if not cols:
+        raise ValueError("key_skew_report: need at least one key column")
+    outs = []
+    for c in cols:
+        freq = df.groupBy(F.col(c).alias("k")).agg(F.count(F.lit(1)).alias("f"))
+        outs.append(
+            freq.agg(
+                F.lit(c).alias("key_col"),
+                F.sum("f").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.max("f").cast("long").alias("max_freq"),
+                F.round(F.expr("percentile(f, 0.5)"), 6).alias("med_freq"),
+                F.round(F.expr("percentile(f, 0.99)"), 6).alias("p99_freq"),
+                F.round(F.max("f") / F.sum("f"), 6).alias("top1_share"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out

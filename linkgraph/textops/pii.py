@@ -66,3 +66,29 @@ def pii_scrub(
         (n_email + n_ip + n_phone).cast("long").alias("n_pii"),
         clean.alias("clean_text"),
     )
+
+
+def k_anonymity(
+    df: DataFrame, quasi_cols: list[str], k: int = 10
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination: one row per
+    equivalence class, (quasi..., group_n, at_risk) with at_risk = 1 when
+    the class has fewer than k members (Sweeney 2002) — those rows are
+    re-identifiable by joining the quasi-identifiers against any outside
+    table and must be suppressed or generalized before release.
+
+    One hash aggregate on the quasi-identifier tuple; the class table is
+    |distinct combinations| rows (bounded by the dimension product), so
+    the audit costs one shuffle regardless of table size.
+    """
+    if not quasi_cols:
+        raise ValueError("k_anonymity: need at least one quasi-identifier")
+    if k < 1:
+        raise ValueError("k_anonymity: k must be >= 1")
+    return df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("group_n"),
+        F.when(F.count(F.lit(1)) < k, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("at_risk"),
+    )
