@@ -5346,6 +5346,153 @@ FROM pr WHERE it = {PR_ITERS} + {INC_ITERS}
 """
 
 
+# ------------------------------------------------------ FastRP embeddings
+_FRP_DIMS = 8
+_FRP_W = (1, 2)
+
+
+def q_fastrp_embed(spark, sf_dir):
+    """FastRP node embeddings over the user graph — exact-integer
+    propagation (2 hops, weights 1·A R + 2·A²R), ±1 md5 seeds, final
+    row-local L2 norm; hash-checked against an unrolled DuckDB mirror
+    (algos/fastrp.py)."""
+    from linkgraph.algos.fastrp import fastrp_embeddings
+
+    g = user_graph(spark, sf_dir)
+    emb = fastrp_embeddings(g, dims=_FRP_DIMS, weights=_FRP_W, hash_mode="md5")
+    vals = F.array(*[F.round(F.col(f"e{j}"), 9) for j in range(_FRP_DIMS)])
+    return emb.select(
+        F.col("vid").cast("long").alias("vid"),
+        F.posexplode(vals).alias("dim", "val"),
+    )
+
+
+def _frp_seed_sql(j: int) -> str:
+    h = (
+        f"CAST('0x' || substr(md5(CAST(vid AS VARCHAR) || '#frp#{j}'), 1, 15)"
+        " AS BIGINT)"
+    )
+    return (
+        f"CASE ({h}) % 4 WHEN 0 THEN CAST(1 AS BIGINT)"
+        f" WHEN 1 THEN CAST(-1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS x{j}"
+    )
+
+
+def _frp_sql() -> str:
+    d = _FRP_DIMS
+    w1, w2 = _FRP_W
+    xs = [f"x{j}" for j in range(d)]
+    seeds = ",\n         ".join(_frp_seed_sql(j) for j in range(d))
+    sums = ", ".join(f"SUM({x}) AS {x}" for x in xs)
+    coal = ", ".join(f"COALESCE(m.{x}, 0) AS {x}" for x in xs)
+    comb = ", ".join(f"{w1} * a.{x} + {w2} * b.{x} AS {x}" for x in xs)
+    sq = " + ".join(f"{x} * {x}" for x in xs)
+    arms = "\nUNION ALL\n".join(
+        f"SELECT CAST(vid AS BIGINT) AS vid, {j} AS dim,\n"
+        f"       CASE WHEN nn > 0 THEN ROUND(CAST(x{j} AS DOUBLE) / nn, 9)\n"
+        f"            ELSE 0.0 END AS val FROM nrm"
+        for j in range(d)
+    )
+    return f"""
+WITH {_USER_E_MAT},
+verts AS MATERIALIZED (SELECT DISTINCT src AS vid FROM e),
+r AS MATERIALIZED (
+  SELECT vid, {seeds}
+  FROM verts),
+m1 AS MATERIALIZED (
+  SELECT e.dst AS vid, {sums} FROM e JOIN r ON r.vid = e.src GROUP BY e.dst),
+m1f AS MATERIALIZED (
+  SELECT v.vid, {coal} FROM verts v LEFT JOIN m1 m ON m.vid = v.vid),
+m2 AS MATERIALIZED (
+  SELECT e.dst AS vid, {sums} FROM e JOIN m1f ON m1f.vid = e.src GROUP BY e.dst),
+m2f AS (SELECT v.vid, {coal} FROM verts v LEFT JOIN m2 m ON m.vid = v.vid),
+comb AS (SELECT a.vid, {comb} FROM m1f a JOIN m2f b ON b.vid = a.vid),
+nrm AS (SELECT vid, sqrt(CAST({sq} AS DOUBLE)) AS nn, * FROM comb)
+{arms}
+"""
+
+
+SQL_FASTRP_EMBED = _frp_sql()
+
+
+def q_dedup_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: hash-split keyed on the NEAR-DUP
+    CLUSTER id, so every member of a near-duplicate group lands in the
+    same split (the standard guard against train/test contamination via
+    near-copies).  Pure composition: near_duplicate_clusters (MinHash LSH
+    + CC) -> hash_split on the cluster key — no new shuffle beyond the
+    clustering itself."""
+    from linkgraph.operators.sampling import hash_split
+    from linkgraph.textops.dedup import near_duplicate_clusters
+
+    cl = near_duplicate_clusters(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.3, num_hashes=64, bands=16, hash_family="md5",
+    )
+    return hash_split(cl.select("doc_id", "cluster"), "cluster", SPLIT_WEIGHTS).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+        "split",
+    )
+
+
+SQL_DEDUP_SPLIT = f"""
+WITH RECURSIVE {_SQL_MINHASH_CTES},
+p AS (SELECT a, b FROM jac WHERE jac >= 0.3),
+e2 AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+verts AS (SELECT DISTINCT src AS v FROM e2),
+reach(v, u) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT reach.v, e2.dst FROM reach JOIN e2 ON e2.src = reach.u),
+cmp AS (SELECT v AS doc_id, MIN(u) AS cluster FROM reach GROUP BY v),
+allm AS (
+  SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN cmp c ON c.doc_id = d.doc_id),
+b AS (
+  SELECT doc_id, cluster,
+         CAST('0x' || substr(md5(CAST(cluster AS VARCHAR) || '#split'), 1, 15)
+              AS BIGINT) % 10000 AS bkt
+  FROM allm)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(cluster AS BIGINT) AS cluster,
+       CASE WHEN bkt < 8000 THEN 'train'
+            WHEN bkt < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+def q_embedding_quantize(spark, sf_dir):
+    """Per-dimension int8 scalar quantization of the embedding corpus
+    (textops/quant.py): (vec_id, dim, code, err) with the measured
+    reconstruction error — the SQ8 serving compaction for the ANN stack."""
+    from linkgraph.textops.quant import quantize_codes
+
+    return quantize_codes(_t(spark, sf_dir, "embeddings")).select(
+        F.col("vec_id").cast("long").alias("vec_id"), "dim", "code", "err"
+    )
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH ex0 AS (
+  SELECT vec_id, UNNEST(range(len(embedding))) AS dim,
+         UNNEST(embedding) AS val
+  FROM embeddings),
+ex AS (SELECT vec_id, dim, CAST(val AS DOUBLE) AS v FROM ex0),
+st AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM ex GROUP BY dim),
+q AS (
+  SELECT e.vec_id, e.dim, e.v, st.mn, st.mx,
+         CASE WHEN st.mx > st.mn
+              THEN ROUND((e.v - st.mn) / (st.mx - st.mn) * 255.0, 0)
+              ELSE 0.0 END AS code_d
+  FROM ex e JOIN st USING (dim))
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(dim AS BIGINT) AS dim,
+       CAST(code_d AS BIGINT) AS code,
+       ROUND(ABS(v - (mn + code_d / 255.0 * (mx - mn))), 9) AS err
+FROM q
+"""
+
+
 QUERIES = {
     "degree_topk": q_degree_topk,
     "edges_shared_key": q_edges_shared_key,
@@ -5496,6 +5643,9 @@ QUERIES = {
     "lm_quality": q_lm_quality,
     "lm2_quality": q_lm2_quality,
     "source_quality": q_source_quality,
+    "fastrp_embed": q_fastrp_embed,
+    "dedup_split": q_dedup_split,
+    "embedding_quantize": q_embedding_quantize,
 }
 
 ORACLES = {
@@ -5648,6 +5798,9 @@ ORACLES = {
     "lm_quality": SQL_LM_QUALITY,
     "lm2_quality": SQL_LM2_QUALITY,
     "source_quality": SQL_SOURCE_QUALITY,
+    "fastrp_embed": SQL_FASTRP_EMBED,
+    "dedup_split": SQL_DEDUP_SPLIT,
+    "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
 }
 
 
