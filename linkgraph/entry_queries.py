@@ -5378,7 +5378,9 @@ def _frp_seed_sql(j: int) -> str:
     )
 
 
-def _frp_sql() -> str:
+def _frp_cte() -> str:
+    """Shared DuckDB CTE prefix: unrolled 2-hop exact-integer FastRP up to
+    `comb` (the un-normalized embedding) and `nrm` (row L2 norms)."""
     d = _FRP_DIMS
     w1, w2 = _FRP_W
     xs = [f"x{j}" for j in range(d)]
@@ -5387,12 +5389,6 @@ def _frp_sql() -> str:
     coal = ", ".join(f"COALESCE(m.{x}, 0) AS {x}" for x in xs)
     comb = ", ".join(f"{w1} * a.{x} + {w2} * b.{x} AS {x}" for x in xs)
     sq = " + ".join(f"{x} * {x}" for x in xs)
-    arms = "\nUNION ALL\n".join(
-        f"SELECT CAST(vid AS BIGINT) AS vid, {j} AS dim,\n"
-        f"       CASE WHEN nn > 0 THEN ROUND(CAST(x{j} AS DOUBLE) / nn, 9)\n"
-        f"            ELSE 0.0 END AS val FROM nrm"
-        for j in range(d)
-    )
     return f"""
 WITH {_USER_E_MAT},
 verts AS MATERIALIZED (SELECT DISTINCT src AS vid FROM e),
@@ -5406,13 +5402,91 @@ m1f AS MATERIALIZED (
 m2 AS MATERIALIZED (
   SELECT e.dst AS vid, {sums} FROM e JOIN m1f ON m1f.vid = e.src GROUP BY e.dst),
 m2f AS (SELECT v.vid, {coal} FROM verts v LEFT JOIN m2 m ON m.vid = v.vid),
-comb AS (SELECT a.vid, {comb} FROM m1f a JOIN m2f b ON b.vid = a.vid),
-nrm AS (SELECT vid, sqrt(CAST({sq} AS DOUBLE)) AS nn, * FROM comb)
-{arms}
+comb AS MATERIALIZED (SELECT a.vid, {comb} FROM m1f a JOIN m2f b ON b.vid = a.vid),
+nrm AS (SELECT vid, sqrt(CAST({sq} AS DOUBLE)) AS nn, * FROM comb)"""
+
+
+def _frp_embed_sql() -> str:
+    d = _FRP_DIMS
+    arms = "\nUNION ALL\n".join(
+        f"SELECT CAST(vid AS BIGINT) AS vid, {j} AS dim,\n"
+        f"       CASE WHEN nn > 0 THEN ROUND(CAST(x{j} AS DOUBLE) / nn, 9)\n"
+        f"            ELSE 0.0 END AS val FROM nrm"
+        for j in range(d)
+    )
+    return f"{_frp_cte()}\n{arms}\n"
+
+
+SQL_FASTRP_EMBED = _frp_embed_sql()
+
+
+def q_fastrp_ann_topk(spark, sf_dir):
+    """End-to-end graph -> embedding -> similarity-search composition:
+    top-10 cosine neighbors of the smallest-vid vertex in FastRP space.
+    Works on the UN-normalized integer embedding so the dot product is
+    exact int64 arithmetic; only the final divide by the two row norms is
+    float (deterministic row-local IEEE both engines reproduce).  The
+    query vector is one broadcast row — the corpus side never shuffles
+    (the ann_cosine_topk serving shape, here fed by fastrp instead of the
+    embeddings table)."""
+    from linkgraph.algos.fastrp import fastrp_embeddings
+
+    d = _FRP_DIMS
+    xs = [f"x{j}" for j in range(d)]
+    emb = fastrp_embeddings(
+        user_graph(spark, sf_dir), dims=d, weights=_FRP_W,
+        hash_mode="md5", normalize=False,
+    )
+    qv = emb.orderBy("vid").limit(1).select(
+        F.col("vid").alias("qvid"), *[F.col(x).alias(f"q{x}") for x in xs]
+    )
+    pairs = emb.crossJoin(F.broadcast(qv)).where(F.col("vid") != F.col("qvid"))
+    dot = None
+    nc = None
+    nq = None
+    for x in xs:
+        t = F.col(x) * F.col(f"q{x}")
+        dot = t if dot is None else dot + t
+        c = F.col(x) * F.col(x)
+        nc = c if nc is None else nc + c
+        q = F.col(f"q{x}") * F.col(f"q{x}")
+        nq = q if nq is None else nq + q
+    sim = F.when(
+        (nc > 0) & (nq > 0),
+        dot.cast("double") / (F.sqrt(nc.cast("double")) * F.sqrt(nq.cast("double"))),
+    ).otherwise(F.lit(0.0))
+    return (
+        pairs.select(
+            F.col("vid").cast("long").alias("vid"), F.round(sim, 9).alias("sim")
+        )
+        .orderBy(F.col("sim").desc(), F.col("vid").asc())
+        .limit(10)
+    )
+
+
+def _frp_ann_sql() -> str:
+    d = _FRP_DIMS
+    xs = [f"x{j}" for j in range(d)]
+    dot = " + ".join(f"c.{x} * q.{x}" for x in xs)
+    nc = " + ".join(f"c.{x} * c.{x}" for x in xs)
+    nq = " + ".join(f"q.{x} * q.{x}" for x in xs)
+    return f"""{_frp_cte()},
+q AS (SELECT c.* FROM comb c JOIN (SELECT MIN(vid) AS qvid FROM comb) m
+      ON c.vid = m.qvid),
+s AS (
+  SELECT c.vid, ({dot}) AS dot,
+         sqrt(CAST({nc} AS DOUBLE)) AS nc,
+         sqrt(CAST({nq} AS DOUBLE)) AS nq
+  FROM comb c, q WHERE c.vid <> q.vid)
+SELECT CAST(vid AS BIGINT) AS vid,
+       ROUND(CASE WHEN nc > 0 AND nq > 0
+                  THEN CAST(dot AS DOUBLE) / (nc * nq)
+                  ELSE 0.0 END, 9) AS sim
+FROM s ORDER BY sim DESC, vid ASC LIMIT 10
 """
 
 
-SQL_FASTRP_EMBED = _frp_sql()
+SQL_FASTRP_ANN_TOPK = _frp_ann_sql()
 
 
 def q_dedup_split(spark, sf_dir):
@@ -5644,6 +5718,7 @@ QUERIES = {
     "lm2_quality": q_lm2_quality,
     "source_quality": q_source_quality,
     "fastrp_embed": q_fastrp_embed,
+    "fastrp_ann_topk": q_fastrp_ann_topk,
     "dedup_split": q_dedup_split,
     "embedding_quantize": q_embedding_quantize,
 }
@@ -5799,6 +5874,7 @@ ORACLES = {
     "lm2_quality": SQL_LM2_QUALITY,
     "source_quality": SQL_SOURCE_QUALITY,
     "fastrp_embed": SQL_FASTRP_EMBED,
+    "fastrp_ann_topk": SQL_FASTRP_ANN_TOPK,
     "dedup_split": SQL_DEDUP_SPLIT,
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
 }

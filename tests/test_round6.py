@@ -110,6 +110,16 @@ def test_quantize_vectors_matches_long_form(spark, sf0001):
             assert long[(r["vec_id"], d)] == c
 
 
+def test_fastrp_ann_topk_is_sorted_and_bounded(spark, sf0001):
+    from linkgraph.entry_queries import q_fastrp_ann_topk
+
+    rows = q_fastrp_ann_topk(spark, sf0001).collect()
+    assert len(rows) == 10
+    sims = [r["sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.0 - 1e-9 <= s <= 1.0 + 1e-9 for s in sims)
+
+
 def test_dedup_split_no_cluster_leakage(spark, sf0001):
     from linkgraph.entry_queries import q_dedup_split
 
