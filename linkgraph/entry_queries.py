@@ -4309,7 +4309,7 @@ def q_maximal_matching(spark, sf_dir):
     return maximal_matching(g, rounds=MATCH_ROUNDS)
 
 
-def _matching_oracle_sql(rounds: int) -> str:
+def _matching_ctes(rounds: int) -> tuple[str, str]:
     steps = []
     for r in range(1, rounds + 1):
         steps.append(f"""
@@ -4329,7 +4329,7 @@ a{r} AS MATERIALIZED (
     unions = "\nUNION ALL ".join(
         f"SELECT u, v, {r} AS matched_round FROM m{r}" for r in range(1, rounds + 1)
     )
-    return (
+    ctes = (
         f"WITH {_USER_E_MAT},\n"
         "a0 AS MATERIALIZED (\n"
         "  SELECT src AS u, dst AS v,\n"
@@ -4337,12 +4337,56 @@ a{r} AS MATERIALIZED (
         "                                 CAST(dst AS VARCHAR)), 1, 15) AS BIGINT) AS p\n"
         "  FROM e WHERE src < dst),"
         + ",".join(steps)
+    )
+    return ctes, unions
+
+
+def _matching_oracle_sql(rounds: int) -> str:
+    ctes, unions = _matching_ctes(rounds)
+    return (
+        ctes
         + f"\nSELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,"
         f" CAST(matched_round AS INT) AS matched_round FROM ({unions})"
     )
 
 
 SQL_MAXIMAL_MATCHING = _matching_oracle_sql(MATCH_ROUNDS)
+
+
+def q_coarsen_graph(spark, sf_dir):
+    """One multilevel coarsening level (algos/coarsen.py): contract the
+    deterministic maximal matching, re-aggregate parallel edges into
+    integer weights — the METIS-style preconditioner, hash-checked via
+    the matching oracle's CTEs plus a pure join/count contraction."""
+    from linkgraph.algos.coarsen import coarsen_graph
+
+    g = LinkGraph(derive.events_user_edges(_t(spark, sf_dir, "events")), symmetric=True)
+    se, _ = coarsen_graph(g, rounds=MATCH_ROUNDS)
+    return se.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        "weight",
+    )
+
+
+def _coarsen_oracle_sql(rounds: int) -> str:
+    ctes, unions = _matching_ctes(rounds)
+    return f"""{ctes},
+mm AS MATERIALIZED (SELECT u, v FROM ({unions})),
+vertsall AS (SELECT DISTINCT src AS vid FROM e),
+mp AS MATERIALIZED (
+  SELECT w.vid, COALESCE(x.u, y.u, w.vid) AS sup
+  FROM vertsall w
+  LEFT JOIN mm x ON x.u = w.vid
+  LEFT JOIN mm y ON y.v = w.vid)
+SELECT CAST(a.sup AS BIGINT) AS src, CAST(b.sup AS BIGINT) AS dst,
+       CAST(COUNT(*) AS BIGINT) AS weight
+FROM e JOIN mp a ON a.vid = e.src JOIN mp b ON b.vid = e.dst
+WHERE a.sup <> b.sup GROUP BY a.sup, b.sup
+"""
+
+
+SQL_COARSEN_GRAPH = _coarsen_oracle_sql(MATCH_ROUNDS)
 
 
 DSG_ROUNDS = 8  # fixed peel budget shared engine <-> oracle
@@ -5713,6 +5757,7 @@ QUERIES = {
     "chunk_plan": q_chunk_plan,
     "quality_filter": q_quality_filter,
     "maximal_matching": q_maximal_matching,
+    "coarsen_graph": q_coarsen_graph,
     "densest_subgraph": q_densest_subgraph,
     "lm_quality": q_lm_quality,
     "lm2_quality": q_lm2_quality,
@@ -5869,6 +5914,7 @@ ORACLES = {
     "chunk_plan": SQL_CHUNK_PLAN,
     "quality_filter": SQL_QUALITY_FILTER,
     "maximal_matching": SQL_MAXIMAL_MATCHING,
+    "coarsen_graph": SQL_COARSEN_GRAPH,
     "densest_subgraph": SQL_DENSEST_SUBGRAPH,
     "lm_quality": SQL_LM_QUALITY,
     "lm2_quality": SQL_LM2_QUALITY,

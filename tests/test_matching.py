@@ -90,3 +90,52 @@ def test_matching_requires_symmetric(spark):
     df = edges_df(spark, [(0, 1)])
     with pytest.raises(ValueError):
         maximal_matching(LinkGraph(df, symmetric=False))
+
+
+# --- coarsening (algos/coarsen.py) ------------------------------------
+
+
+def _python_coarsen(pairs, rounds=4):
+    """Contract the python-oracle matching: sup(x) = min(u,v) for a
+    matched pair, x otherwise; coarse edge weight = # fine directed
+    edges between distinct supervertices."""
+    matched, _ = _python_matching(pairs, rounds=rounds)
+    sup = {}
+    for u, v in matched:
+        sup[u] = u
+        sup[v] = u
+    w = collections.Counter()
+    for a, b in _canon(pairs):
+        for s, d in ((a, b), (b, a)):
+            ss, sd = sup.get(s, s), sup.get(d, d)
+            if ss != sd:
+                w[(ss, sd)] += 1
+    return dict(w)
+
+
+def test_coarsen_matches_python_oracle(er):
+    from linkgraph.algos.coarsen import coarsen_graph
+
+    se, mp = coarsen_graph(er, rounds=4)
+    got = {(r["src"], r["dst"]): r["weight"] for r in se.collect()}
+    assert got == _python_coarsen(PAIRS, rounds=4)
+    # mapping covers every vertex exactly once and is idempotent
+    rows = mp.collect()
+    vids = [r["vid"] for r in rows]
+    assert len(vids) == len(set(vids))
+    sup = {r["vid"]: r["sup"] for r in rows}
+    assert all(sup[s] == s for s in set(sup.values()))
+
+
+def test_coarsen_shrinks_and_feeds_back(er):
+    from linkgraph.algos.coarsen import coarsen_graph
+
+    se, mp = coarsen_graph(er, rounds=None, max_rounds=64)
+    n_fine = mp.count()
+    n_coarse = mp.select("sup").distinct().count()
+    assert n_coarse < n_fine  # a maximal matching on a connected-ish ER graph contracts
+    # coarse graph is symmetric with equal weights both ways -> valid LinkGraph input
+    g2 = LinkGraph(se.select("src", "dst"), symmetric=True)
+    assert g2.edges.count() == se.count()
+    fwd = {(r["src"], r["dst"]): r["weight"] for r in se.collect()}
+    assert all(fwd[(d, s)] == w for (s, d), w in fwd.items())
