@@ -2973,6 +2973,89 @@ FROM s GROUP BY user_id, sno
 """
 
 
+IVJ_GAP_S = 3600  # 1h session gap: many short sessions => real interval set
+IVJ_ERR_WINDOW_S = 1800  # each error event casts a 30-min impact window
+IVJ_BUCKET_S = 3600
+
+
+def q_interval_join(spark, sf_dir):
+    """Keyed interval overlap join (operators/intervals.py): per-user
+    1h-gap sessions overlapped with 30-min error-impact windows — which
+    sessions ran while an error of the same user was live, and for how
+    long.  Bucketized equi-join form with exactly-once anchor-bucket
+    attribution; never the BroadcastNestedLoopJoin a bare range
+    predicate plans to."""
+    from linkgraph.operators.intervals import interval_join
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    ep = F.floor(F.unix_timestamp(F.col("ts"))).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(ep - F.lag(ep).over(w) > IVJ_GAP_S, 1).otherwise(0).alias("_new"),
+    )
+    sess = (
+        flagged.withColumn(
+            "_sno", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("user_id", "_sno")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.min(F.floor(F.unix_timestamp(F.col("ts"))).cast("long")).alias("s0"),
+            F.max(F.floor(F.unix_timestamp(F.col("ts"))).cast("long")).alias("s1"),
+        )
+        .select("user_id", "session_start", "s0", "s1")
+    )
+    err = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("err_id"),
+        ep.alias("e0"),
+        (ep + IVJ_ERR_WINDOW_S).alias("e1"),
+    )
+    res = interval_join(
+        sess, err, on=["user_id"], lstart="s0", lend="s1",
+        rstart="e0", rend="e1", bucket_s=IVJ_BUCKET_S,
+    )
+    return res.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "session_start",
+        F.col("err_id").cast("long").alias("err_id"),
+        "overlap_s",
+    )
+
+
+SQL_INTERVAL_JOIN = f"""
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events),
+f AS (
+  SELECT *, CASE WHEN ep - lag(ep) OVER w > {IVJ_GAP_S} THEN 1 ELSE 0 END AS nw
+  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sno
+  FROM f),
+sess AS (
+  SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         MIN(ep) AS s0, MAX(ep) AS s1
+  FROM s GROUP BY user_id, sno),
+err AS (
+  SELECT user_id, event_id AS err_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS e0,
+         CAST(floor(epoch(ts)) AS BIGINT) + {IVJ_ERR_WINDOW_S} AS e1
+  FROM events WHERE event_type = 'error')
+SELECT CAST(sess.user_id AS BIGINT) AS user_id, session_start,
+       CAST(err_id AS BIGINT) AS err_id,
+       CAST(LEAST(s1, e1) - GREATEST(s0, e0) AS BIGINT) AS overlap_s
+FROM sess JOIN err ON err.user_id = sess.user_id
+WHERE s0 <= e1 AND e0 <= s1
+"""
+
+
 FUNNEL_STEPS = ["signup", "click", "purchase"]
 
 
@@ -5758,6 +5841,7 @@ QUERIES = {
     "quality_filter": q_quality_filter,
     "maximal_matching": q_maximal_matching,
     "coarsen_graph": q_coarsen_graph,
+    "interval_join": q_interval_join,
     "densest_subgraph": q_densest_subgraph,
     "lm_quality": q_lm_quality,
     "lm2_quality": q_lm2_quality,
@@ -5915,6 +5999,7 @@ ORACLES = {
     "quality_filter": SQL_QUALITY_FILTER,
     "maximal_matching": SQL_MAXIMAL_MATCHING,
     "coarsen_graph": SQL_COARSEN_GRAPH,
+    "interval_join": SQL_INTERVAL_JOIN,
     "densest_subgraph": SQL_DENSEST_SUBGRAPH,
     "lm_quality": SQL_LM_QUALITY,
     "lm2_quality": SQL_LM2_QUALITY,
