@@ -4472,6 +4472,39 @@ WHERE a.sup <> b.sup GROUP BY a.sup, b.sup
 SQL_COARSEN_GRAPH = _coarsen_oracle_sql(MATCH_ROUNDS)
 
 
+FUZZY_MAX_DIST = 3
+
+
+def q_fuzzy_match(spark, sf_dir):
+    """Blocked edit-distance entity resolution over part names
+    (textops/fuzzy.py): first-token blocking, integer length-band
+    prefilter, built-in levenshtein verify — near-miss pairs only
+    (exact dups belong to dedup_exact)."""
+    from linkgraph.textops.fuzzy import fuzzy_match_pairs
+
+    p = _t(spark, sf_dir, "part")
+    return fuzzy_match_pairs(
+        p,
+        id_col="p_partkey",
+        name_col="p_name",
+        block=F.split(F.col("p_name"), " ").getItem(0),
+        max_dist=FUZZY_MAX_DIST,
+    )
+
+
+SQL_FUZZY_MATCH = f"""
+WITH p AS (
+  SELECT p_partkey AS id, p_name AS nm,
+         split_part(p_name, ' ', 1) AS blk, length(p_name) AS ln
+  FROM part)
+SELECT CAST(a.id AS BIGINT) AS a, CAST(b.id AS BIGINT) AS b,
+       CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+WHERE abs(a.ln - b.ln) <= {FUZZY_MAX_DIST}
+  AND levenshtein(a.nm, b.nm) BETWEEN 1 AND {FUZZY_MAX_DIST}
+"""
+
+
 DSG_ROUNDS = 8  # fixed peel budget shared engine <-> oracle
 
 
@@ -5842,6 +5875,7 @@ QUERIES = {
     "maximal_matching": q_maximal_matching,
     "coarsen_graph": q_coarsen_graph,
     "interval_join": q_interval_join,
+    "fuzzy_match": q_fuzzy_match,
     "densest_subgraph": q_densest_subgraph,
     "lm_quality": q_lm_quality,
     "lm2_quality": q_lm2_quality,
@@ -6000,6 +6034,7 @@ ORACLES = {
     "maximal_matching": SQL_MAXIMAL_MATCHING,
     "coarsen_graph": SQL_COARSEN_GRAPH,
     "interval_join": SQL_INTERVAL_JOIN,
+    "fuzzy_match": SQL_FUZZY_MATCH,
     "densest_subgraph": SQL_DENSEST_SUBGRAPH,
     "lm_quality": SQL_LM_QUALITY,
     "lm2_quality": SQL_LM2_QUALITY,
