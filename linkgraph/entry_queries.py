@@ -5727,6 +5727,77 @@ FROM q
 """
 
 
+ST_DIST_LEVELS = 16  # shared bound: bidirectional expansions == oracle depth
+
+
+def q_st_distance(spark, sf_dir):
+    """Point-to-point distance by bidirectional BFS (meet-in-the-middle):
+    from the top-degree hub to the max-id vertex of the co-purchase
+    graph.  Each round expands the MEASURED-smaller frontier; first-meet
+    min(d_f + d_b) is exactly dist(s,t) (see algos/bidir.py docstring for
+    the proof).  O(b^{d/2}) frontier work where one-sided BFS pays
+    O(b^d) — the point-to-point primitive at 100 TB."""
+    from linkgraph.algos.bidir import st_distance
+
+    g = copurchase_graph(spark, sf_dir)
+    deg = g.degrees()
+    s = deg.orderBy(F.col("deg").desc(), F.col("vid").asc()).first()["vid"]
+    t = deg.agg(F.max("vid")).first()[0]
+    return st_distance(g, int(s), int(t), max_rounds=ST_DIST_LEVELS)
+
+
+SQL_ST_DISTANCE = f"""
+WITH RECURSIVE {_COPURCHASE_E},
+deg AS (SELECT src AS vid, COUNT(*) AS deg FROM e GROUP BY src),
+sv AS (SELECT vid FROM deg ORDER BY deg DESC, vid ASC LIMIT 1),
+tv AS (SELECT MAX(vid) AS vid FROM deg),
+bfs(v, dist) AS (
+  SELECT vid, 0 FROM sv
+  UNION
+  SELECT e.dst, bfs.dist + 1 FROM bfs JOIN e ON e.src = bfs.v
+  WHERE bfs.dist < {ST_DIST_LEVELS})
+SELECT CAST((SELECT vid FROM sv) AS BIGINT) AS src_vid,
+       CAST((SELECT vid FROM tv) AS BIGINT) AS dst_vid,
+       CAST(MIN(bfs.dist) AS BIGINT) AS dist
+FROM bfs WHERE bfs.v = (SELECT vid FROM tv)
+HAVING COUNT(*) > 0
+"""
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance-resampling weights toward the lang='en' target
+    slice: per-token mean log-ratio of target vs raw unigram LMs, add-1
+    smoothed over the raw vocabulary (NeurIPS'23 data-selection
+    signal)."""
+    from linkgraph.textops.textstats import dsir_logratio
+
+    return dsir_logratio(_t(spark, sf_dir, "documents"), "lang", "en")
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_tgt,
+         unnest({_SQL_TOKENS}) AS term
+  FROM documents),
+tf AS MATERIALIZED (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+uni AS MATERIALIZED (
+  SELECT term, COUNT(*) AS c_raw, SUM(is_tgt) AS c_tgt
+  FROM tok GROUP BY term),
+tot AS (SELECT CAST(SUM(c_raw) AS DOUBLE) AS t_raw,
+               CAST(SUM(c_tgt) AS DOUBLE) AS t_tgt,
+               CAST(COUNT(*) AS DOUBLE) AS v
+        FROM uni)
+SELECT tf.doc_id AS doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+       ROUND(SUM(tf.tf * (ln(uni.c_tgt + 1) - ln(uni.c_raw + 1)))
+               / SUM(tf.tf)
+             + ln(tot.t_raw + tot.v) - ln(tot.t_tgt + tot.v),
+             6) AS dsir_logratio
+FROM tf JOIN uni USING (term) CROSS JOIN tot
+GROUP BY tf.doc_id, tot.t_raw, tot.t_tgt, tot.v
+"""
+
+
 QUERIES = {
     "degree_topk": q_degree_topk,
     "edges_shared_key": q_edges_shared_key,
@@ -5884,6 +5955,8 @@ QUERIES = {
     "fastrp_ann_topk": q_fastrp_ann_topk,
     "dedup_split": q_dedup_split,
     "embedding_quantize": q_embedding_quantize,
+    "st_distance": q_st_distance,
+    "dsir_weights": q_dsir_weights,
 }
 
 ORACLES = {
@@ -6043,6 +6116,8 @@ ORACLES = {
     "fastrp_ann_topk": SQL_FASTRP_ANN_TOPK,
     "dedup_split": SQL_DEDUP_SPLIT,
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
+    "st_distance": SQL_ST_DISTANCE,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
 }
 
 

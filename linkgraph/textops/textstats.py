@@ -895,3 +895,75 @@ def mixture_weights(
             "upsample"
         ),
     )
+
+
+def dsir_logratio(
+    docs: DataFrame,
+    target_col: str = "lang",
+    target_value: str = "en",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """DSIR-style importance-resampling weight per document [Xie et al.,
+    "Data Selection for Language Models via Importance Resampling",
+    NeurIPS 2023]: the per-token mean log-likelihood RATIO between a
+    target-domain unigram LM and the raw-corpus unigram LM,
+
+        dsir_logratio(d) = (1/|d|) * sum_t tf_d(t) * [ln p_tgt(t) - ln p_raw(t)]
+
+    with add-1 smoothing over the raw corpus vocabulary for both models
+    (so target-unseen tokens are defined).  Sampling documents with
+    probability proportional to exp(weight) tilts a raw crawl toward the
+    target domain — the standard pretraining data-selection signal.  The
+    target here is a column predicate (e.g. lang='en'); at scale it
+    would be a curated seed corpus registered as another table, same
+    plan.
+
+    Plan: ONE token scan feeds both models (the target count is a
+    conditional sum inside the same |vocab|-row aggregate — no second
+    pass), the smoothing totals are three bounded scalars, and the score
+    is one aggregate per doc over the tf ⋈ vocab join (vocab is the
+    broadcastable dim, as in tfidf/lm_quality).  Constants factor out of
+    the per-token mean:  score = Σ tf·(ln(c_tgt+1) − ln(c_raw+1))/|d|
+    + ln(T_raw+V) − ln(T_tgt+V).  ln/round-6 portability per the
+    PMI/TF-IDF convention; zero-token documents are absent.
+    """
+    tokens = docs.select(
+        "doc_id",
+        F.when(F.col(target_col) == target_value, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_tgt"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+        ).alias("term"),
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    uni = tokens.groupBy("term").agg(
+        F.count(F.lit(1)).alias("c_raw"), F.sum("is_tgt").alias("c_tgt")
+    )
+    t_raw, t_tgt, v = uni.agg(
+        F.sum("c_raw"), F.sum("c_tgt"), F.count(F.lit(1))
+    ).first()
+    if not v:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id long, n_tokens long, dsir_logratio double"
+        )
+    const = float(np.log(float(t_raw) + v) - np.log(float(t_tgt) + v))
+    return (
+        tf.join(uni, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(
+                F.col("tf")
+                * (F.log(F.col("c_tgt") + 1) - F.log(F.col("c_raw") + 1))
+            ).alias("s"),
+        )
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_tokens",
+            F.round(
+                F.col("s") / F.col("n_tokens") + F.lit(const), round_to
+            ).alias("dsir_logratio"),
+        )
+    )

@@ -1,0 +1,81 @@
+"""Bidirectional s-t BFS + DSIR importance weights."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
+
+
+def _sym(spark, pairs):
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    return LinkGraph(
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),
+        materialize=False,
+    )
+
+
+@pytest.fixture(scope="module")
+def path_graph(spark):
+    # 1-2-3-4-5 chain plus a disconnected pair 10-11
+    return _sym(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)])
+
+
+def test_st_distance_chain(spark, path_graph):
+    from linkgraph.algos.bidir import st_distance
+
+    rows = st_distance(path_graph, 1, 5).collect()
+    assert [(r.src_vid, r.dst_vid, r.dist) for r in rows] == [(1, 5, 4)]
+    # odd distance: meet requires one side one level deeper
+    assert st_distance(path_graph, 1, 4).first().dist == 3
+
+
+def test_st_distance_trivial_and_disconnected(spark, path_graph):
+    from linkgraph.algos.bidir import st_distance
+
+    assert st_distance(path_graph, 3, 3).first().dist == 0
+    assert st_distance(path_graph, 1, 10).count() == 0
+    # budget exhaustion -> empty, not a wrong answer
+    assert st_distance(path_graph, 1, 5, max_rounds=3).count() == 0
+
+
+def test_st_distance_equals_one_sided_bfs(spark):
+    """Every pair on a small random-ish graph: bidirectional == the
+    distance the one-sided MS-BFS kernel reports."""
+    from linkgraph.algos.bidir import st_distance
+    from linkgraph.algos.msbfs import msbfs
+
+    pairs = [(i, (i * i + 1) % 13) for i in range(13)] + [(1, 7), (2, 9)]
+    g = _sym(spark, [(a, b) for a, b in pairs if a != b])
+    dist = {
+        (r.src, r.vid): r.dist
+        for r in msbfs(g, [1, 2, 3], emit_distances=True).distances_df.collect()
+    }
+    for s in (1, 2, 3):
+        for t in (0, 4, 8, 12):
+            got = st_distance(g, s, t).collect()
+            want = dist.get((s, t))
+            if want is None:
+                assert got == []
+            else:
+                assert got[0].dist == want
+
+
+def test_dsir_logratio_tiny(spark):
+    """Hand-computed two-doc corpus: target doc's tokens gain weight."""
+    from linkgraph.textops.textstats import dsir_logratio
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb", "en"), (2, "aa cc", "de")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r for r in dsir_logratio(docs, "lang", "en").collect()}
+    # raw counts: aa=2 bb=1 cc=1 (T_raw=4, V=3); target: aa=1 bb=1 (T_tgt=2)
+    const = math.log(4 + 3) - math.log(2 + 3)
+    d1 = (math.log(2) - math.log(3) + math.log(2) - math.log(2)) / 2 + const
+    d2 = (math.log(2) - math.log(3) + math.log(1) - math.log(2)) / 2 + const
+    assert out[1].n_tokens == 2 and out[2].n_tokens == 2
+    assert abs(out[1].dsir_logratio - round(d1, 6)) < 1e-9
+    assert abs(out[2].dsir_logratio - round(d2, 6)) < 1e-9
+    assert out[1].dsir_logratio > out[2].dsir_logratio
