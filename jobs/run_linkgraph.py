@@ -43,7 +43,7 @@ def main(argv=None):
                             "kcore", "betweenness", "khop", "degree",
                             "eigenvector", "vertexsim", "conductance",
                             "degree_hist", "wl", "mst", "coreness",
-                            "edge_betweenness", "graphlets"])
+                            "edge_betweenness", "graphlets", "stdist"])
     p.add_argument("--edge-key", default="tool", help="shared-key column for conv-conv edges")
     p.add_argument("--hub-cap", type=int, default=100_000,
                    help="0 = plan from sketch stats (suggest_hub_cap, A8)")
@@ -224,6 +224,14 @@ def main(argv=None):
         out = minimum_spanning_forest(
             graph.edges.select("src", "dst", F.lit(1).alias("w"))
         )
+        metrics = {}
+    elif args.algo == "stdist":
+        from linkgraph.algos.bidir import st_distance
+
+        # point-to-point: hub -> farthest-id vertex by default (the driver
+        # query's deterministic pair); max_iter bounds total expansions
+        s, t = sorted(graph.top_degree_vids(2))
+        out = st_distance(graph, int(s), int(t), max_rounds=args.max_iter)
         metrics = {}
     else:  # degree
         out = graph.degrees()
