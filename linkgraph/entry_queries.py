@@ -5798,6 +5798,38 @@ GROUP BY tf.doc_id, tot.t_raw, tot.t_tgt, tot.v
 """
 
 
+SHUFFLE_SEED = 1
+SHUFFLE_BUCKETS = 32
+
+
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffle of the documents corpus: a seeded
+    pseudorandom permutation pos in 0..n-1 assigned by two-phase rank
+    (bucket window + broadcast offsets — no global sort; see
+    operators/sampling.py::epoch_shuffle)."""
+    from linkgraph.operators.sampling import epoch_shuffle
+
+    return epoch_shuffle(
+        _t(spark, sf_dir, "documents").select("doc_id"),
+        "doc_id",
+        seed=SHUFFLE_SEED,
+        buckets=SHUFFLE_BUCKETS,
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), "pos")
+
+
+SQL_EPOCH_SHUFFLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#shuffle#{SHUFFLE_SEED}'), 1, 15)
+              AS BIGINT) AS hv
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY hv % {SHUFFLE_BUCKETS}, hv, doc_id) - 1
+            AS BIGINT) AS pos
+FROM h
+"""
+
+
 QUERIES = {
     "degree_topk": q_degree_topk,
     "edges_shared_key": q_edges_shared_key,
@@ -5957,6 +5989,7 @@ QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "st_distance": q_st_distance,
     "dsir_weights": q_dsir_weights,
+    "epoch_shuffle": q_epoch_shuffle,
 }
 
 ORACLES = {
@@ -6118,6 +6151,7 @@ ORACLES = {
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
     "st_distance": SQL_ST_DISTANCE,
     "dsir_weights": SQL_DSIR_WEIGHTS,
+    "epoch_shuffle": SQL_EPOCH_SHUFFLE,
 }
 
 

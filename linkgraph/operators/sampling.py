@@ -205,3 +205,60 @@ def weighted_sample(
         .orderBy(F.col("ws_key").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    seed: int = 1,
+    buckets: int | None = None,
+) -> DataFrame:
+    """(key_col, pos): a deterministic pseudorandom PERMUTATION of the
+    table — pos is a bijection onto 0..n-1 in the canonical order
+    (bucket, h, key) with h = portable_hash60(key#shuffle#seed) and
+    bucket = h mod `buckets`.  The global training-data shuffle: every
+    epoch reads the corpus in a different (seeded) order, and because the
+    order is a pure function of (key, seed) the permutation is identical
+    across runs, partitionings, engines and retries — a `rand()` shuffle
+    is none of those.
+
+    NO GLOBAL SORT (the relabel's S2/O1 discipline at 100 TB): the rank
+    window partitions on the hash BUCKET (its shuffle spreads rows
+    uniformly by construction — the hash is the load balancer), per-bucket
+    counts collapse to `buckets` driver scalars, and global positions are
+    rank + broadcast bucket offset.  The one full-width sort a naive
+    Window.orderBy(h) would do on a single task never happens.
+    """
+    spark = df.sparkSession
+    if buckets is None:
+        buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    h = portable_hash60(
+        F.concat(F.col(key_col).cast("string"), F.lit(f"#shuffle#{seed}"))
+    )
+    keyed = df.select(
+        F.col(key_col),
+        h.alias("h"),
+        F.pmod(h, F.lit(int(buckets))).alias("bkt"),
+    )
+    counts = {
+        r["bkt"]: r["n"]
+        for r in keyed.groupBy("bkt").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    off = F.broadcast(
+        spark.createDataFrame(
+            [(int(b), int(o)) for b, o in offsets.items()], "bkt bigint, off long"
+        )
+    )
+    w = Window.partitionBy("bkt").orderBy(F.col("h").asc(), F.col(key_col).asc())
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .join(off, "bkt")
+        .select(
+            F.col(key_col),
+            (F.col("rk") - 1 + F.col("off")).cast("long").alias("pos"),
+        )
+    )

@@ -79,3 +79,18 @@ def test_dsir_logratio_tiny(spark):
     assert abs(out[1].dsir_logratio - round(d1, 6)) < 1e-9
     assert abs(out[2].dsir_logratio - round(d2, 6)) < 1e-9
     assert out[1].dsir_logratio > out[2].dsir_logratio
+
+
+def test_epoch_shuffle_is_seeded_permutation(spark):
+    from linkgraph.operators.sampling import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(97)], "doc_id long")
+    a = {r.doc_id: r.pos for r in epoch_shuffle(df, "doc_id", seed=1, buckets=8).collect()}
+    # bijection onto 0..n-1
+    assert sorted(a.values()) == list(range(97))
+    # deterministic across runs and bucket counts != order-defining bucket
+    b = {r.doc_id: r.pos for r in epoch_shuffle(df, "doc_id", seed=1, buckets=8).collect()}
+    assert a == b
+    # different seed -> different permutation (overwhelmingly)
+    c = {r.doc_id: r.pos for r in epoch_shuffle(df, "doc_id", seed=2, buckets=8).collect()}
+    assert c != a and sorted(c.values()) == list(range(97))
