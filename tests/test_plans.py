@@ -386,3 +386,15 @@ def test_shared_ngram_span_enumeration_is_codegen(spark):
     plan = _plan(shared_ngram_spans(docs, k=3, df_cap=10))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Generate (" in plan  # JVM explode of the generated span array
+
+
+def test_epoch_shuffle_no_global_sort(spark):
+    """The permutation ranks inside hash buckets: the plan must carry NO
+    single-partition exchange (the naive Window.orderBy(h) global sort)."""
+    from linkgraph.operators.sampling import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    out = epoch_shuffle(df, "doc_id", seed=1, buckets=16)
+    plan = _simple_plan(out)
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" not in plan.lower()
