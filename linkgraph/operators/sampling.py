@@ -231,7 +231,11 @@ def epoch_shuffle(
     """
     spark = df.sparkSession
     if buckets is None:
-        buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        try:
+            # non-numeric on AQE-auto deployments ("auto") — scc.py's lesson
+            buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            buckets = 64
     h = portable_hash60(
         F.concat(F.col(key_col).cast("string"), F.lit(f"#shuffle#{seed}"))
     )
