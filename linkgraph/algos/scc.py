@@ -379,3 +379,86 @@ def bowtie_decomposition(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
         ],
         "scc_size long, in_size long, out_size long, other_size long, n_vertices long",
     )
+
+
+def condensation_layers(
+    edges: DataFrame, rounds: int | None = 8, max_rounds: int = 256
+) -> DataFrame:
+    """(comp, depth): longest-path LAYER of every SCC in the condensation
+    quotient DAG — the topological structure report of a directed graph
+    (condensing the SCCs is what makes layering well-defined at all; the
+    raw graph has cycles).  depth(c) = length of the longest condensation
+    path ending at c, so layer-0 components are the sources and max depth
+    is the DAG's critical-path length.
+
+    Max-plus relaxation over the quotient edges: per sweep ONE
+    co-partitioned join (ce ⋈ depth on the source component) + one
+    partial+final MAX per component — the min-label CC shape with max-plus
+    algebra, O(|E_c|) per sweep, no windows.  The quotient is acyclic, so
+    depths are monotone non-decreasing and converge in (critical path)
+    sweeps; the integer SUM(depth) is therefore a one-action convergence
+    probe (unchanged sum == fixpoint — values only ever grow).
+
+    rounds=R runs exactly R sweeps (mirrorable by an unrolled SQL chain,
+    identical even if not yet converged); rounds=None runs to fixpoint and
+    WARNS if max_rounds is exhausted first (scc.py's budget discipline).
+    """
+    spark = edges.sparkSession
+    comp = strongly_connected_components(edges)
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    cs = comp.select(F.col("vid").alias("src"), F.col("comp").alias("c_src"))
+    cd = comp.select(F.col("vid").alias("dst"), F.col("comp").alias("c_dst"))
+    ce = (
+        e.join(cs, "src")
+        .join(cd, "dst")
+        .where(F.col("c_src") != F.col("c_dst"))
+        .select(F.col("c_src").alias("src"), F.col("c_dst").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    depth = (
+        comp.select(F.col("comp").alias("c"))
+        .distinct()
+        .withColumn("depth", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    budget = rounds if rounds is not None else max_rounds
+    prev_sum = 0
+    with iteration_plan(spark):
+        for it in range(budget):
+            msgs = ce.join(
+                depth.withColumnRenamed("c", "src"), "src"
+            ).select(
+                F.col("dst").alias("c"), (F.col("depth") + 1).alias("depth")
+            )
+            depth = (
+                depth.unionByName(msgs)
+                .groupBy("c")
+                .agg(F.max("depth").alias("depth"))
+                .localCheckpoint(eager=True)
+            )
+            if rounds is None:
+                s = depth.agg(F.sum("depth")).first()[0] or 0
+                if s == prev_sum:
+                    break
+                prev_sum = s
+        else:
+            if rounds is None:
+                import warnings
+
+                warnings.warn(
+                    f"condensation_layers: max_rounds={max_rounds} exhausted "
+                    "before the depth fixpoint; layers may be lower bounds",
+                    stacklevel=2,
+                )
+    return depth.select(
+        F.col("c").cast("long").alias("comp"),
+        F.col("depth").cast("long").alias("depth"),
+    )

@@ -5830,6 +5830,62 @@ FROM h
 """
 
 
+COND_ROUNDS = 8
+
+
+def q_condensation(spark, sf_dir):
+    """Topological layering of the directed sequential co-purchase graph's
+    SCC condensation: (comp, depth) with depth = longest quotient-DAG path
+    ending at that component (8 max-plus relaxation sweeps, mirrored by
+    the unrolled oracle chain)."""
+    from linkgraph.algos.scc import condensation_layers
+    from linkgraph.sources.derive import sequential_copurchase_edges
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > SCC_QTY)
+    return condensation_layers(
+        sequential_copurchase_edges(li), rounds=COND_ROUNDS
+    )
+
+
+def _condensation_oracle_sql(rounds: int) -> str:
+    steps = []
+    for k in range(1, rounds + 1):
+        steps.append(
+            f"d{k} AS (SELECT c, MAX(depth) AS depth FROM ("
+            f"SELECT c, depth FROM d{k - 1} UNION ALL "
+            f"SELECT ce.dst AS c, d.depth + 1 AS depth "
+            f"FROM d{k - 1} d JOIN ce ON ce.src = d.c) GROUP BY c)"
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT DISTINCT l_partkey AS src, nxt AS dst FROM (
+    SELECT l_partkey,
+           lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS nxt
+    FROM lineitem WHERE l_quantity > {SCC_QTY})
+  WHERE nxt IS NOT NULL AND nxt <> l_partkey),
+verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+reach(v, u) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT reach.v, e.dst FROM reach JOIN e ON e.src = reach.u),
+cmp AS MATERIALIZED (
+  SELECT r1.v AS vid, MIN(r1.u) AS comp
+  FROM reach r1 JOIN reach r2 ON r2.v = r1.u AND r2.u = r1.v
+  GROUP BY r1.v),
+ce AS MATERIALIZED (
+  SELECT DISTINCT c1.comp AS src, c2.comp AS dst
+  FROM e JOIN cmp c1 ON c1.vid = e.src JOIN cmp c2 ON c2.vid = e.dst
+  WHERE c1.comp <> c2.comp),
+d0 AS (SELECT DISTINCT comp AS c, 0 AS depth FROM cmp),
+{chain}
+SELECT CAST(c AS BIGINT) AS comp, CAST(depth AS BIGINT) AS depth FROM d{rounds}
+"""
+
+
+SQL_CONDENSATION = _condensation_oracle_sql(COND_ROUNDS)
+
+
 QUERIES = {
     "degree_topk": q_degree_topk,
     "edges_shared_key": q_edges_shared_key,
@@ -5990,6 +6046,7 @@ QUERIES = {
     "st_distance": q_st_distance,
     "dsir_weights": q_dsir_weights,
     "epoch_shuffle": q_epoch_shuffle,
+    "condensation": q_condensation,
 }
 
 ORACLES = {
@@ -6152,6 +6209,7 @@ ORACLES = {
     "st_distance": SQL_ST_DISTANCE,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,
+    "condensation": SQL_CONDENSATION,
 }
 
 
