@@ -125,6 +125,122 @@ def connected_components(
     return comp.select("vid", "comp")
 
 
+def connected_components_two_phase(
+    graph: LinkGraph, max_rounds: int = 64, verbose: bool = False
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star edge
+    rewrites [Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14] — a second, shuffle-pattern-distinct CC kernel,
+    cross-checked bit-exact against the pointer-doubling min-label kernel
+    (`connected_components`) in tests and the driver gate.
+
+    Where min-label propagation shuffles a LABEL table along a FIXED edge
+    table every round (O(|E|) join work per round, O(log d) rounds with
+    shortcutting), two-phase rewrites the EDGE SET itself toward a star
+    forest:
+
+      large-star(u): every neighbor v > u re-points to m = min(N(u) ∪ {u})
+      small-star(u): every neighbor v ≤ u (plus u) re-points to that min
+
+    Each phase is ONE map-side-combinable groupBy(min) + ONE equi-join of
+    the current edge set against its own ≤|V|-row per-vertex min table —
+    no |V|-row state table rides along, and the edge set SHRINKS
+    monotonically toward |V|-1 star edges, so late rounds get cheaper
+    while min-label rounds stay O(|E|).  O(log² n) rounds proven,
+    O(log n) observed; hub groups are map-side combined and the join back
+    is AQE-skew-splittable, so power-law graphs need no salting here.
+
+    Convergence probe: one fused (count, hash-checksum) aggregate per
+    round on the freshly checkpointed edge set — the star forest is a
+    fixpoint of both phases, so an unchanged (n, sum xxhash64) pair ends
+    the loop (128-bit-equivalent collision odds; no exceptAll join).
+    Returns (vid, comp) with comp = min vid of the component — the same
+    contract as `connected_components`, hence the shared oracle.
+    """
+    spark = graph.spark
+    # parent-pointer edge set, child > parent, seeded from the symmetric
+    # closure (LinkGraph keeps both directions; orient once, dedup)
+    e = (
+        graph.edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _probe(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64(F.col("u"), F.col("v")).cast("decimal(38,0)")
+            ).alias("h"),
+        ).first()
+        return int(row["n"] or 0), int(row["h"] or 0)
+
+    prev_sig = _probe(e)
+    converged = False
+    from linkgraph.graph import iteration_plan
+
+    with iteration_plan(spark):
+        for rnd in range(max_rounds):
+            # ---- large-star over the symmetric view: neighbors larger
+            # than the center re-point to the center's min
+            sym = e.unionByName(
+                e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            mins = (
+                sym.groupBy("u")
+                .agg(F.min("v").alias("mn"))
+                .select("u", F.least("mn", "u").alias("m"))
+            )
+            e = (
+                sym.where(F.col("v") > F.col("u"))
+                .join(mins, "u")
+                .where(F.col("v") != F.col("m"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .distinct()
+            )
+            # ---- small-star: all ≤-neighbors plus the center re-point to
+            # the center's min neighbor (edges are already child>parent)
+            smins = e.groupBy("u").agg(F.min("v").alias("m"))
+            e = (
+                e.join(smins, "u")
+                .select(
+                    F.col("v").alias("u"), F.col("m").alias("v")
+                )  # sibling -> min
+                .where(F.col("u") != F.col("v"))
+                .unionByName(
+                    smins.select(F.col("u"), F.col("m").alias("v"))
+                )  # center -> min
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            sig = _probe(e)
+            if verbose:
+                print(f"[cc2p] round {rnd}: edges={sig[0]}", flush=True)
+            if sig == prev_sig:
+                converged = True
+                break
+            prev_sig = sig
+    if not converged:
+        warnings.warn(
+            f"connected_components_two_phase: max_rounds={max_rounds} "
+            "exhausted before the star-forest fixpoint — result may be "
+            "unconverged",
+            stacklevel=2,
+        )
+    roots = e.select(F.col("u").alias("vid"), F.col("v").alias("comp"))
+    return (
+        graph.vertices()
+        .join(roots, "vid", "left")
+        .select(
+            F.col("vid"), F.coalesce(F.col("comp"), F.col("vid")).alias("comp")
+        )
+    )
+
+
 def attack_robustness(
     graph: LinkGraph, ks: list[int], by: str = "degree"
 ) -> DataFrame:

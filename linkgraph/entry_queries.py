@@ -564,6 +564,19 @@ def q_connected_components(spark, sf_dir):
     )
 
 
+def q_cc_two_phase(spark, sf_dir):
+    """Same components as q_connected_components, computed by the
+    alternating large-star/small-star edge-rewrite kernel (SoCC'14) —
+    a cross-kernel consistency gate: both must hash-match the one
+    min-label reachability oracle."""
+    from linkgraph.algos.components import connected_components_two_phase
+
+    g = user_graph(spark, sf_dir)
+    return connected_components_two_phase(g).select(
+        F.col("vid").cast("long").alias("vid"), F.col("comp").cast("long").alias("comp")
+    )
+
+
 SQL_CONNECTED_COMPONENTS = f"""
 WITH RECURSIVE {_USER_E},
 verts AS (SELECT DISTINCT src AS v FROM e),
@@ -5912,6 +5925,7 @@ QUERIES = {
     "harmonic": q_harmonic,
     "khop_sample": q_khop_sample,
     "connected_components": q_connected_components,
+    "cc_two_phase": q_cc_two_phase,
     "attack_robustness": q_attack_robustness,
     "failure_robustness": q_failure_robustness,
     "edge_percolation": q_edge_percolation,
@@ -6075,6 +6089,7 @@ ORACLES = {
     "harmonic": SQL_HARMONIC,
     "khop_sample": SQL_KHOP_SAMPLE,
     "connected_components": SQL_CONNECTED_COMPONENTS,
+    "cc_two_phase": SQL_CONNECTED_COMPONENTS,
     "attack_robustness": SQL_ATTACK_ROBUSTNESS,
     "failure_robustness": SQL_FAILURE_ROBUSTNESS,
     "edge_percolation": SQL_EDGE_PERCOLATION,
