@@ -244,3 +244,100 @@ def pagerank(
             if tol > 0 and delta < tol:
                 break
     return state.select("vid", "pr")
+
+
+def ppr_forward_push(
+    graph: LinkGraph,
+    seeds: list[int],
+    alpha: float = 0.15,
+    eps: float = 1e-4,
+    rounds: int | None = 8,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Personalized PageRank by distributed forward push [Andersen, Chung,
+    Lang, FOCS'06] — the LOCAL-computation complement to the power-series
+    PPR in `pagerank(sources=...)`: state is an (estimate p, residual r)
+    pair per touched vertex; a sweep pushes every vertex whose residual
+    clears the degree-scaled threshold, converting alpha*r into estimate
+    and spraying (1-alpha)*r/deg to neighbors.
+
+    Why it matters at 10^12-turn scale: TOTAL pushed mass is bounded by
+    1/(eps*alpha) regardless of graph size (each push retires >=
+    eps*deg(v) residual from an initial supply of 1), so the answer to
+    "PPR around THIS conversation" costs work proportional to the answer,
+    not to |E| — power iteration pays O(|E|) per round no matter how
+    local the query is.  The push frontier is exactly the rows the
+    byte-gated `expand` sees, so early sweeps broadcast and the edge
+    table never shuffles.
+
+    Determinism: the push set is a float-threshold filter (r > eps*deg);
+    both engines compute identical IEEE doubles through identical round
+    counts, and the driver gate's 9-dp rounding absorbs summation-order
+    noise — same posture as the power-iteration oracles.  rounds=R runs
+    exactly R sweeps (mirrorable by an unrolled SQL chain); rounds=None
+    pushes to the eps-fixpoint and warns if max_rounds exhausts first.
+    Returns (vid, p, r) for all vertices; at the fixpoint
+    |ppr(v) - p(v)| <= eps*deg(v).
+    """
+    if not seeds:
+        raise ValueError("ppr_forward_push needs a non-empty seed list")
+    spark = graph.spark
+    deg = graph.degrees().select("vid", F.col("deg").cast("double").alias("deg"))
+    seed_lit = F.col("vid").isin([int(s) for s in seeds])
+    state = (
+        graph.vertices()
+        .join(deg, "vid", "left")
+        .select(
+            "vid",
+            F.coalesce("deg", F.lit(0.0)).alias("deg"),
+            F.lit(0.0).alias("p"),
+            F.when(seed_lit, F.lit(1.0 / len(seeds))).otherwise(0.0).alias("r"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    budget = rounds if rounds is not None else max_rounds
+    from linkgraph.graph import iteration_plan
+
+    exhausted = rounds is None
+    with iteration_plan(spark):
+        for _ in range(budget):
+            pushed = F.col("r") > F.lit(eps) * F.col("deg")
+            msgs = state.where(pushed & (F.col("deg") > 0)).select(
+                F.col("vid").alias("src"),
+                ((1.0 - alpha) * F.col("r") / F.col("deg")).alias("w"),
+            )
+            if rounds is None:
+                n_push = msgs.count()
+                if n_push == 0:
+                    exhausted = False
+                    break
+                contrib = graph.expand(msgs, est_rows=n_push)
+            else:
+                contrib = graph.expand(msgs)
+            inc = contrib.groupBy("dst").agg(F.sum("w").alias("c"))
+            state = (
+                state.alias("st")
+                .join(inc.alias("ic"), F.col("st.vid") == F.col("ic.dst"), "left")
+                .select(
+                    F.col("st.vid").alias("vid"),
+                    F.col("st.deg").alias("deg"),
+                    (
+                        F.col("st.p")
+                        + F.when(pushed, alpha * F.col("st.r")).otherwise(0.0)
+                    ).alias("p"),
+                    (
+                        F.when(pushed, 0.0).otherwise(F.col("st.r"))
+                        + F.coalesce(F.col("ic.c"), F.lit(0.0))
+                    ).alias("r"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    if exhausted:
+        import warnings
+
+        warnings.warn(
+            f"ppr_forward_push: max_rounds={max_rounds} exhausted above the "
+            "eps threshold — estimates are lower bounds",
+            stacklevel=2,
+        )
+    return state.select("vid", "p", "r")

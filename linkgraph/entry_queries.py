@@ -740,6 +740,64 @@ SELECT CAST(vid AS BIGINT) AS vid, ROUND(pr, 9) AS ppr FROM pr WHERE it = {PR_IT
 """
 
 
+PUSH_ROUNDS = 6
+PUSH_EPS = 1e-4
+PUSH_ALPHA = 0.15
+
+
+def q_ppr_push(spark, sf_dir):
+    """Forward-push personalized PageRank (ACL FOCS'06): 6 threshold-gated
+    push sweeps from the 4 top-degree seeds; work bounded by 1/(eps*alpha)
+    independent of graph size.  Hash-checked against the identically
+    unrolled DuckDB sweep chain (estimate AND residual columns both
+    compared)."""
+    from linkgraph.algos.pagerank import ppr_forward_push
+
+    g = user_graph(spark, sf_dir)
+    seeds = g.top_degree_vids(PPR_SEEDS)
+    st = ppr_forward_push(
+        g, seeds, alpha=PUSH_ALPHA, eps=PUSH_EPS, rounds=PUSH_ROUNDS
+    )
+    return st.select(
+        F.col("vid").cast("long").alias("vid"),
+        F.round("p", 9).alias("p"),
+        F.round("r", 9).alias("r"),
+    )
+
+
+def _ppr_push_oracle_sql(rounds: int) -> str:
+    steps = []
+    for k in range(1, rounds + 1):
+        steps.append(f"""
+s{k} AS (
+  SELECT s.vid, s.deg,
+         s.p + CASE WHEN s.r > {PUSH_EPS}*s.deg THEN {PUSH_ALPHA}*s.r ELSE 0.0 END AS p,
+         CASE WHEN s.r > {PUSH_EPS}*s.deg THEN 0.0 ELSE s.r END + COALESCE(c.c, 0.0) AS r
+  FROM s{k - 1} s LEFT JOIN (
+    SELECT e.dst AS vid, SUM((1.0-{PUSH_ALPHA})*q.r/q.deg) AS c
+    FROM s{k - 1} q JOIN e ON e.src = q.vid
+    WHERE q.r > {PUSH_EPS}*q.deg
+    GROUP BY e.dst) c ON c.vid = s.vid
+)""")
+    chain = ",".join(steps)
+    return f"""
+WITH RECURSIVE {_USER_E_MAT},
+deg AS MATERIALIZED (SELECT src AS vid, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY src),
+seeds AS MATERIALIZED (
+  SELECT vid, 1.0/{PPR_SEEDS} AS r0 FROM (
+    SELECT vid FROM deg ORDER BY deg DESC, vid ASC LIMIT {PPR_SEEDS})),
+s0 AS (
+  SELECT d.vid, d.deg, 0.0 AS p, COALESCE(s.r0, 0.0) AS r
+  FROM deg d LEFT JOIN seeds s ON s.vid = d.vid),
+{chain}
+SELECT CAST(vid AS BIGINT) AS vid, ROUND(p, 9) AS p, ROUND(r, 9) AS r
+FROM s{rounds}
+"""
+
+
+SQL_PPR_PUSH = _ppr_push_oracle_sql(PUSH_ROUNDS)
+
+
 LPA_ITERS = 5  # fixed budget shared with the SQL oracle (fixpoint-stable:
 #                the Spark loop may stop early at changed==0, after which
 #                further unrolled SQL iterations are identity)
@@ -5926,6 +5984,7 @@ QUERIES = {
     "khop_sample": q_khop_sample,
     "connected_components": q_connected_components,
     "cc_two_phase": q_cc_two_phase,
+    "ppr_push": q_ppr_push,
     "attack_robustness": q_attack_robustness,
     "failure_robustness": q_failure_robustness,
     "edge_percolation": q_edge_percolation,
@@ -6090,6 +6149,7 @@ ORACLES = {
     "khop_sample": SQL_KHOP_SAMPLE,
     "connected_components": SQL_CONNECTED_COMPONENTS,
     "cc_two_phase": SQL_CONNECTED_COMPONENTS,
+    "ppr_push": SQL_PPR_PUSH,
     "attack_robustness": SQL_ATTACK_ROBUSTNESS,
     "failure_robustness": SQL_FAILURE_ROBUSTNESS,
     "edge_percolation": SQL_EDGE_PERCOLATION,
