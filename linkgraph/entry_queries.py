@@ -798,6 +798,33 @@ FROM s{rounds}
 SQL_PPR_PUSH = _ppr_push_oracle_sql(PUSH_ROUNDS)
 
 
+HH_K = 50
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Exact token heavy hitters (freq > n/k) by Misra-Gries candidate
+    pass + exact verify pass — result provably equals the plain
+    GROUP BY ... HAVING oracle, without ever building a full-cardinality
+    aggregate."""
+    from linkgraph.textops.sketches import token_heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_heavy_hitters(docs, HH_K).select(
+        "token", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
+SQL_HEAVY_HITTERS = f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents),
+tot AS (SELECT COUNT(*) AS n FROM tok)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM tok GROUP BY token
+HAVING COUNT(*) * {HH_K} > (SELECT n FROM tot)
+"""
+
+
 LPA_ITERS = 5  # fixed budget shared with the SQL oracle (fixpoint-stable:
 #                the Spark loop may stop early at changed==0, after which
 #                further unrolled SQL iterations are identity)
@@ -5985,6 +6012,7 @@ QUERIES = {
     "connected_components": q_connected_components,
     "cc_two_phase": q_cc_two_phase,
     "ppr_push": q_ppr_push,
+    "heavy_hitters": q_heavy_hitters,
     "attack_robustness": q_attack_robustness,
     "failure_robustness": q_failure_robustness,
     "edge_percolation": q_edge_percolation,
@@ -6150,6 +6178,7 @@ ORACLES = {
     "connected_components": SQL_CONNECTED_COMPONENTS,
     "cc_two_phase": SQL_CONNECTED_COMPONENTS,
     "ppr_push": SQL_PPR_PUSH,
+    "heavy_hitters": SQL_HEAVY_HITTERS,
     "attack_robustness": SQL_ATTACK_ROBUSTNESS,
     "failure_robustness": SQL_FAILURE_ROBUSTNESS,
     "edge_percolation": SQL_EDGE_PERCOLATION,

@@ -398,3 +398,91 @@ def cm_join_size(
             (F.col("cm_est") - F.col("exact_n")) / F.greatest("exact_n", F.lit(1)), 6
         ).alias("rel_err"),
     )
+
+
+def misra_gries_partition_summaries(
+    items: DataFrame, k: int, item_col: str = "item"
+) -> DataFrame:
+    """Per-partition Misra-Gries frequency summaries [MG82]: each partition
+    streams its Arrow batches through a k-counter MG table (batch
+    value_counts merged into the table; on overflow the (k+1)-th largest
+    count is subtracted from every counter and non-positive counters
+    drop — the standard mergeable decrement).  Output is ≤k counter rows
+    per partition plus one `item IS NULL` sentinel carrying the
+    partition's row count, so the caller gets candidates AND the exact
+    total n from ONE pass.
+
+    Guarantee (the reason this scales): any item with global frequency
+    > n/k appears in at least one partition's summary (pigeonhole: some
+    partition has local share > n_p/k ≥ n_p/(k+1), which MG never
+    evicts).  Memory is O(k) per partition and the pass emits ≤P·(k+1)
+    rows — no shuffle of the item stream at all, where a plain groupBy
+    over trillion-cardinality keys shuffles O(distinct) rows and blows
+    map-side combine hash tables.
+    """
+    import pyarrow as pa
+
+    def mg(batches):
+        counters: dict = {}
+        total = 0
+        for b in batches:
+            s = b.column(0).to_pandas().dropna()
+            total += len(s)
+            for item, c in s.value_counts().items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > k:
+                cuts = sorted(counters.values(), reverse=True)
+                delta = cuts[k]  # (k+1)-th largest
+                counters = {
+                    i: c - delta for i, c in counters.items() if c - delta > 0
+                }
+        yield pa.RecordBatch.from_pydict(
+            {
+                "item": list(counters.keys()) + [None],
+                "cnt": [int(c) for c in counters.values()] + [total],
+            },
+            schema=pa.schema([("item", pa.string()), ("cnt", pa.int64())]),
+        )
+
+    return items.select(F.col(item_col).cast("string").alias("item")).mapInArrow(
+        mg, "item string, cnt long"
+    )
+
+
+def token_heavy_hitters(
+    docs: DataFrame, k: int, text_col: str = "text"
+) -> DataFrame:
+    """EXACT heavy hitters over the token stream: every token with
+    frequency strictly greater than n/k, with its exact count — the
+    two-pass sketch-then-verify shape [MG82 + pigeonhole]:
+
+      pass 1  per-partition Misra-Gries summaries (O(k) memory, ≤P·(k+1)
+              rows emitted, zero shuffle of the stream) — a provable
+              SUPERSET of the answer plus the exact total n;
+      pass 2  exact counts of the ≤P·k candidates only: the candidate
+              set broadcasts, the semi-join filter prunes the token
+              stream AT THE SCAN, and the surviving rows groupBy-count
+              with map-side combine over ≤P·k distinct keys.
+
+    The result provably equals `GROUP BY token HAVING COUNT(*)*k > n`
+    (the driver oracle runs exactly that), while never materializing a
+    trillion-key aggregate: that is the 100 TB posture.  The threshold
+    comparison is all-integer (cnt*k > n) — no float boundary.
+    """
+    tok = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(text_col), F.lit(TOKEN_RE), 0)
+        ).alias("item")
+    )
+    summ = misra_gries_partition_summaries(tok, k).localCheckpoint(eager=True)
+    n = int(
+        summ.where(F.col("item").isNull()).agg(F.sum("cnt")).first()[0] or 0
+    )
+    cand = summ.where(F.col("item").isNotNull()).select("item").distinct()
+    return (
+        tok.join(F.broadcast(cand), "item")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") * k > n)
+        .select(F.col("item").alias("token"), F.col("cnt"))
+    )
