@@ -825,6 +825,109 @@ HAVING COUNT(*) * {HH_K} > (SELECT n FROM tot)
 """
 
 
+PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_event_pivot(spark, sf_dir):
+    """PIVOT surface: per-user wide table of event counts and value sums
+    by event_type, via groupBy().pivot(values=...) with an EXPLICIT value
+    list — one shuffle, no distinct-values pre-pass, deterministic column
+    set (the implicit-values form runs an extra job and couples the
+    schema to the data).  Oracle: conditional-aggregation CASE WHEN
+    mirror.  Sums are integer cents (value is 2dp) so the wide columns
+    hash exactly."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    wide = (
+        ev.select("user_id", "event_type", cents.alias("cents"))
+        .groupBy("user_id")
+        .pivot("event_type", PIVOT_TYPES)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("cents"), F.lit(0)).alias("cents"),
+        )
+    )
+    cols = [F.col("user_id").cast("long").alias("user_id")]
+    for t in PIVOT_TYPES:
+        cols.append(F.coalesce(f"{t}_n", F.lit(0)).cast("long").alias(f"{t}_n"))
+        cols.append(
+            F.coalesce(f"{t}_cents", F.lit(0)).cast("long").alias(f"{t}_cents")
+        )
+    return wide.select(*cols)
+
+
+def _pivot_cols_sql() -> str:
+    parts = []
+    for t in PIVOT_TYPES:
+        parts.append(
+            f"CAST(COUNT(*) FILTER (event_type = '{t}') AS BIGINT) AS {t}_n"
+        )
+        parts.append(
+            f"CAST(COALESCE(SUM(CAST(ROUND(value*100) AS BIGINT)) "
+            f"FILTER (event_type = '{t}'), 0) AS BIGINT) AS {t}_cents"
+        )
+    return ",\n       ".join(parts)
+
+
+SQL_EVENT_PIVOT = f"""
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       {_pivot_cols_sql()}
+FROM events GROUP BY user_id
+"""
+
+
+REC_K = 5
+REC_CAP = 64
+
+
+def q_recommend(spark, sf_dir):
+    """Item-item collaborative filtering: top-5 unowned parts per customer
+    by summed basket-cosine similarity (basket-capped pair generation,
+    rounded-score rank keys so rank boundaries are engine-portable)."""
+    from linkgraph.operators.recommend import item_item_cosine, recommend_topk
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    baskets = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
+    )
+    sim = item_item_cosine(baskets, basket_cap=REC_CAP)
+    ub = orders.join(
+        li, li["l_orderkey"] == orders["o_orderkey"]
+    ).select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p"))
+    return recommend_topk(ub, sim, k=REC_K).select(
+        F.col("u").cast("long").alias("u"),
+        F.col("rec").cast("long").alias("rec"),
+        F.col("score"),
+        F.col("rk").cast("long").alias("rk"),
+    )
+
+
+SQL_RECOMMEND = f"""
+WITH pk AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+ni AS (SELECT p, COUNT(*) AS n FROM pk GROUP BY p),
+small AS (SELECT pk.k, pk.p FROM pk JOIN (
+    SELECT k FROM pk GROUP BY k HAVING COUNT(*) <= {REC_CAP}) s ON s.k = pk.k),
+co AS (SELECT a.p AS i, b.p AS j, COUNT(*) AS nij
+       FROM small a JOIN small b ON a.k = b.k AND a.p < b.p GROUP BY a.p, b.p),
+sim0 AS (SELECT i, j, nij/sqrt(ni.n * nj.n) AS sim
+         FROM co JOIN ni ni ON ni.p = co.i JOIN ni nj ON nj.p = co.j),
+sim AS (SELECT i, j, sim FROM sim0 UNION ALL SELECT j, i, sim FROM sim0),
+ub AS (SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS j
+       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+sc AS (SELECT ub.u, s.j AS rec, ROUND(SUM(s.sim), 9) AS score
+       FROM ub JOIN sim s ON s.i = ub.j GROUP BY ub.u, s.j),
+unowned AS (SELECT sc.* FROM sc LEFT JOIN ub ON ub.u = sc.u AND ub.j = sc.rec
+            WHERE ub.u IS NULL),
+rk AS (SELECT u, rec, score,
+       ROW_NUMBER() OVER (PARTITION BY u ORDER BY score DESC, rec ASC) AS rk
+       FROM unowned)
+SELECT CAST(u AS BIGINT) AS u, CAST(rec AS BIGINT) AS rec, score,
+       CAST(rk AS BIGINT) AS rk
+FROM rk WHERE rk <= {REC_K}
+"""
+
+
 LPA_ITERS = 5  # fixed budget shared with the SQL oracle (fixpoint-stable:
 #                the Spark loop may stop early at changed==0, after which
 #                further unrolled SQL iterations are identity)
@@ -6013,6 +6116,8 @@ QUERIES = {
     "cc_two_phase": q_cc_two_phase,
     "ppr_push": q_ppr_push,
     "heavy_hitters": q_heavy_hitters,
+    "event_pivot": q_event_pivot,
+    "recommend_items": q_recommend,
     "attack_robustness": q_attack_robustness,
     "failure_robustness": q_failure_robustness,
     "edge_percolation": q_edge_percolation,
@@ -6179,6 +6284,8 @@ ORACLES = {
     "cc_two_phase": SQL_CONNECTED_COMPONENTS,
     "ppr_push": SQL_PPR_PUSH,
     "heavy_hitters": SQL_HEAVY_HITTERS,
+    "event_pivot": SQL_EVENT_PIVOT,
+    "recommend_items": SQL_RECOMMEND,
     "attack_robustness": SQL_ATTACK_ROBUSTNESS,
     "failure_robustness": SQL_FAILURE_ROBUSTNESS,
     "edge_percolation": SQL_EDGE_PERCOLATION,
