@@ -928,6 +928,35 @@ FROM rk WHERE rk <= {REC_K}
 """
 
 
+def q_table_diff(spark, sf_dir):
+    """Bucket-checksum snapshot reconciliation: diff `orders` against a
+    deterministically perturbed copy (keys %101 deleted, totalprice
+    changed on keys %97).  The oracle is the INDEPENDENT ground truth
+    (the perturbation rule itself), not a mirror of the bucket plan —
+    so the checksum route must find exactly the planted differences."""
+    from linkgraph.operators.reconcile import table_diff
+
+    o = _t(spark, sf_dir, "orders")
+    right = o.where(F.col("o_orderkey") % 101 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return table_diff(
+        o, right, ["o_orderkey"], ["o_custkey", "o_totalprice"]
+    ).select(F.col("o_orderkey").cast("long").alias("o_orderkey"), "status")
+
+
+SQL_TABLE_DIFF = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CASE WHEN o_orderkey % 101 = 0 THEN 'left_only'
+            ELSE 'changed' END AS status
+FROM orders
+WHERE o_orderkey % 101 = 0 OR o_orderkey % 97 = 0
+"""
+
+
 LPA_ITERS = 5  # fixed budget shared with the SQL oracle (fixpoint-stable:
 #                the Spark loop may stop early at changed==0, after which
 #                further unrolled SQL iterations are identity)
@@ -6118,6 +6147,7 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "event_pivot": q_event_pivot,
     "recommend_items": q_recommend,
+    "table_diff": q_table_diff,
     "attack_robustness": q_attack_robustness,
     "failure_robustness": q_failure_robustness,
     "edge_percolation": q_edge_percolation,
@@ -6286,6 +6316,7 @@ ORACLES = {
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "event_pivot": SQL_EVENT_PIVOT,
     "recommend_items": SQL_RECOMMEND,
+    "table_diff": SQL_TABLE_DIFF,
     "attack_robustness": SQL_ATTACK_ROBUSTNESS,
     "failure_robustness": SQL_FAILURE_ROBUSTNESS,
     "edge_percolation": SQL_EDGE_PERCOLATION,
