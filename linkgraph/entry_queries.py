@@ -957,6 +957,38 @@ WHERE o_orderkey % 101 = 0 OR o_orderkey % 97 = 0
 """
 
 
+def q_ssjoin_prefix(spark, sf_dir):
+    """Exact set-similarity self-join at Jaccard ≥ 0.7 via prefix
+    filtering (AllPairs/PPJoin): candidates only on rarest-prefix tokens,
+    integer-exact threshold — oracle is the BRUTE-FORCE all-shared-token
+    join, so the prefix filter's completeness is what's being graded."""
+    from linkgraph.textops.dedup import prefix_filter_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(docs, 7, 10).select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        "jac",
+    )
+
+
+SQL_SSJOIN_PREFIX = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS w
+  FROM documents),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       ROUND(CAST(i AS DOUBLE)/(sa.sz + sb.sz - i), 6) AS jac
+FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+WHERE i*10 >= 7*(sa.sz + sb.sz - i)
+"""
+
+
 LPA_ITERS = 5  # fixed budget shared with the SQL oracle (fixpoint-stable:
 #                the Spark loop may stop early at changed==0, after which
 #                further unrolled SQL iterations are identity)
@@ -6148,6 +6180,7 @@ QUERIES = {
     "event_pivot": q_event_pivot,
     "recommend_items": q_recommend,
     "table_diff": q_table_diff,
+    "ssjoin_prefix": q_ssjoin_prefix,
     "attack_robustness": q_attack_robustness,
     "failure_robustness": q_failure_robustness,
     "edge_percolation": q_edge_percolation,
@@ -6317,6 +6350,7 @@ ORACLES = {
     "event_pivot": SQL_EVENT_PIVOT,
     "recommend_items": SQL_RECOMMEND,
     "table_diff": SQL_TABLE_DIFF,
+    "ssjoin_prefix": SQL_SSJOIN_PREFIX,
     "attack_robustness": SQL_ATTACK_ROBUSTNESS,
     "failure_robustness": SQL_FAILURE_ROBUSTNESS,
     "edge_percolation": SQL_EDGE_PERCOLATION,
