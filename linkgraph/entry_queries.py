@@ -989,6 +989,65 @@ WHERE i*10 >= 7*(sa.sz + sb.sz - i)
 """
 
 
+def q_event_hopping(spark, sf_dir):
+    """Hopping-window surface: window(ts, '1 hour', '15 minutes') — each
+    event lands in 4 overlapping windows; the one sliding-window shape
+    tumbling/session queries don't cover.  Oracle unrolls the 4 window
+    memberships with a range(4) cross join on epoch-aligned starts."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.select(
+            F.window("ts", "1 hour", "15 minutes").alias("w"),
+            cents.alias("cents"),
+        )
+        .groupBy(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("wstart")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+
+
+SQL_EVENT_HOPPING = """
+SELECT strftime(to_timestamp(CAST(floor(epoch(ts)/900) AS BIGINT)*900 - j.j*900),
+                '%Y-%m-%d %H:%M:%S') AS wstart,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS cents
+FROM events, (SELECT unnest(range(4)) AS j) j
+GROUP BY 1
+"""
+
+
+def q_partition_cut(spark, sf_dir):
+    """Edge-cut of hash vs range partitioning on the user graph — the
+    locality measurement behind the relabel-then-range layout decision."""
+    from linkgraph.operators.skew import partition_cut_report
+
+    g = user_graph(spark, sf_dir)
+    return partition_cut_report(g.edges.select("src", "dst"), parts=32)
+
+
+SQL_PARTITION_CUT = f"""
+WITH {_USER_E},
+mx AS (SELECT GREATEST(MAX(src), MAX(dst)) AS m FROM e),
+tagged AS (
+  SELECT CASE WHEN CAST('0x' || substr(md5(CAST(src AS VARCHAR)), 1, 15) AS BIGINT) % 32
+            <> CAST('0x' || substr(md5(CAST(dst AS VARCHAR)), 1, 15) AS BIGINT) % 32
+          THEN 1 ELSE 0 END AS hcut,
+         CASE WHEN FLOOR(src*32/(m+1)) <> FLOOR(dst*32/(m+1)) THEN 1 ELSE 0 END AS rcut
+  FROM e, mx)
+SELECT 'hash' AS partitioner, CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(hcut) AS BIGINT) AS cut_edges,
+       ROUND(CAST(SUM(hcut) AS DOUBLE)/COUNT(*), 6) AS cut_frac FROM tagged
+UNION ALL
+SELECT 'range', CAST(COUNT(*) AS BIGINT), CAST(SUM(rcut) AS BIGINT),
+       ROUND(CAST(SUM(rcut) AS DOUBLE)/COUNT(*), 6) FROM tagged
+"""
+
+
 LPA_ITERS = 5  # fixed budget shared with the SQL oracle (fixpoint-stable:
 #                the Spark loop may stop early at changed==0, after which
 #                further unrolled SQL iterations are identity)
@@ -6181,6 +6240,8 @@ QUERIES = {
     "recommend_items": q_recommend,
     "table_diff": q_table_diff,
     "ssjoin_prefix": q_ssjoin_prefix,
+    "event_hopping": q_event_hopping,
+    "partition_cut": q_partition_cut,
     "attack_robustness": q_attack_robustness,
     "failure_robustness": q_failure_robustness,
     "edge_percolation": q_edge_percolation,
@@ -6351,6 +6412,8 @@ ORACLES = {
     "recommend_items": SQL_RECOMMEND,
     "table_diff": SQL_TABLE_DIFF,
     "ssjoin_prefix": SQL_SSJOIN_PREFIX,
+    "event_hopping": SQL_EVENT_HOPPING,
+    "partition_cut": SQL_PARTITION_CUT,
     "attack_robustness": SQL_ATTACK_ROBUSTNESS,
     "failure_robustness": SQL_FAILURE_ROBUSTNESS,
     "edge_percolation": SQL_EDGE_PERCOLATION,

@@ -116,3 +116,51 @@ def key_skew_report(df: DataFrame, cols: list[str]) -> DataFrame:
     for o in outs[1:]:
         out = out.union(o)
     return out
+
+
+def partition_cut_report(edges: DataFrame, parts: int = 32) -> DataFrame:
+    """Edge-cut comparison of the two partitioning strategies the engine
+    actually uses: for each edge, do src and dst land in the same
+    partition under (a) HASH partitioning (portable_hash60(vid) mod P —
+    the default shuffle placement) and (b) RANGE partitioning over the
+    vid space (floor(vid·P/(max+1)) — what the degree-desc relabel +
+    range write produces, where neighbor ids are deliberately close)?
+
+    Output: one row per strategy — (partitioner, n_edges, cut_edges,
+    cut_frac).  cut_frac is the fraction of frontier-expand messages
+    that cross executors, i.e. the network share of every iterative
+    kernel's per-round shuffle; measuring it is how you decide whether
+    a relabel+range layout is worth the write.  One scan, two map-side
+    aggregates, no shuffle of the edge table; md5-derived hashing keeps
+    the report engine-portable (the DuckDB oracle reproduces it bit for
+    bit).
+    """
+    from linkgraph.textops.dedup import portable_hash60
+
+    mx = edges.agg(
+        F.greatest(F.max("src"), F.max("dst")).alias("m")
+    ).first()["m"]
+    hb = lambda c: F.pmod(portable_hash60(F.col(c).cast("string")), F.lit(parts))
+    rb = lambda c: F.floor(F.col(c) * parts / (int(mx) + 1))
+    tagged = edges.select(
+        (hb("src") != hb("dst")).cast("long").alias("hcut"),
+        (rb("src") != rb("dst")).cast("long").alias("rcut"),
+    )
+    agg = tagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("hcut").alias("hc"),
+        F.sum("rcut").alias("rc"),
+    ).first()
+    spark = edges.sparkSession
+    n = int(agg["n"] or 0)
+    rows = [
+        ("hash", n, int(agg["hc"] or 0)),
+        ("range", n, int(agg["rc"] or 0)),
+    ]
+    return spark.createDataFrame(
+        [
+            (p, nn, c, round(c / nn, 6) if nn else 0.0)
+            for p, nn, c in rows
+        ],
+        "partitioner string, n_edges long, cut_edges long, cut_frac double",
+    )
