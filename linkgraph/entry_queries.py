@@ -1048,6 +1048,47 @@ SELECT 'range', CAST(COUNT(*) AS BIGINT), CAST(SUM(rcut) AS BIGINT),
 """
 
 
+Z_FILES = 64
+
+
+def q_zorder_layout(spark, sf_dir):
+    """Z-order layout report over lineitem (l_partkey × l_suppkey): the
+    per-file min-max statistics a Morton-keyed write would hand the
+    reader's pruning — both dimensions' extents bounded per file, which
+    a single-column sort cannot give."""
+    from linkgraph.operators.layout import zorder_layout_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    return zorder_layout_report(li, "l_partkey", "l_suppkey", files=Z_FILES)
+
+
+def _zorder_oracle_sql(files: int, bits: int = 16) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((xq >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"(((yq >> {i}) & 1) << {2 * i})")
+    z = " + ".join(terms)
+    return f"""
+WITH b AS (SELECT MIN(l_partkey) AS xmn, MAX(l_partkey) AS xmx,
+                  MIN(l_suppkey) AS ymn, MAX(l_suppkey) AS ymx FROM lineitem),
+q AS (SELECT l_partkey AS x, l_suppkey AS y,
+        CAST(FLOOR(((l_partkey - xmn) * {(1 << bits) - 1})
+                   / CAST(GREATEST(1, xmx - xmn) AS DOUBLE)) AS BIGINT) AS xq,
+        CAST(FLOOR(((l_suppkey - ymn) * {(1 << bits) - 1})
+                   / CAST(GREATEST(1, ymx - ymn) AS DOUBLE)) AS BIGINT) AS yq
+      FROM lineitem, b),
+k AS (SELECT x, y, {z} AS z FROM q),
+f AS (SELECT x, y, NTILE({files}) OVER (ORDER BY z, x, y) AS file_id FROM k)
+SELECT CAST(file_id AS BIGINT) AS file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
+       CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y
+FROM f GROUP BY 1
+"""
+
+
+SQL_ZORDER_LAYOUT = _zorder_oracle_sql(Z_FILES)
+
+
 LPA_ITERS = 5  # fixed budget shared with the SQL oracle (fixpoint-stable:
 #                the Spark loop may stop early at changed==0, after which
 #                further unrolled SQL iterations are identity)
@@ -6242,6 +6283,7 @@ QUERIES = {
     "ssjoin_prefix": q_ssjoin_prefix,
     "event_hopping": q_event_hopping,
     "partition_cut": q_partition_cut,
+    "zorder_layout": q_zorder_layout,
     "attack_robustness": q_attack_robustness,
     "failure_robustness": q_failure_robustness,
     "edge_percolation": q_edge_percolation,
@@ -6414,6 +6456,7 @@ ORACLES = {
     "ssjoin_prefix": SQL_SSJOIN_PREFIX,
     "event_hopping": SQL_EVENT_HOPPING,
     "partition_cut": SQL_PARTITION_CUT,
+    "zorder_layout": SQL_ZORDER_LAYOUT,
     "attack_robustness": SQL_ATTACK_ROBUSTNESS,
     "failure_robustness": SQL_FAILURE_ROBUSTNESS,
     "edge_percolation": SQL_EDGE_PERCOLATION,

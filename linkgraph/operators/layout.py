@@ -1,0 +1,97 @@
+"""Z-order (Morton) data layout — multi-dimensional scan pruning.
+
+A table range-partitioned on ONE column prunes scans on that column and
+nothing else; interleaving the bits of two quantized columns into a
+Morton key and range-partitioning on THAT bounds every file's extent in
+BOTH dimensions (each file covers ~2^-k of each axis for a 4^-k slice of
+the key space), so min-max file statistics prune point/range predicates
+on either column.  This is the layout trick behind Delta/Iceberg
+`ZORDER BY` — here as a plain column expression plus a layout report.
+
+The interleave is pure shift/mask integer sums and the quantization is
+a floor over an integer-exact product (see `quantize`), so the key —
+and therefore the file assignment given a deterministic tie-break — is
+engine-portable and oracle-checkable bit for bit.
+
+At scale: the key is a pure projection (no shuffle); laying data out is
+`repartitionByRange(z).sortWithinPartitions(z)` + write, one range
+shuffle — the same cost as any sorted write.  `zorder_layout_report`
+models the written files with an ntile over the key (deterministic
+tie-break on the raw columns) and emits per-file min/max extents: the
+exact statistics a reader's pruning would use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+Z_BITS = 16
+
+
+def quantize(col, mn: int, mx: int, bits: int = Z_BITS):
+    """Quantize col∈[mn,mx] onto [0, 2^bits-1]: floor((x-mn)·(2^b-1)/span).
+    The product is integer-exact in a double for spans < 2^36 and the
+    floor sits ≥1/span away from the division's rounding error, so the
+    value — mirrored by the identical DuckDB expression — is
+    engine-stable."""
+    span = max(1, int(mx) - int(mn))
+    num = (F.col(col).cast("long") - F.lit(int(mn))) * F.lit((1 << bits) - 1)
+    return F.floor(num / F.lit(span)).cast("long")
+
+
+def zorder_key(xq, yq, bits: int = Z_BITS):
+    """Interleave two pre-quantized long expressions into a Morton key
+    (x in odd bit positions, y in even)."""
+    terms = []
+    for i in range(bits):
+        terms.append(
+            F.shiftleft(F.shiftright(xq, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+        terms.append(F.shiftleft(F.shiftright(yq, i).bitwiseAND(F.lit(1)), 2 * i))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def zorder_layout_report(
+    df: DataFrame, xcol: str, ycol: str, files: int = 64, bits: int = Z_BITS
+) -> DataFrame:
+    """(file_id, n_rows, min_x, max_x, min_y, max_y): the min-max file
+    statistics a z-ordered write of `df` into `files` equal files would
+    produce.  Bounds on BOTH columns shrink ~∝ 1/sqrt(files) — the
+    pruning win a single-column sort cannot give."""
+    bounds = df.agg(
+        F.min(xcol).alias("xmn"),
+        F.max(xcol).alias("xmx"),
+        F.min(ycol).alias("ymn"),
+        F.max(ycol).alias("ymx"),
+    ).first()
+    xq = quantize(xcol, bounds["xmn"], bounds["xmx"], bits)
+    yq = quantize(ycol, bounds["ymn"], bounds["ymx"], bits)
+    keyed = df.select(
+        F.col(xcol).alias("x"),
+        F.col(ycol).alias("y"),
+        zorder_key(xq, yq, bits).alias("z"),
+    )
+    w = Window.orderBy("z", "x", "y")
+    return (
+        keyed.withColumn("file_id", F.ntile(files).over(w))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+        .select(
+            F.col("file_id").cast("long").alias("file_id"),
+            "n_rows",
+            "min_x",
+            "max_x",
+            "min_y",
+            "max_y",
+        )
+    )
