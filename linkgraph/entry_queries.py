@@ -1089,6 +1089,83 @@ FROM f GROUP BY 1
 SQL_ZORDER_LAYOUT = _zorder_oracle_sql(Z_FILES)
 
 
+TRIAD_QTY = 38
+
+
+def q_triad_census(spark, sf_dir):
+    """Holland-Leinhardt 16-class directed triad census of the sequential
+    co-purchase graph (Batagelj-Mrvar wedge decomposition — 003 never
+    enumerated); oracle mirrors the same decomposition with the same
+    generated tricode table."""
+    from linkgraph.algos.triads import triad_census
+    from linkgraph.sources.derive import sequential_copurchase_edges
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > TRIAD_QTY)
+    return triad_census(sequential_copurchase_edges(li))
+
+
+def _triad_oracle_sql(qty: int) -> str:
+    from linkgraph.algos.triads import TRIAD_CLASSES, TRICODE_CLASS
+
+    lut = ", ".join(f"'{c}'" for c in TRICODE_CLASS)
+    classes = ", ".join(f"('{c}')" for c in TRIAD_CLASSES)
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT l_partkey AS u, nxt AS v FROM (
+    SELECT l_partkey,
+           lead(l_partkey) OVER (PARTITION BY l_orderkey
+                                 ORDER BY l_linenumber, l_partkey) AS nxt
+    FROM lineitem WHERE l_quantity > {qty})
+  WHERE nxt IS NOT NULL AND nxt <> l_partkey),
+dy AS MATERIALIZED (
+  SELECT LEAST(u, v) AS a, GREATEST(u, v) AS b,
+         SUM(CASE WHEN u < v THEN 1 ELSE 2 END) AS st
+  FROM e GROUP BY 1, 2),
+nv AS (SELECT COUNT(*) AS n FROM (SELECT u AS x FROM e UNION SELECT v FROM e)),
+nb AS (SELECT a AS x, b AS y FROM dy UNION ALL SELECT b, a FROM dy),
+wedges AS MATERIALIZED (
+  SELECT l.x AS x, l.y AS p, r.y AS q
+  FROM nb l JOIN nb r ON r.x = l.x AND l.y < r.y),
+triples AS (
+  SELECT DISTINCT LEAST(x, p, q) AS a, x + p + q - LEAST(x, p, q) - GREATEST(x, p, q) AS b,
+         GREATEST(x, p, q) AS c
+  FROM wedges),
+coded AS (
+  SELECT COALESCE(d1.st, 0) + COALESCE(d2.st, 0)*4 + COALESCE(d3.st, 0)*16 AS code
+  FROM triples t
+  LEFT JOIN dy d1 ON d1.a = t.a AND d1.b = t.b
+  LEFT JOIN dy d2 ON d2.a = t.a AND d2.b = t.c
+  LEFT JOIN dy d3 ON d3.a = t.b AND d3.b = t.c),
+connected AS (
+  SELECT list_extract([{lut}], CAST(code AS INT) + 1) AS klass, COUNT(*) AS cnt
+  FROM coded GROUP BY 1),
+degs AS (SELECT x, COUNT(*) AS deg FROM nb GROUP BY x),
+cn AS (
+  SELECT w.p, w.q, COUNT(*) AS cn FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM dy WHERE dy.a = w.p AND dy.b = w.q)
+  GROUP BY w.p, w.q),
+lone AS (
+  SELECT CASE WHEN dy.st = 3 THEN '102' ELSE '012' END AS klass,
+         SUM((SELECT n FROM nv) - 2 - (da.deg + db.deg - 2 - COALESCE(cn.cn, 0))) AS cnt
+  FROM dy
+  LEFT JOIN cn ON cn.p = dy.a AND cn.q = dy.b
+  JOIN degs da ON da.x = dy.a
+  JOIN degs db ON db.x = dy.b
+  GROUP BY 1),
+partial AS (SELECT * FROM connected UNION ALL SELECT * FROM lone),
+empty AS (
+  SELECT '003' AS klass,
+         (SELECT n*(n-1)*(n-2)/6 FROM nv) - (SELECT SUM(cnt) FROM partial) AS cnt),
+allp AS (SELECT * FROM partial UNION ALL SELECT * FROM empty),
+classes(klass) AS (VALUES {classes})
+SELECT classes.klass AS klass, CAST(COALESCE(allp.cnt, 0) AS BIGINT) AS cnt
+FROM classes LEFT JOIN allp ON allp.klass = classes.klass
+"""
+
+
+SQL_TRIAD_CENSUS = _triad_oracle_sql(TRIAD_QTY)
+
+
 LPA_ITERS = 5  # fixed budget shared with the SQL oracle (fixpoint-stable:
 #                the Spark loop may stop early at changed==0, after which
 #                further unrolled SQL iterations are identity)
@@ -6284,6 +6361,7 @@ QUERIES = {
     "event_hopping": q_event_hopping,
     "partition_cut": q_partition_cut,
     "zorder_layout": q_zorder_layout,
+    "triad_census": q_triad_census,
     "attack_robustness": q_attack_robustness,
     "failure_robustness": q_failure_robustness,
     "edge_percolation": q_edge_percolation,
@@ -6457,6 +6535,7 @@ ORACLES = {
     "event_hopping": SQL_EVENT_HOPPING,
     "partition_cut": SQL_PARTITION_CUT,
     "zorder_layout": SQL_ZORDER_LAYOUT,
+    "triad_census": SQL_TRIAD_CENSUS,
     "attack_robustness": SQL_ATTACK_ROBUSTNESS,
     "failure_robustness": SQL_FAILURE_ROBUSTNESS,
     "edge_percolation": SQL_EDGE_PERCOLATION,
