@@ -87,6 +87,22 @@ def run_suite(spark, sf_dir: str, sf: str) -> tuple[dict, dict]:
     with timed("cc_copurchase"):
         connected_components(g1).agg(F.countDistinct("comp")).collect()
 
+    with timed("cc_two_phase_copurchase"):
+        # kernel A/B vs the min-label row above: edge-rewrite CC on the
+        # same graph (round-5 addition)
+        from linkgraph.algos.components import connected_components_two_phase
+
+        connected_components_two_phase(g1).agg(F.countDistinct("comp")).collect()
+
+    with timed("ppr_push_copurchase"):
+        from linkgraph.algos.pagerank import ppr_forward_push
+
+        extras["ppr_push_touched"] = (
+            ppr_forward_push(g1, sorted(g1.top_degree_vids(4)), eps=1e-6, rounds=8)
+            .where(F.col("p") > 0)
+            .count()
+        )
+
     with timed("triangles_copurchase"):
         extras["triangles_copurchase"] = triangle_count(g1, by_degree=True)
 
