@@ -640,3 +640,47 @@ def clustering_by_degree(graph: LinkGraph, round_to: int = 6) -> DataFrame:
             ).alias("mean_lcc"),
         )
     )
+
+
+def clustering_agreement(
+    x: DataFrame, y: DataFrame, round_to: int = 6
+) -> DataFrame:
+    """Adjusted Rand Index between two (vid, label) clusterings [Hubert &
+    Arabie, J. Classif. 1985] — the pair-counting agreement the operator
+    reads before trusting that two community methods (LPA vs CC vs
+    Louvain) describe the same structure.
+
+    Everything up to the final ratio is INTEGER: one co-partitioned join
+    on vid, one contingency aggregate (n_ij per label pair — at most
+    #clusters² rows, map-side combined), and C(n,2) sums per side.
+    ARI = (index − E) / (max − E) with E = ab/C(n,2); the convention for
+    the degenerate max == E case (both partitions trivial) is 1.0.
+    Returns one row: (n_items, pairs_x, pairs_y, pairs_both, ari).
+    """
+    spark = x.sparkSession
+    j = x.select("vid", F.col("label").alias("lx")).join(
+        y.select("vid", F.col("label").alias("ly")), "vid"
+    )
+
+    def c2(col):
+        return F.sum(F.col(col) * (F.col(col) - 1) / 2).cast("long")
+
+    cont = j.groupBy("lx", "ly").agg(F.count(F.lit(1)).alias("nij"))
+    both = int(cont.agg(c2("nij")).first()[0] or 0)
+    ax = int(
+        j.groupBy("lx").agg(F.count(F.lit(1)).alias("ni")).agg(c2("ni")).first()[0]
+        or 0
+    )
+    by = int(
+        j.groupBy("ly").agg(F.count(F.lit(1)).alias("nj")).agg(c2("nj")).first()[0]
+        or 0
+    )
+    n = j.count()
+    total = n * (n - 1) // 2
+    e = ax * by / total if total else 0.0
+    mx = (ax + by) / 2
+    ari = 1.0 if mx == e else round((both - e) / (mx - e), round_to)
+    return spark.createDataFrame(
+        [(n, ax, by, both, ari)],
+        "n_items long, pairs_x long, pairs_y long, pairs_both long, ari double",
+    )

@@ -1166,6 +1166,116 @@ FROM classes LEFT JOIN allp ON allp.klass = classes.klass
 SQL_TRIAD_CENSUS = _triad_oracle_sql(TRIAD_QTY)
 
 
+REC_SPLIT = "2000-01-01"
+
+
+def q_recommend_eval(spark, sf_dir):
+    """End-to-end offline recommender evaluation with a TEMPORAL split
+    (train < 2000-01-01, test after): similarities and user baskets come
+    from train orders only; truth = test-period purchases of items the
+    user had NOT bought in train.  One summary row: evaluated users,
+    rec/truth/hit counts, precision@k and recall@k — the leakage-safe
+    eval shape (same-period evaluation would grade memorization)."""
+    from linkgraph.operators.recommend import item_item_cosine, recommend_topk
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    split = F.lit(REC_SPLIT).cast("timestamp")
+    tr_o = orders.where(F.col("o_orderdate") < split)
+    te_o = orders.where(F.col("o_orderdate") >= split)
+
+    def pairs(o):
+        return (
+            o.join(li, li["l_orderkey"] == o["o_orderkey"])
+            .select(
+                F.col("o_custkey").alias("u"),
+                F.col("l_orderkey").alias("k"),
+                F.col("l_partkey").alias("p"),
+            )
+        )
+
+    tr = pairs(tr_o)
+    sim = item_item_cosine(tr.select("k", "p"), basket_cap=REC_CAP)
+    ub_train = tr.select("u", "p").distinct()
+    recs = recommend_topk(ub_train, sim, k=REC_K)
+    truth = (
+        pairs(te_o)
+        .select("u", "p")
+        .distinct()
+        .join(ub_train, ["u", "p"], "left_anti")
+    )
+    users = recs.select("u").distinct().join(
+        truth.select("u").distinct(), "u", "left_semi"
+    )
+    r_e = recs.join(users, "u", "left_semi")
+    t_e = truth.join(users, "u", "left_semi")
+    hits = r_e.join(
+        t_e.select("u", F.col("p").alias("rec")), ["u", "rec"], "left_semi"
+    )
+    n_users = users.count()
+    n_recs = r_e.count()
+    n_truth = t_e.count()
+    n_hits = hits.count()
+    return spark.createDataFrame(
+        [
+            (
+                n_users,
+                n_recs,
+                n_truth,
+                n_hits,
+                round(n_hits / n_recs, 6) if n_recs else 0.0,
+                round(n_hits / n_truth, 6) if n_truth else 0.0,
+            )
+        ],
+        "n_users long, n_recs long, n_truth long, n_hits long, "
+        "precision_at_k double, recall_at_k double",
+    )
+
+
+SQL_RECOMMEND_EVAL = f"""
+WITH tr AS (
+  SELECT o.o_custkey AS u, l.l_orderkey AS k, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate < TIMESTAMP '{REC_SPLIT}'),
+pk AS (SELECT DISTINCT k, p FROM tr),
+ni AS (SELECT p, COUNT(*) AS n FROM pk GROUP BY p),
+small AS (SELECT pk.k, pk.p FROM pk JOIN (
+    SELECT k FROM pk GROUP BY k HAVING COUNT(*) <= {REC_CAP}) s ON s.k = pk.k),
+co AS (SELECT a.p AS i, b.p AS j, COUNT(*) AS nij
+       FROM small a JOIN small b ON a.k = b.k AND a.p < b.p GROUP BY a.p, b.p),
+sim0 AS (SELECT i, j, nij/sqrt(ni.n * nj.n) AS sim
+         FROM co JOIN ni ni ON ni.p = co.i JOIN ni nj ON nj.p = co.j),
+sim AS (SELECT i, j, sim FROM sim0 UNION ALL SELECT j, i, sim FROM sim0),
+ub AS (SELECT DISTINCT u, p AS j FROM tr),
+sc AS (SELECT ub.u, s.j AS rec, ROUND(SUM(s.sim), 9) AS score
+       FROM ub JOIN sim s ON s.i = ub.j GROUP BY ub.u, s.j),
+unowned AS (SELECT sc.* FROM sc LEFT JOIN ub ON ub.u = sc.u AND ub.j = sc.rec
+            WHERE ub.u IS NULL),
+recs AS (SELECT u, rec FROM (
+  SELECT u, rec, ROW_NUMBER() OVER (PARTITION BY u ORDER BY score DESC, rec ASC) AS rk
+  FROM unowned) WHERE rk <= {REC_K}),
+truth AS (
+  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate >= TIMESTAMP '{REC_SPLIT}'
+  EXCEPT SELECT u, j FROM ub),
+users AS (SELECT u FROM (SELECT DISTINCT u FROM recs)
+          WHERE u IN (SELECT u FROM truth)),
+r_e AS (SELECT recs.* FROM recs WHERE u IN (SELECT u FROM users)),
+t_e AS (SELECT truth.* FROM truth WHERE u IN (SELECT u FROM users)),
+m AS (SELECT
+    (SELECT COUNT(*) FROM users) AS n_users,
+    (SELECT COUNT(*) FROM r_e) AS n_recs,
+    (SELECT COUNT(*) FROM t_e) AS n_truth,
+    (SELECT COUNT(*) FROM r_e JOIN t_e ON t_e.u = r_e.u AND t_e.p = r_e.rec) AS n_hits)
+SELECT CAST(n_users AS BIGINT) AS n_users, CAST(n_recs AS BIGINT) AS n_recs,
+       CAST(n_truth AS BIGINT) AS n_truth, CAST(n_hits AS BIGINT) AS n_hits,
+       ROUND(CAST(n_hits AS DOUBLE)/n_recs, 6) AS precision_at_k,
+       ROUND(CAST(n_hits AS DOUBLE)/n_truth, 6) AS recall_at_k
+FROM m
+"""
+
+
 LPA_ITERS = 5  # fixed budget shared with the SQL oracle (fixpoint-stable:
 #                the Spark loop may stop early at changed==0, after which
 #                further unrolled SQL iterations are identity)
@@ -1208,6 +1318,69 @@ l{k} AS (
 
 
 SQL_LABEL_PROPAGATION = _lpa_oracle_sql(LPA_ITERS)
+
+
+def q_clustering_ari(spark, sf_dir):
+    """Adjusted Rand Index between 5-round LPA communities and connected
+    components on the user graph — pair-counting agreement, integer up to
+    the final ratio; oracle recomputes BOTH clusterings (unrolled LPA +
+    recursive-CTE CC) and the same algebra."""
+    from linkgraph.algos.components import connected_components
+    from linkgraph.algos.gstats import clustering_agreement
+    from linkgraph.algos.labelprop import label_propagation
+
+    g = user_graph(spark, sf_dir)
+    lpa = label_propagation(g, max_iter=LPA_ITERS)
+    cc = connected_components(g).select("vid", F.col("comp").alias("label"))
+    return clustering_agreement(lpa, cc)
+
+
+def _ari_oracle_sql(iters: int) -> str:
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+l{k} AS (
+  SELECT v.vid AS vid, COALESCE(w.new_label, v.label) AS label
+  FROM l{k - 1} v LEFT JOIN (
+    SELECT dst, l AS new_label FROM (
+      SELECT e.dst AS dst, p.label AS l, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY e.dst
+                                ORDER BY COUNT(*) DESC, p.label ASC) AS rk
+      FROM l{k - 1} p JOIN e ON e.src = p.vid
+      GROUP BY e.dst, p.label) t
+    WHERE rk = 1) w ON w.dst = v.vid
+)""")
+    chain = ",".join(steps)
+    return f"""
+WITH RECURSIVE {_USER_E_MAT},
+l0 AS (SELECT DISTINCT src AS vid, src AS label FROM e),{chain},
+verts AS (SELECT DISTINCT src AS v FROM e),
+reach(v, u) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT reach.v, e.dst FROM reach JOIN e ON e.src = reach.u),
+cc AS (SELECT v AS vid, MIN(u) AS label FROM reach GROUP BY v),
+j AS (SELECT l.vid, l.label AS lx, c.label AS ly
+      FROM l{iters} l JOIN cc c ON c.vid = l.vid),
+cont AS (SELECT lx, ly, COUNT(*) AS nij FROM j GROUP BY lx, ly),
+s AS (SELECT
+    (SELECT COUNT(*) FROM j) AS n,
+    (SELECT CAST(SUM(ni*(ni-1)//2) AS BIGINT) FROM
+        (SELECT COUNT(*) AS ni FROM j GROUP BY lx)) AS ax,
+    (SELECT CAST(SUM(nj*(nj-1)//2) AS BIGINT) FROM
+        (SELECT COUNT(*) AS nj FROM j GROUP BY ly)) AS ay,
+    (SELECT CAST(SUM(nij*(nij-1)//2) AS BIGINT) FROM cont) AS bt)
+SELECT CAST(n AS BIGINT) AS n_items, ax AS pairs_x, ay AS pairs_y,
+       bt AS pairs_both,
+       CASE WHEN (ax + ay)/2.0 = ax*CAST(ay AS DOUBLE)/(n*(n-1)//2) THEN 1.0
+            ELSE ROUND((bt - ax*CAST(ay AS DOUBLE)/(n*(n-1)//2))
+                       / ((ax + ay)/2.0 - ax*CAST(ay AS DOUBLE)/(n*(n-1)//2)), 6)
+       END AS ari
+FROM s
+"""
+
+
+SQL_CLUSTERING_ARI = _ari_oracle_sql(LPA_ITERS)
 
 
 def q_rollup_lineitem(spark, sf_dir):
@@ -6362,6 +6535,8 @@ QUERIES = {
     "partition_cut": q_partition_cut,
     "zorder_layout": q_zorder_layout,
     "triad_census": q_triad_census,
+    "recommend_eval": q_recommend_eval,
+    "clustering_ari": q_clustering_ari,
     "attack_robustness": q_attack_robustness,
     "failure_robustness": q_failure_robustness,
     "edge_percolation": q_edge_percolation,
@@ -6536,6 +6711,8 @@ ORACLES = {
     "partition_cut": SQL_PARTITION_CUT,
     "zorder_layout": SQL_ZORDER_LAYOUT,
     "triad_census": SQL_TRIAD_CENSUS,
+    "recommend_eval": SQL_RECOMMEND_EVAL,
+    "clustering_ari": SQL_CLUSTERING_ARI,
     "attack_robustness": SQL_ATTACK_ROBUSTNESS,
     "failure_robustness": SQL_FAILURE_ROBUSTNESS,
     "edge_percolation": SQL_EDGE_PERCOLATION,
