@@ -43,7 +43,8 @@ def main(argv=None):
                             "kcore", "betweenness", "khop", "degree",
                             "eigenvector", "vertexsim", "conductance",
                             "degree_hist", "wl", "mst", "coreness",
-                            "edge_betweenness", "graphlets", "stdist"])
+                            "edge_betweenness", "graphlets", "stdist",
+                            "cc2p", "pprpush", "triads"])
     p.add_argument("--edge-key", default="tool", help="shared-key column for conv-conv edges")
     p.add_argument("--hub-cap", type=int, default=100_000,
                    help="0 = plan from sketch stats (suggest_hub_cap, A8)")
@@ -224,6 +225,23 @@ def main(argv=None):
         out = minimum_spanning_forest(
             graph.edges.select("src", "dst", F.lit(1).alias("w"))
         )
+        metrics = {}
+    elif args.algo == "cc2p":
+        from linkgraph.algos.components import connected_components_two_phase
+
+        out = connected_components_two_phase(graph, max_rounds=args.max_iter)
+        metrics = {}
+    elif args.algo == "pprpush":
+        from linkgraph.algos.pagerank import ppr_forward_push
+
+        seeds = sorted(graph.top_degree_vids(args.seeds))
+        out = ppr_forward_push(graph, seeds, rounds=None,
+                               max_rounds=args.max_iter)
+        metrics = {"seeds": len(seeds)}
+    elif args.algo == "triads":
+        from linkgraph.algos.triads import triad_census
+
+        out = triad_census(graph.edges.select("src", "dst"))
         metrics = {}
     elif args.algo == "stdist":
         from linkgraph.algos.bidir import st_distance
