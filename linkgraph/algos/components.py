@@ -181,6 +181,7 @@ def connected_components_two_phase(
 
     prev_sig = _probe(e)
     converged = False
+    prev_e = None
     from linkgraph.graph import iteration_plan
 
     with iteration_plan(spark):
@@ -218,6 +219,12 @@ def connected_components_two_phase(
                 .localCheckpoint(eager=True)
             )
             sig = _probe(e)
+            if prev_e is not None:
+                try:
+                    prev_e.unpersist()
+                except Exception:
+                    pass
+            prev_e = e
             if verbose:
                 print(f"[cc2p] round {rnd}: edges={sig[0]}", flush=True)
             if sig == prev_sig:

@@ -299,6 +299,7 @@ def ppr_forward_push(
     from linkgraph.graph import iteration_plan
 
     exhausted = rounds is None
+    prev_state = None
     with iteration_plan(spark):
         for _ in range(budget):
             pushed = F.col("r") > F.lit(eps) * F.col("deg")
@@ -315,6 +316,7 @@ def ppr_forward_push(
             else:
                 contrib = graph.expand(msgs)
             inc = contrib.groupBy("dst").agg(F.sum("w").alias("c"))
+            prev_state = state
             state = (
                 state.alias("st")
                 .join(inc.alias("ic"), F.col("st.vid") == F.col("ic.dst"), "left")
@@ -332,6 +334,11 @@ def ppr_forward_push(
                 )
                 .localCheckpoint(eager=True)
             )
+            if prev_state is not None:
+                try:
+                    prev_state.unpersist()
+                except Exception:
+                    pass
     if exhausted:
         import warnings
 

@@ -431,6 +431,7 @@ def condensation_layers(
     )
     budget = rounds if rounds is not None else max_rounds
     prev_sum = 0
+    prev_depth = None
     with iteration_plan(spark):
         for it in range(budget):
             msgs = ce.join(
@@ -438,12 +439,18 @@ def condensation_layers(
             ).select(
                 F.col("dst").alias("c"), (F.col("depth") + 1).alias("depth")
             )
+            prev_depth = depth
             depth = (
                 depth.unionByName(msgs)
                 .groupBy("c")
                 .agg(F.max("depth").alias("depth"))
                 .localCheckpoint(eager=True)
             )
+            if prev_depth is not None:
+                try:
+                    prev_depth.unpersist()
+                except Exception:
+                    pass
             if rounds is None:
                 s = depth.agg(F.sum("depth")).first()[0] or 0
                 if s == prev_sum:
