@@ -6498,6 +6498,192 @@ SELECT CAST(c AS BIGINT) AS comp, CAST(depth AS BIGINT) AS depth FROM d{rounds}
 SQL_CONDENSATION = _condensation_oracle_sql(COND_ROUNDS)
 
 
+# ---------------------------------------------------------------- round-5 wave 3
+
+TEXTRANK_ITERS = 10  # shared fixed-point budget (engine loop == oracle CTE)
+TEXTRANK_K = 30
+TEXTRANK_D = 0.85
+
+
+def q_textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction: damped weighted PageRank over the
+    adjacent-token co-occurrence graph (window 2), 10 fixed iterations,
+    top-30 by rounded score — the corpus-derived-graph synthesis of the
+    engine's own PageRank kernel."""
+    from linkgraph.textops.keywords import textrank_keywords
+
+    return textrank_keywords(
+        _t(spark, sf_dir, "documents"),
+        k=TEXTRANK_K,
+        damping=TEXTRANK_D,
+        iters=TEXTRANK_ITERS,
+    )
+
+
+SQL_TEXTRANK_KEYWORDS = f"""
+WITH RECURSIVE
+tok AS MATERIALIZED (SELECT {_SQL_TOKENS} AS ts FROM documents),
+bi AS MATERIALIZED (
+  SELECT unnest(CASE WHEN len(ts) >= 2
+                     THEN list_transform(range(1, len(ts)),
+                          i -> ts[i] || ' ' || ts[i + 1])
+                     ELSE [] END) AS g
+  FROM tok),
+pw AS MATERIALIZED (
+  SELECT least(string_split(g, ' ')[1], string_split(g, ' ')[2]) AS a,
+         greatest(string_split(g, ' ')[1], string_split(g, ' ')[2]) AS b,
+         COUNT(*) AS w
+  FROM bi WHERE string_split(g, ' ')[1] <> string_split(g, ' ')[2]
+  GROUP BY 1, 2),
+ed AS MATERIALIZED (
+  SELECT a AS src, b AS dst, w FROM pw
+  UNION ALL SELECT b, a, w FROM pw),
+wd AS MATERIALIZED (SELECT src, CAST(SUM(w) AS DOUBLE) AS wdeg FROM ed GROUP BY src),
+em AS MATERIALIZED (
+  SELECT e.src, e.dst, e.w / wd.wdeg AS frac FROM ed e JOIN wd ON wd.src = e.src),
+tr(it, word, score) AS (
+  -- CAST: the init branch fixes the CTE column type; a bare 1.0 is
+  -- DECIMAL(2,1) and silently truncates every iteration to one decimal
+  SELECT 0, src, CAST(1.0 AS DOUBLE) FROM wd
+  UNION ALL
+  SELECT t.it + 1, em.dst,
+         (1.0 - {TEXTRANK_D}) + {TEXTRANK_D} * SUM(em.frac * t.score)
+  FROM tr t JOIN em ON em.src = t.word
+  WHERE t.it < {TEXTRANK_ITERS}
+  GROUP BY t.it + 1, em.dst)
+SELECT word, ROUND(score, 6) AS score FROM tr WHERE it = {TEXTRANK_ITERS}
+ORDER BY ROUND(score, 6) DESC, word ASC LIMIT {TEXTRANK_K}
+"""
+
+
+def q_stopword_candidates(spark, sf_dir):
+    """Stop-list discovery: words in >= 30% of documents, ranked by
+    (df ratio, corpus frequency) — one corpus scan via a (word, doc)
+    pre-count rollup."""
+    from linkgraph.textops.keywords import stopword_candidates
+
+    return stopword_candidates(
+        _t(spark, sf_dir, "documents"), min_df_ratio=0.3, k=40
+    )
+
+
+SQL_STOPWORD_CANDIDATES = f"""
+WITH wd AS (
+  SELECT w, doc_id, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS w FROM documents)
+  GROUP BY w, doc_id),
+pword AS (SELECT w, COUNT(*) AS df, SUM(c) AS cf FROM wd GROUP BY w),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+SELECT w AS word, CAST(df AS BIGINT) AS df, CAST(cf AS BIGINT) AS cf,
+       ROUND(df / n_docs, 6) AS df_ratio
+FROM pword CROSS JOIN tot
+WHERE df / n_docs >= 0.3
+ORDER BY df_ratio DESC, cf DESC, word ASC LIMIT 40
+"""
+
+
+def q_readability(spark, sf_dir):
+    """Flesch reading-ease per document from three regexp counters
+    (tokens / sentence-punctuation runs / vowel-group syllables) — one
+    projection, no shuffle."""
+    from linkgraph.textops.textstats import readability
+
+    return readability(_t(spark, sf_dir, "documents"))
+
+
+SQL_READABILITY = """
+WITH m AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       CASE WHEN n_words > 0
+            THEN ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                               - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+       END AS flesch
+FROM m
+"""
+
+
+PROFILE_COLS = ("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+
+
+def q_data_profile(spark, sf_dir):
+    """Schema-drift / planning profile of lineitem numerics: null count,
+    exact cardinality, range, mean per column — every metric from ONE
+    scan, unpivoted driver-free."""
+    from linkgraph.operators.profile import data_profile
+
+    return data_profile(_t(spark, sf_dir, "lineitem"), PROFILE_COLS)
+
+
+SQL_DATA_PROFILE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS DOUBLE) AS min_v, CAST(MAX({c}) AS DOUBLE) AS max_v,
+       ROUND(AVG(CAST({c} AS DOUBLE)), 6) AS mean_v FROM lineitem"""
+    for c in PROFILE_COLS
+)
+
+
+NBRMH_HASHES = 32
+NBRMH_BANDS = 8
+NBRMH_T = 0.4
+
+
+def q_nbr_minhash_sim(spark, sf_dir):
+    """Neighborhood-MinHash vertex similarity on the co-purchase graph:
+    banded signature LSH (8 bands x 4 rows, portable md5 family) +
+    exact Jaccard verify of candidates only — the linear-in-|E| sketch
+    alternative to the exact wedge enumeration of vertex_similarity."""
+    from linkgraph.algos.nbrsketch import neighborhood_minhash_pairs
+    from linkgraph.sources import derive
+
+    edges = derive.copurchase_edges(_t(spark, sf_dir, "lineitem"))
+    return neighborhood_minhash_pairs(
+        edges, num_hashes=NBRMH_HASHES, bands=NBRMH_BANDS, threshold=NBRMH_T
+    )
+
+
+_NBRMH_R = NBRMH_HASHES // NBRMH_BANDS
+SQL_NBR_MINHASH_SIM = f"""
+WITH
+{_COPURCHASE_E},
+nbr AS MATERIALIZED (SELECT DISTINCT src, dst FROM e),
+th AS MATERIALIZED (
+  SELECT nbr.src, s.seed,
+         MIN({_SQL_H60.format(x="CAST(nbr.dst AS VARCHAR) || '#' || s.seed")}) AS mh
+  FROM nbr, (SELECT unnest(range({NBRMH_HASHES})) AS seed) s
+  GROUP BY nbr.src, s.seed),
+banded AS MATERIALIZED (
+  SELECT src, seed // {_NBRMH_R} AS band,
+         string_agg(mh::VARCHAR, '_' ORDER BY seed) AS bucket
+  FROM th GROUP BY src, seed // {_NBRMH_R}),
+cand AS MATERIALIZED (
+  SELECT DISTINCT x.src AS a, y.src AS b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
+  WHERE x.src < y.src),
+sizes AS MATERIALIZED (SELECT src, COUNT(*) AS sz FROM nbr GROUP BY src),
+inter AS (
+  SELECT c.a, c.b, COUNT(*) AS i
+  FROM cand c JOIN nbr ta ON ta.src = c.a
+  JOIN nbr tb ON tb.src = c.b AND tb.dst = ta.dst
+  GROUP BY c.a, c.b)
+SELECT CAST(c.a AS BIGINT) AS a, CAST(c.b AS BIGINT) AS b,
+       ROUND(CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i), 6) AS jac
+FROM cand c JOIN inter i ON i.a = c.a AND i.b = c.b
+JOIN sizes sa ON sa.src = c.a JOIN sizes sb ON sb.src = c.b
+WHERE CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) >= {NBRMH_T}
+ORDER BY a, b
+"""
+
+
 QUERIES = {
     "degree_topk": q_degree_topk,
     "edges_shared_key": q_edges_shared_key,
@@ -6672,6 +6858,11 @@ QUERIES = {
     "dsir_weights": q_dsir_weights,
     "epoch_shuffle": q_epoch_shuffle,
     "condensation": q_condensation,
+    "textrank_keywords": q_textrank_keywords,
+    "stopword_candidates": q_stopword_candidates,
+    "readability": q_readability,
+    "data_profile": q_data_profile,
+    "nbr_minhash_sim": q_nbr_minhash_sim,
 }
 
 ORACLES = {
@@ -6848,6 +7039,11 @@ ORACLES = {
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,
     "condensation": SQL_CONDENSATION,
+    "textrank_keywords": SQL_TEXTRANK_KEYWORDS,
+    "stopword_candidates": SQL_STOPWORD_CANDIDATES,
+    "readability": SQL_READABILITY,
+    "data_profile": SQL_DATA_PROFILE,
+    "nbr_minhash_sim": SQL_NBR_MINHASH_SIM,
 }
 
 

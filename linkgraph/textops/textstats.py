@@ -967,3 +967,45 @@ def dsir_logratio(
             ).alias("dsir_logratio"),
         )
     )
+
+
+def readability(
+    docs: DataFrame, round_to: int = 6, text_col: str = "text"
+) -> DataFrame:
+    """Flesch reading-ease per document: (doc_id, n_words, n_sentences,
+    n_syllables, flesch).
+
+    flesch = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)
+    [Flesch 1948; Kincaid et al. 1975] with the standard deterministic
+    proxies a corpus-scale pipeline uses: words = `[a-z0-9]+` tokens
+    (the package tokenizer), sentences = runs of terminal punctuation
+    `[.!?]+` clamped to >= 1, syllables = vowel-group runs `[aeiouy]+`
+    in the lowercased text (token boundaries break groups, so this is
+    the per-word vowel-group sum without a per-word explode).
+
+    Readability buckets are a routine quality-filter signal (e.g.
+    filtering degenerate boilerplate that scores far outside human
+    prose ranges).  Scale shape: three regexp counters in one
+    projection — single corpus scan, no shuffle, no UDF.  Documents
+    with zero words get NULL flesch (nothing to score) rather than a
+    sentinel.
+    """
+    t = F.col(text_col)
+    words = F.size(F.regexp_extract_all(F.lower(t), F.lit(TOKEN_RE), 0))
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit(r"[.!?]+"), 0)), F.lit(1)
+    )
+    syll = F.size(F.regexp_extract_all(F.lower(t), F.lit(r"[aeiouy]+"), 0))
+    flesch = F.when(
+        words > 0,
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sents)
+        - F.lit(84.6) * (syll.cast("double") / words),
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+        syll.cast("long").alias("n_syllables"),
+        F.round(flesch, round_to).alias("flesch"),
+    )
