@@ -6684,6 +6684,163 @@ ORDER BY a, b
 """
 
 
+# ---------------------------------------------------------------- round-5 wave 4
+
+
+def q_scd2_intervals(spark, sf_dir):
+    """SCD-type-2 change history of each user's event_type stream:
+    VALUE-change gaps-and-islands (lag marker + running island sum +
+    lead-closed validity) — one shuffle on user_id, every other step
+    partition-local (see operators/scd.py)."""
+    from linkgraph.operators.scd import change_intervals
+
+    iv = change_intervals(
+        _t(spark, sf_dir, "events"), "user_id", "event_type", "ts", "event_id"
+    )
+    return iv.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "n_events",
+    )
+
+
+SQL_SCD2_INTERVALS = """
+WITH m AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+i AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM m),
+runs AS (
+  SELECT user_id, isl, MIN(event_type) AS event_type,
+         MIN(ts) AS vf, COUNT(*) AS n_events
+  FROM i GROUP BY user_id, isl)
+SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+       strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(lead(vf) OVER (PARTITION BY user_id ORDER BY isl),
+                '%Y-%m-%d %H:%M:%S') AS valid_to,
+       CAST(n_events AS BIGINT) AS n_events
+FROM runs
+"""
+
+
+SIMRANK_K = 50
+SIMRANK_C = 0.8
+SIMRANK_ITERS = 3
+SIMRANK_TOPK = 100
+
+
+def q_simrank(spark, sf_dir):
+    """Exact SimRank fixed point over the top-50-hub induced co-purchase
+    subgraph (the pairwise working-set shape SimRank is actually served
+    at — see algos/simrank.py for why full-graph exact is off the table
+    at web scale)."""
+    from linkgraph.algos.simrank import simrank_topk
+    from linkgraph.sources import derive
+
+    edges = derive.copurchase_edges(_t(spark, sf_dir, "lineitem"))
+    return simrank_topk(
+        edges,
+        k_vertices=SIMRANK_K,
+        c=SIMRANK_C,
+        iters=SIMRANK_ITERS,
+        topk=SIMRANK_TOPK,
+    )
+
+
+def _simrank_oracle_sql(iters: int, k_vertices: int, c: float, topk: int) -> str:
+    steps = []
+    prev = "s0"
+    for t in range(1, iters + 1):
+        steps.append(
+            f"""a{t} AS MATERIALIZED (
+  SELECT e1.dst AS u, e2.dst AS v, SUM({prev}.s) AS ssum
+  FROM {prev} JOIN se e1 ON e1.src = {prev}.u JOIN se e2 ON e2.src = {prev}.v
+  WHERE e1.dst <> e2.dst GROUP BY e1.dst, e2.dst),
+s{t} AS MATERIALIZED (
+  SELECT a{t}.u, a{t}.v,
+         CAST({c} AS DOUBLE) / (da.deg * db.deg) * a{t}.ssum AS s
+  FROM a{t} JOIN d da ON da.src = a{t}.u JOIN d db ON db.src = a{t}.v
+  UNION ALL SELECT u, v, s FROM s0)"""
+        )
+        prev = f"s{t}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH
+{_COPURCHASE_E},
+dg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+top AS MATERIALIZED (
+  SELECT src AS vid FROM dg ORDER BY deg DESC, src ASC LIMIT {k_vertices}),
+se AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e
+  JOIN top t1 ON t1.vid = e.src JOIN top t2 ON t2.vid = e.dst),
+d AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM se GROUP BY src),
+s0 AS MATERIALIZED (SELECT vid AS u, vid AS v, CAST(1.0 AS DOUBLE) AS s FROM top),
+{chain}
+SELECT CAST(u AS BIGINT) AS a, CAST(v AS BIGINT) AS b, ROUND(s, 6) AS s
+FROM s{iters} WHERE u < v
+ORDER BY ROUND(s, 6) DESC, a, b LIMIT {topk}
+"""
+
+
+SQL_SIMRANK = _simrank_oracle_sql(SIMRANK_ITERS, SIMRANK_K, SIMRANK_C, SIMRANK_TOPK)
+
+
+GDC_K = 5  # greedy budget: k driver-side single-row argmax actions
+GDC_N = 3
+
+
+def q_greedy_doc_cover(spark, sf_dir):
+    """Greedy maximum-coverage data selection: pick 5 documents
+    maximizing distinct covered trigrams, (1-1/e) guarantee — one
+    corpus collapse + k broadcast-anti-join rounds (textops/coverage.py)."""
+    from linkgraph.textops.coverage import greedy_doc_cover
+
+    return greedy_doc_cover(_t(spark, sf_dir, "documents"), k=GDC_K, n=GDC_N)
+
+
+def _doc_cover_oracle_sql(k: int) -> str:
+    steps, picks = [], []
+    prev = "g"
+    for r in range(1, k + 1):
+        steps.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT doc_id, COUNT(*) AS gain FROM {prev}
+  GROUP BY doc_id ORDER BY gain DESC, doc_id ASC LIMIT 1),
+c{r} AS MATERIALIZED (
+  SELECT DISTINCT t.gram FROM {prev} t JOIN p{r} ON t.doc_id = p{r}.doc_id),
+r{r} AS MATERIALIZED (
+  SELECT t.doc_id, t.gram FROM {prev} t ANTI JOIN c{r} ON t.gram = c{r}.gram)"""
+        )
+        picks.append(f"SELECT {r} AS rnk, doc_id, gain FROM p{r}")
+        prev = f"r{r}"
+    chain = ",\n".join(steps)
+    union = "\nUNION ALL ".join(picks)
+    return f"""
+WITH
+tok AS MATERIALIZED (SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents),
+g AS MATERIALIZED (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, unnest(CASE WHEN len(ts) >= {GDC_N}
+        THEN list_transform(range(1, len(ts) - {GDC_N} + 2),
+             i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])
+        ELSE [] END) AS gram
+    FROM tok)),
+{chain}
+SELECT CAST(rnk AS INTEGER) AS rank, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(gain AS BIGINT) AS gain
+FROM ({union}) ORDER BY rnk
+"""
+
+
+SQL_GREEDY_DOC_COVER = _doc_cover_oracle_sql(GDC_K)
+
+
 QUERIES = {
     "degree_topk": q_degree_topk,
     "edges_shared_key": q_edges_shared_key,
@@ -6863,6 +7020,9 @@ QUERIES = {
     "readability": q_readability,
     "data_profile": q_data_profile,
     "nbr_minhash_sim": q_nbr_minhash_sim,
+    "scd2_intervals": q_scd2_intervals,
+    "simrank": q_simrank,
+    "greedy_doc_cover": q_greedy_doc_cover,
 }
 
 ORACLES = {
@@ -7044,6 +7204,9 @@ ORACLES = {
     "readability": SQL_READABILITY,
     "data_profile": SQL_DATA_PROFILE,
     "nbr_minhash_sim": SQL_NBR_MINHASH_SIM,
+    "scd2_intervals": SQL_SCD2_INTERVALS,
+    "simrank": SQL_SIMRANK,
+    "greedy_doc_cover": SQL_GREEDY_DOC_COVER,
 }
 
 
