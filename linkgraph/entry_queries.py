@@ -6841,6 +6841,155 @@ FROM ({union}) ORDER BY rnk
 SQL_GREEDY_DOC_COVER = _doc_cover_oracle_sql(GDC_K)
 
 
+# ---------------------------------------------------------------- round-5 wave 5
+
+IVU_DUR_S = 300  # each event casts a 5-min busy interval
+
+
+def q_interval_union(spark, sf_dir):
+    """Merged busy-time coverage per user: each event casts a 5-min
+    interval; overlapping-or-touching intervals union via the running-
+    max gaps-and-islands sweep — ONE shuffle on user_id (see
+    operators/intervals.py::interval_union)."""
+    from linkgraph.operators.intervals import interval_union
+
+    ev = _t(spark, sf_dir, "events")
+    ep = F.unix_timestamp("ts")
+    iv = ev.select(
+        "user_id",
+        ep.alias("start_s"),
+        (ep + IVU_DUR_S).alias("end_s"),
+        "event_id",
+    )
+    return interval_union(iv)
+
+
+SQL_INTERVAL_UNION = f"""
+WITH iv AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + {IVU_DUR_S} AS e, event_id
+  FROM events),
+m AS (
+  SELECT user_id, s, e, event_id,
+         CASE WHEN MAX(e) OVER pw IS NULL OR s > MAX(e) OVER pw
+              THEN 1 ELSE 0 END AS nb
+  FROM iv WINDOW pw AS (PARTITION BY user_id ORDER BY s, e, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+b AS (
+  SELECT *, SUM(nb) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS blk
+  FROM m),
+blocks AS (
+  SELECT user_id, blk, MAX(e) - MIN(s) AS len_s FROM b GROUP BY user_id, blk)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(len_s) AS BIGINT) AS covered_s,
+       CAST(MAX(len_s) AS BIGINT) AS max_block_s
+FROM blocks GROUP BY user_id
+"""
+
+
+DECAY_HALF_LIFE_S = 86_400
+
+
+def q_decayed_activity(spark, sf_dir):
+    """Exponential time-decayed per-user activity score (1-day half
+    life, anchored at corpus max ts) — the deterministic batch form of
+    'trending now' (operators/events.py::decayed_activity)."""
+    from linkgraph.operators.events import decayed_activity
+
+    return decayed_activity(
+        _t(spark, sf_dir, "events"), half_life_s=DECAY_HALF_LIFE_S
+    )
+
+
+SQL_DECAYED_ACTIVITY = f"""
+WITH t AS (SELECT MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS tmax FROM events)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value * POWER(CAST(2.0 AS DOUBLE),
+             -CAST(tmax - CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE)
+             / {DECAY_HALF_LIFE_S})), 6) AS decayed_score
+FROM events CROSS JOIN t GROUP BY user_id
+"""
+
+
+STATIONARY_ITERS = 20
+
+
+def q_event_stationary(spark, sf_dir):
+    """Stationary distribution of the event-type Markov chain: 20 fixed
+    power iterations over the per-user adjacent-transition matrix, sink
+    states self-looped so mass is conserved (operators/events.py::
+    event_stationary); oracle unrolls the identical recursion."""
+    from linkgraph.operators.events import event_stationary
+
+    return event_stationary(_t(spark, sf_dir, "events"), iters=STATIONARY_ITERS)
+
+
+SQL_EVENT_STATIONARY = f"""
+WITH RECURSIVE
+seq AS MATERIALIZED (
+  SELECT event_type, lead(event_type) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events),
+cnts AS MATERIALIZED (
+  SELECT event_type AS src, nxt AS dst, COUNT(*) AS cnt
+  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT src, SUM(cnt) AS tot FROM cnts GROUP BY src),
+p0 AS (SELECT c.src, c.dst, CAST(c.cnt AS DOUBLE) / t.tot AS frac
+       FROM cnts c JOIN tot t ON t.src = c.src),
+states AS MATERIALIZED (SELECT DISTINCT event_type AS s FROM events),
+sinks AS (SELECT s FROM states ANTI JOIN p0 ON p0.src = s),
+p AS MATERIALIZED (
+  SELECT * FROM p0
+  UNION ALL SELECT s, s, CAST(1.0 AS DOUBLE) FROM sinks),
+ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM states),
+it(i, event_type, pi) AS (
+  SELECT 0, s, CAST(1.0 AS DOUBLE) / ns.n FROM states CROSS JOIN ns
+  UNION ALL
+  SELECT t.i + 1, p.dst, SUM(t.pi * p.frac)
+  FROM it t JOIN p ON p.src = t.event_type
+  WHERE t.i < {STATIONARY_ITERS} GROUP BY t.i + 1, p.dst)
+SELECT event_type, ROUND(pi, 6) AS pi FROM it WHERE i = {STATIONARY_ITERS}
+"""
+
+
+def q_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary-growth exponent over per-doc checkpoints
+    (first-occurrence formulation — the corpus prefix is never
+    materialized; see textops/textstats.py::heaps_fit)."""
+    from linkgraph.textops.textstats import heaps_fit
+
+    return heaps_fit(_t(spark, sf_dir, "documents"))
+
+
+SQL_HEAPS_LAW = f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents),
+pd AS (SELECT doc_id, COUNT(*) AS nt FROM tok GROUP BY doc_id),
+fd AS (SELECT term, MIN(doc_id) AS doc_id FROM tok GROUP BY term),
+nvt AS (SELECT doc_id, COUNT(*) AS nvv FROM fd GROUP BY doc_id),
+chk AS (
+  SELECT SUM(COALESCE(pd.nt, 0)) OVER wo AS ct,
+         SUM(COALESCE(nvt.nvv, 0)) OVER wo AS cv
+  FROM documents d
+  LEFT JOIN pd ON pd.doc_id = d.doc_id
+  LEFT JOIN nvt ON nvt.doc_id = d.doc_id
+  WINDOW wo AS (ORDER BY d.doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+pts AS (
+  SELECT ct, cv, ln(CAST(ct AS DOUBLE)) AS x, ln(CAST(cv AS DOUBLE)) AS y
+  FROM chk WHERE ct > 0 AND cv > 0)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(ct) AS BIGINT) AS total_tokens,
+       CAST(MAX(cv) AS BIGINT) AS vocab,
+       ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+             / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)), 6) AS heaps_beta
+FROM pts
+"""
+
+
 QUERIES = {
     "degree_topk": q_degree_topk,
     "edges_shared_key": q_edges_shared_key,
@@ -7023,6 +7172,10 @@ QUERIES = {
     "scd2_intervals": q_scd2_intervals,
     "simrank": q_simrank,
     "greedy_doc_cover": q_greedy_doc_cover,
+    "interval_union": q_interval_union,
+    "decayed_activity": q_decayed_activity,
+    "event_stationary": q_event_stationary,
+    "heaps_law": q_heaps_law,
 }
 
 ORACLES = {
@@ -7207,6 +7360,10 @@ ORACLES = {
     "scd2_intervals": SQL_SCD2_INTERVALS,
     "simrank": SQL_SIMRANK,
     "greedy_doc_cover": SQL_GREEDY_DOC_COVER,
+    "interval_union": SQL_INTERVAL_UNION,
+    "decayed_activity": SQL_DECAYED_ACTIVITY,
+    "event_stationary": SQL_EVENT_STATIONARY,
+    "heaps_law": SQL_HEAPS_LAW,
 }
 
 

@@ -553,3 +553,92 @@ def transition_latency(events: DataFrame, round_to: int = 6) -> DataFrame:
         ).alias("mean_gap_s"),
         F.max("gap_s").cast("long").alias("max_gap_s"),
     )
+
+
+def decayed_activity(
+    events: DataFrame, half_life_s: int = 86_400, round_to: int = 6
+) -> DataFrame:
+    """Exponential time-decayed activity score per user: (user_id,
+    n_events, decayed_score) with
+
+        score = Σ value · 2^(−(T − ts) / half_life)
+
+    anchored at T = the corpus max timestamp — the deterministic batch
+    form of the "trending now" ranking (a streaming variant would decay
+    against the watermark).  ONE scan + one broadcast 1-row anchor
+    cross-join + one hash aggregate; the anchor difference T − ts is an
+    integer-second delta, so the score is timezone-shift-invariant and
+    engine-portable (2^x = exp(x·ln2) in double on both engines; the
+    sum is rounded).
+    """
+    anchor = events.agg(F.max(F.unix_timestamp("ts")).alias("_t_max"))
+    ep = F.unix_timestamp("ts")
+    return (
+        events.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(
+                F.sum(
+                    F.col("value")
+                    * F.pow(
+                        F.lit(2.0),
+                        -(F.col("_t_max") - ep).cast("double") / half_life_s,
+                    )
+                ),
+                round_to,
+            ).alias("decayed_score"),
+        )
+    )
+
+
+def event_stationary(
+    events: DataFrame, iters: int = 20, round_to: int = 6
+) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain:
+    (event_type, pi) after `iters` fixed power iterations of π' = πP
+    from the uniform vector, where P(dst|src) comes from per-user
+    adjacent transitions under the stable (ts, event_id) order — "which
+    dialogue states does behavior concentrate in".
+
+    The chain lives on the EVENT-TYPE vocabulary (a handful of states),
+    so after the one corpus-scale transition count every iteration is a
+    broadcast-sized join + aggregate; sink states (no observed
+    out-transition) get an explicit self-loop so probability mass is
+    conserved and the fixed-iteration result is well-defined whether or
+    not the chain mixed.  Fixed iteration count (not a convergence
+    test) keeps engine parity exact: the DuckDB oracle unrolls the same
+    recursion.
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    trans = (
+        events.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    states = events.select(F.col("event_type").alias("src")).distinct()
+    out_tot = trans.groupBy("src").agg(F.sum("cnt").alias("tot"))
+    p = trans.join(out_tot, "src").select(
+        "src", "dst", (F.col("cnt") / F.col("tot")).alias("frac")
+    )
+    sinks = states.join(p.select("src").distinct(), "src", "left_anti")
+    p = p.unionByName(
+        sinks.select("src", F.col("src").alias("dst"), F.lit(1.0).alias("frac"))
+    ).localCheckpoint(eager=True)
+    n_states = states.count()
+    pi = states.select(
+        F.col("src").alias("event_type"), F.lit(1.0 / n_states).alias("pi")
+    )
+    for _ in range(iters):
+        pi = (
+            pi.join(p, pi["event_type"] == p["src"])
+            .groupBy(F.col("dst").alias("event_type"))
+            .agg(F.sum(F.col("pi") * F.col("frac")).alias("pi"))
+            .localCheckpoint(eager=True)
+        )
+    return pi.select("event_type", F.round("pi", round_to).alias("pi"))

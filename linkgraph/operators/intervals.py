@@ -30,7 +30,7 @@ overlap_s = 0.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def interval_join(
@@ -86,4 +86,47 @@ def interval_join(
                 - F.greatest(F.col(lstart), F.col(rstart))
             ).cast("long"),
         )
+    )
+
+
+def interval_union(
+    intervals: DataFrame,
+    key_col: str = "user_id",
+    start_col: str = "start_s",
+    end_col: str = "end_s",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Merged interval coverage per key: (key, n_blocks, covered_s,
+    max_block_s) after unioning overlapping-or-touching [start, end]
+    intervals — the classic sweep, expressed as gaps-and-islands on the
+    RUNNING MAX of interval ends (a start strictly past every earlier
+    end opens a new block).
+
+    Same one-shuffle shape as `scd.change_intervals`: both windows and
+    the block aggregate partition on `key_col`, so Spark reuses a single
+    exchange; ordering is (start, end, id) — a strict total order, so
+    blocks are engine- and retry-deterministic.  Outputs are integer
+    second DIFFERENCES, hence timezone-shift-invariant (same argument
+    as `interval_join` above).
+    """
+    w = Window.partitionBy(key_col).orderBy(start_col, end_col, id_col)
+    prev_max_end = F.max(end_col).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = intervals.select(
+        key_col,
+        start_col,
+        end_col,
+        id_col,
+        F.when(
+            prev_max_end.isNull() | (F.col(start_col) > prev_max_end), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("_nb"),
+    ).withColumn("_blk", F.sum("_nb").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    blocks = marked.groupBy(key_col, "_blk").agg(
+        (F.max(end_col) - F.min(start_col)).cast("long").alias("len_s")
+    )
+    return blocks.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("len_s").cast("long").alias("covered_s"),
+        F.max("len_s").cast("long").alias("max_block_s"),
     )

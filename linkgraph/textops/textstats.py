@@ -1009,3 +1009,71 @@ def readability(
         syll.cast("long").alias("n_syllables"),
         F.round(flesch, round_to).alias("flesch"),
     )
+
+
+def heaps_fit(docs: DataFrame, text_col: str = "text", round_to: int = 6) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit: one row (n_docs, total_tokens,
+    vocab, heaps_beta) with heaps_beta the least-squares slope of
+    ln V(t) on ln t over per-document checkpoints — V(t) the number of
+    DISTINCT words seen in the first t tokens of the corpus read in
+    doc_id order.  Natural text sits near β ≈ 0.5; template spam or a
+    truncated vocabulary pushes it far off — the companion health check
+    to `zipf_fit` (rank-frequency vs growth views of the same law).
+
+    Scale shape — the corpus-order prefix is NEVER materialized:
+      1. per-doc token counts (one scan, map-side combine);
+      2. first-occurrence doc per word = min(doc_id) per term — the
+         vocabulary table again;
+      3. both collapse to PER-DOC checkpoint rows (cumulative tokens,
+         cumulative new vocab) via running sums over the DOC table —
+         the single-partition window is bounded by |docs| rows of two
+         longs (zipf_fit's vocab-rank argument), not the corpus;
+      4. closed-form OLS on (ln t, ln V): exact integer sums until the
+         final division + round.
+    Docs whose running vocab is still 0 (possible only while every
+    prefix doc is empty) are excluded from the fit by the ln guard.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+        ).alias("term"),
+    )
+    per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
+    first_doc = toks.groupBy("term").agg(F.min("doc_id").alias("doc_id"))
+    new_vocab = first_doc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nv"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    chk = (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(new_vocab, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("nt", F.lit(0)).alias("nt"),
+            F.coalesce("nv", F.lit(0)).alias("nv"),
+        )
+        .select(
+            F.sum("nt").over(w).alias("ct"),
+            F.sum("nv").over(w).alias("cv"),
+        )
+        .where((F.col("ct") > 0) & (F.col("cv") > 0))
+    )
+    pts = chk.select(
+        "ct",
+        "cv",
+        F.log(F.col("ct").cast("double")).alias("x"),
+        F.log(F.col("cv").cast("double")).alias("y"),
+    )
+    n = F.count(F.lit(1)).cast("double")
+    return pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max("ct").cast("long").alias("total_tokens"),
+        F.max("cv").cast("long").alias("vocab"),
+        F.round(
+            (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+            / (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")),
+            round_to,
+        ).alias("heaps_beta"),
+    )
