@@ -6990,6 +6990,172 @@ FROM pts
 """
 
 
+# ---------------------------------------------------------------- round-5 wave 6
+
+Q1_CUTOFF = "1998-09-02"
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-form pricing summary: the canonical scan-heavy report —
+    one filtered scan, map-side-combined aggregate over a 6-ish-row
+    group space; every metric algebraic, so AQE/partial-agg carries the
+    whole query (sums rounded to cents, averages to 1e-6)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1997-06-01"
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-form shipping priority: 3-way join with the small dim
+    broadcast (customer segment filter), per-order revenue aggregate,
+    deterministic top-10 — the classic star-join + TakeOrdered shape."""
+    cutoff = F.lit(Q3_DATE).cast("timestamp")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == Q3_SEGMENT)
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+SQL_SHIPPING_PRIORITY = f"""
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_DATE} 00:00:00'
+  AND l_shipdate > TIMESTAMP '{Q3_DATE} 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC LIMIT 10
+"""
+
+
+Q6_YEAR = "1996"
+
+
+def q_revenue_simple(spark, sf_dir):
+    """TPC-H Q6-form forecast revenue: pure predicate-pushdown scan
+    (date range + discount band + quantity cap reach the parquet
+    reader) with a single global aggregate — the query whose entire
+    cost IS the scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit(f"{Q6_YEAR}-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(f"{int(Q6_YEAR) + 1}-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+SQL_REVENUE_SIMPLE = f"""
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_YEAR}-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '{int(Q6_YEAR) + 1}-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q_cuped_ab(spark, sf_dir):
+    """CUPED variance-reduced A/B readout over a deterministic 50/50
+    user hash split: post-period value mean adjusted by the pre-period
+    covariate (operators/events.py::cuped_ab_test)."""
+    from linkgraph.operators.events import cuped_ab_test
+
+    return cuped_ab_test(_t(spark, sf_dir, "events"))
+
+
+SQL_CUPED_AB = f"""
+WITH b AS (
+  SELECT CAST(floor((MIN(CAST(floor(epoch(ts)) AS BIGINT))
+             + MAX(CAST(floor(epoch(ts)) AS BIGINT))) / 2.0) AS BIGINT) AS tmid
+  FROM events),
+pu AS MATERIALIZED (
+  SELECT user_id,
+         COALESCE(SUM(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) < b.tmid
+                           THEN value END), 0.0) AS pre,
+         COALESCE(SUM(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) >= b.tmid
+                           THEN value END), 0.0) AS post
+  FROM events CROSS JOIN b GROUP BY user_id),
+st AS (SELECT COVAR_POP(pre, post) / VAR_POP(pre) AS theta,
+              AVG(pre) AS mean_pre FROM pu)
+SELECT CASE WHEN ({_SQL_H60.format(x="CAST(user_id AS VARCHAR) || '#cuped'")}) % 2 = 0
+            THEN 'A' ELSE 'B' END AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(AVG(post), 6) AS mean_post,
+       ROUND(AVG(post - st.theta * (pre - st.mean_pre)), 6) AS mean_adj,
+       ROUND(ANY_VALUE(st.theta), 6) AS theta
+FROM pu CROSS JOIN st GROUP BY 1
+"""
+
+
 QUERIES = {
     "degree_topk": q_degree_topk,
     "edges_shared_key": q_edges_shared_key,
@@ -7176,6 +7342,10 @@ QUERIES = {
     "decayed_activity": q_decayed_activity,
     "event_stationary": q_event_stationary,
     "heaps_law": q_heaps_law,
+    "pricing_summary": q_pricing_summary,
+    "shipping_priority": q_shipping_priority,
+    "revenue_simple": q_revenue_simple,
+    "cuped_ab": q_cuped_ab,
 }
 
 ORACLES = {
@@ -7364,6 +7534,10 @@ ORACLES = {
     "decayed_activity": SQL_DECAYED_ACTIVITY,
     "event_stationary": SQL_EVENT_STATIONARY,
     "heaps_law": SQL_HEAPS_LAW,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "shipping_priority": SQL_SHIPPING_PRIORITY,
+    "revenue_simple": SQL_REVENUE_SIMPLE,
+    "cuped_ab": SQL_CUPED_AB,
 }
 
 

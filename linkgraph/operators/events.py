@@ -642,3 +642,73 @@ def event_stationary(
             .localCheckpoint(eager=True)
         )
     return pi.select("event_type", F.round("pi", round_to).alias("pi"))
+
+
+def cuped_ab_test(
+    events: DataFrame, salt: str = "cuped", round_to: int = 6
+) -> DataFrame:
+    """CUPED-adjusted A/B readout [Deng et al., WSDM'13]: (grp, n_users,
+    mean_post, mean_adj, theta) for a deterministic 50/50 hash split of
+    users, where the post-period metric is variance-reduced by the
+    pre-period covariate:
+
+        adj_u = post_u − θ·(pre_u − mean(pre)),   θ = cov(pre,post)/var(pre)
+
+    pre/post = each user's value sum before/after the corpus midpoint
+    timestamp (an integer-second anchor, so engine/timezone-portable).
+    ONE corpus scan builds per-user (pre, post); θ and mean(pre) are a
+    1-row broadcast; group means are a vocabulary-sized aggregate.  The
+    split reuses `sampling.hash_split`'s portable md5 bucket family, so
+    assignment is reproducible in any engine.
+    """
+    from linkgraph.textops.dedup import portable_hash60
+
+    ep = F.unix_timestamp("ts")
+    bounds = events.agg(
+        F.min(ep).alias("mn"), F.max(ep).alias("mx")
+    ).select(F.floor((F.col("mn") + F.col("mx")) / 2).cast("long").alias("tmid"))
+    per_user = (
+        events.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(ep < F.col("tmid"), F.col("value"))), F.lit(0.0)
+            ).alias("pre"),
+            F.coalesce(
+                F.sum(F.when(ep >= F.col("tmid"), F.col("value"))), F.lit(0.0)
+            ).alias("post"),
+        )
+    )
+    stats = per_user.agg(
+        (F.covar_pop("pre", "post") / F.var_pop("pre")).alias("theta"),
+        F.avg("pre").alias("mean_pre"),
+    )
+    grp = F.when(
+        F.pmod(
+            portable_hash60(
+                F.concat(F.col("user_id").cast("string"), F.lit("#" + salt))
+            ),
+            F.lit(2),
+        )
+        == 0,
+        "A",
+    ).otherwise("B")
+    return (
+        per_user.crossJoin(F.broadcast(stats))
+        .select(
+            grp.alias("grp"),
+            "post",
+            (
+                F.col("post")
+                - F.col("theta") * (F.col("pre") - F.col("mean_pre"))
+            ).alias("adj"),
+            "theta",
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(F.avg("post"), round_to).alias("mean_post"),
+            F.round(F.avg("adj"), round_to).alias("mean_adj"),
+            F.round(F.first("theta"), round_to).alias("theta"),
+        )
+    )

@@ -1,0 +1,84 @@
+"""Round-5 wave 6: TPC-H classic forms and CUPED A/B."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_cuped_theta_and_adjustment(spark):
+    from linkgraph.operators.events import cuped_ab_test
+
+    # users with pre perfectly predicting post (post = 2*pre):
+    # theta = cov/var = 2, every adjusted value collapses to the
+    # same number -> mean_adj identical across groups
+    rows = []
+    eid = 0
+    for u in range(1, 21):
+        pre_v = float(u)
+        rows.append((eid, "2024-01-01 00:00:00", u, "a", pre_v, ""))
+        eid += 1
+        rows.append((eid, "2024-01-03 00:00:00", u, "a", 2 * pre_v, ""))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["grp"]: r for r in cuped_ab_test(ev).collect()}
+    assert set(out) == {"A", "B"}
+    assert sum(r["n_users"] for r in out.values()) == 20
+    for r in out.values():
+        assert r["theta"] == pytest.approx(2.0)
+    # perfectly-correlated covariate: adjusted means equal across groups
+    assert out["A"]["mean_adj"] == pytest.approx(out["B"]["mean_adj"])
+    # raw means differ between groups on this fixture (hash split of a
+    # linear ramp), so the adjustment is doing real work
+    assert out["A"]["mean_post"] != pytest.approx(out["B"]["mean_post"])
+
+
+def test_pricing_summary_shape_and_totals(spark, sf0001):
+    from linkgraph.entry_queries import q_pricing_summary
+
+    rows = q_pricing_summary(spark, sf0001).collect()
+    assert rows
+    li = spark.read.parquet(f"{sf0001}/lineitem.parquet")
+    expect = li.where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    ).count()
+    assert sum(r["count_order"] for r in rows) == expect
+    for r in rows:
+        assert r["sum_disc_price"] <= r["sum_base_price"]
+        assert r["sum_charge"] >= r["sum_disc_price"]
+
+
+def test_shipping_priority_is_top10_sorted(spark, sf0001):
+    from linkgraph.entry_queries import q_shipping_priority
+
+    rows = q_shipping_priority(spark, sf0001).collect()
+    assert 0 < len(rows) <= 10
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_revenue_simple_matches_manual_filter(spark, sf0001):
+    from linkgraph.entry_queries import q_revenue_simple
+
+    r = q_revenue_simple(spark, sf0001).collect()[0]
+    li = spark.read.parquet(f"{sf0001}/lineitem.parquet")
+    manual = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).count()
+    assert r["n_items"] == manual
+    assert (r["revenue"] or 0.0) >= 0.0
+
+
+def test_revenue_simple_pushes_filters_to_scan(spark, sf0001):
+    from linkgraph.entry_queries import q_revenue_simple
+
+    plan = q_revenue_simple(spark, sf0001)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    # the shipdate range must reach the parquet reader, not sit in a
+    # post-scan Filter only
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
