@@ -7156,6 +7156,137 @@ FROM pu CROSS JOIN st GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------- round-5 wave 7
+
+BIP_LEVELS = 32  # shared BFS depth bound: engine loop == oracle recursion
+
+
+def q_bipartite_check(spark, sf_dir):
+    """Bipartiteness / odd-cycle audit per component of the user graph:
+    min-label components pick roots, ONE multi-root BFS 2-colors every
+    component simultaneously, conflict edges counted per component
+    (algos/bipartite.py)."""
+    from linkgraph.algos.bipartite import bipartite_check
+
+    return bipartite_check(user_graph(spark, sf_dir), max_levels=BIP_LEVELS)
+
+
+SQL_BIPARTITE_CHECK = f"""
+WITH RECURSIVE {_USER_E_MAT},
+verts AS (SELECT DISTINCT src AS v FROM e),
+reach(v, u) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT reach.v, e.dst FROM reach JOIN e ON e.src = reach.u),
+cmp AS MATERIALIZED (SELECT v AS vid, MIN(u) AS comp FROM reach GROUP BY v),
+roots AS (SELECT comp, MIN(vid) AS r FROM cmp GROUP BY comp),
+bfs(v, d) AS (
+  SELECT r, 0 FROM roots
+  UNION
+  SELECT e.dst, bfs.d + 1 FROM bfs JOIN e ON e.src = bfs.v
+  WHERE bfs.d < {BIP_LEVELS}),
+par AS MATERIALIZED (SELECT v AS vid, MIN(d) % 2 AS par FROM bfs GROUP BY v),
+odd AS (
+  SELECT c.comp, COUNT(*) AS n_odd
+  FROM e JOIN par p1 ON p1.vid = e.src
+  JOIN par p2 ON p2.vid = e.dst
+  JOIN cmp c ON c.vid = e.src
+  WHERE e.src < e.dst AND p1.par = p2.par
+  GROUP BY c.comp),
+cs AS (SELECT comp, COUNT(*) AS n_vertices FROM cmp GROUP BY comp)
+SELECT CAST(cs.comp AS BIGINT) AS comp,
+       CAST(cs.n_vertices AS BIGINT) AS n_vertices,
+       CAST(COALESCE(o.n_odd, 0) AS BIGINT) AS n_odd_edges,
+       COALESCE(o.n_odd, 0) = 0 AS is_bipartite
+FROM cs LEFT JOIN odd o ON o.comp = cs.comp
+"""
+
+
+BM25_TERMS = ("spark", "join", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 15
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 (Lucene +1 idf) for a fixed query over the corpus —
+    one tokenize scan, broadcast df/length stats, deterministic top-15
+    (textops/retrieval.py::bm25_topk)."""
+    from linkgraph.textops.retrieval import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        list(BM25_TERMS),
+        k1=BM25_K1,
+        b=BM25_B,
+        k=BM25_TOPK,
+    )
+
+
+_BM25_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
+SQL_BM25_TOPK = f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents),
+dl AS MATERIALIZED (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+       WHERE term IN ({_BM25_IN}) GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+idf AS (SELECT term,
+               ln(1.0 + (st.n_docs - df + 0.5) / (df + 0.5)) AS idf
+        FROM df CROSS JOIN st),
+sc AS (
+  SELECT tf.doc_id,
+         idf.idf * (tf.tf * ({BM25_K1} + 1))
+         / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / st.avgdl)) AS s
+  FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN idf ON idf.term = tf.term CROSS JOIN st)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+       ROUND(SUM(s), 6) AS score
+FROM sc GROUP BY doc_id
+ORDER BY ROUND(SUM(s), 6) DESC, doc_id ASC LIMIT {BM25_TOPK}
+"""
+
+
+HV_DIMS = 64
+
+
+def q_hash_embed(spark, sf_dir):
+    """Feature-hashing vectorizer summary: signed 64-dim hashed TF
+    vector per doc (portable md5 dim+sign hashes), reporting nnz / L2 /
+    argmax dim (textops/retrieval.py::hashing_vectorizer_stats)."""
+    from linkgraph.textops.retrieval import hashing_vectorizer_stats
+
+    return hashing_vectorizer_stats(
+        _t(spark, sf_dir, "documents"), dims=HV_DIMS
+    )
+
+
+SQL_HASH_EMBED = f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents),
+hv AS (
+  SELECT doc_id,
+         ({_SQL_H60.format(x="term || '#hvdim'")}) % {HV_DIMS} AS dim,
+         CASE WHEN ({_SQL_H60.format(x="term || '#hvsign'")}) % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM tok),
+vec AS MATERIALIZED (
+  SELECT doc_id, dim, SUM(sgn) AS v FROM hv GROUP BY doc_id, dim
+  HAVING SUM(sgn) <> 0),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY abs(v) DESC, dim ASC) AS rn
+  FROM vec)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS nnz,
+       ROUND(sqrt(CAST(SUM(v * v) AS DOUBLE)), 6) AS l2,
+       CAST(MAX(CASE WHEN rn = 1 THEN dim END) AS BIGINT) AS top_dim
+FROM rk GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "degree_topk": q_degree_topk,
     "edges_shared_key": q_edges_shared_key,
@@ -7346,6 +7477,9 @@ QUERIES = {
     "shipping_priority": q_shipping_priority,
     "revenue_simple": q_revenue_simple,
     "cuped_ab": q_cuped_ab,
+    "bipartite_check": q_bipartite_check,
+    "bm25_topk": q_bm25_topk,
+    "hash_embed": q_hash_embed,
 }
 
 ORACLES = {
@@ -7538,6 +7672,9 @@ ORACLES = {
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "revenue_simple": SQL_REVENUE_SIMPLE,
     "cuped_ab": SQL_CUPED_AB,
+    "bipartite_check": SQL_BIPARTITE_CHECK,
+    "bm25_topk": SQL_BM25_TOPK,
+    "hash_embed": SQL_HASH_EMBED,
 }
 
 
