@@ -7287,6 +7287,122 @@ FROM rk GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------- round-5 wave 8
+
+KWIC_TERM = "join"
+KWIC_WINDOW = 3
+
+
+def q_kwic(spark, sf_dir):
+    """Keyword-in-context concordance for a fixed term: one positional
+    explode, context spans built in place — `text` never shuffles
+    (textops/retrieval.py::kwic_concordance)."""
+    from linkgraph.textops.retrieval import kwic_concordance
+
+    return kwic_concordance(
+        _t(spark, sf_dir, "documents"), KWIC_TERM, window=KWIC_WINDOW
+    )
+
+
+SQL_KWIC = f"""
+WITH tok AS MATERIALIZED (SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents),
+pos AS (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM tok)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(i AS BIGINT) AS pos,
+       array_to_string(
+         ts[greatest(1, i - {KWIC_WINDOW}):least(len(ts), i + {KWIC_WINDOW})],
+         ' ') AS context
+FROM pos WHERE ts[i] = '{KWIC_TERM}'
+"""
+
+
+def q_source_vocab_overlap(spark, sf_dir):
+    """Pairwise source vocabulary Jaccard — the corpus-comparison view
+    of duplication (textops/textstats.py::source_vocab_overlap)."""
+    from linkgraph.textops.textstats import source_vocab_overlap
+
+    return source_vocab_overlap(_t(spark, sf_dir, "documents"))
+
+
+SQL_SOURCE_VOCAB_OVERLAP = f"""
+WITH sv AS MATERIALIZED (
+  SELECT DISTINCT source, term FROM (
+    SELECT source, unnest({_SQL_TOKENS}) AS term FROM documents)),
+sz AS (SELECT source, COUNT(*) AS vocab FROM sv GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+  FROM sv a JOIN sv b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT src_a, src_b,
+       CAST(sa.vocab AS BIGINT) AS vocab_a,
+       CAST(sb.vocab AS BIGINT) AS vocab_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       ROUND(CAST(n_common AS DOUBLE)
+             / (sa.vocab + sb.vocab - n_common), 6) AS jac
+FROM inter JOIN sz sa ON sa.source = inter.src_a
+JOIN sz sb ON sb.source = inter.src_b
+"""
+
+
+def q_burstiness(spark, sf_dir):
+    """Goh-Barabási burstiness of same-type inter-arrival gaps per
+    event type (operators/events.py::burstiness)."""
+    from linkgraph.operators.events import burstiness
+
+    return burstiness(_t(spark, sf_dir, "events"))
+
+
+SQL_BURSTINESS = """
+WITH g AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT)
+         - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+           (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_s
+  FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       ROUND(AVG(gap_s), 6) AS mean_gap_s,
+       ROUND(STDDEV_SAMP(CAST(gap_s AS DOUBLE)) / AVG(gap_s), 6) AS cv,
+       ROUND((STDDEV_SAMP(CAST(gap_s AS DOUBLE)) - AVG(gap_s))
+             / (STDDEV_SAMP(CAST(gap_s AS DOUBLE)) + AVG(gap_s)), 6)
+         AS burstiness
+FROM g WHERE gap_s IS NOT NULL GROUP BY event_type
+"""
+
+
+MAD_CUT = 3.0
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Median/MAD robust value anomalies per event type — the heavy-
+    tail-safe companion to value_outliers' mean/σ z-score
+    (operators/events.py::mad_outliers)."""
+    from linkgraph.operators.events import mad_outliers
+
+    return mad_outliers(_t(spark, sf_dir, "events"), cut=MAD_CUT)
+
+
+SQL_MAD_OUTLIERS = f"""
+WITH med AS MATERIALIZED (
+  SELECT event_type, quantile_cont(value, 0.5) AS med,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type),
+dev AS MATERIALIZED (
+  SELECT e.event_type, m.n_events, m.med, abs(e.value - m.med) AS ad
+  FROM events e JOIN med m ON m.event_type = e.event_type),
+mad AS MATERIALIZED (
+  SELECT event_type, n_events, med, quantile_cont(ad, 0.5) AS mad
+  FROM dev GROUP BY event_type, n_events, med),
+fl AS (
+  SELECT d.event_type,
+         CASE WHEN d.ad > {MAD_CUT} * m.mad THEN 1 ELSE 0 END AS is_out
+  FROM dev d JOIN mad m ON m.event_type = d.event_type),
+o AS (SELECT event_type, CAST(SUM(is_out) AS BIGINT) AS n_outliers
+      FROM fl GROUP BY event_type)
+SELECT m.event_type, m.n_events, ROUND(m.med, 6) AS median_v,
+       ROUND(m.mad, 6) AS mad_v, o.n_outliers
+FROM mad m JOIN o ON o.event_type = m.event_type
+"""
+
+
 QUERIES = {
     "degree_topk": q_degree_topk,
     "edges_shared_key": q_edges_shared_key,
@@ -7480,6 +7596,10 @@ QUERIES = {
     "bipartite_check": q_bipartite_check,
     "bm25_topk": q_bm25_topk,
     "hash_embed": q_hash_embed,
+    "kwic": q_kwic,
+    "source_vocab_overlap": q_source_vocab_overlap,
+    "burstiness": q_burstiness,
+    "mad_outliers": q_mad_outliers,
 }
 
 ORACLES = {
@@ -7675,6 +7795,10 @@ ORACLES = {
     "bipartite_check": SQL_BIPARTITE_CHECK,
     "bm25_topk": SQL_BM25_TOPK,
     "hash_embed": SQL_HASH_EMBED,
+    "kwic": SQL_KWIC,
+    "source_vocab_overlap": SQL_SOURCE_VOCAB_OVERLAP,
+    "burstiness": SQL_BURSTINESS,
+    "mad_outliers": SQL_MAD_OUTLIERS,
 }
 
 

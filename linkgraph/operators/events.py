@@ -712,3 +712,69 @@ def cuped_ab_test(
             F.round(F.first("theta"), round_to).alias("theta"),
         )
     )
+
+
+def burstiness(events: DataFrame, round_to: int = 6) -> DataFrame:
+    """Inter-arrival burstiness per event type: (event_type, n_gaps,
+    mean_gap_s, cv, burstiness) where gaps are between consecutive
+    SAME-TYPE events of the SAME user under the stable (ts, event_id)
+    order, cv = σ/μ (sample σ), and burstiness is the Goh-Barabási
+    B = (σ−μ)/(σ+μ) — −1 periodic, 0 Poisson, →1 bursty.  One window
+    over (user, type) + one aggregate; gaps are integer-second
+    differences, hence timezone-shift-invariant."""
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    ep = F.unix_timestamp("ts")
+    gaps = (
+        events.withColumn("gap_s", ep - F.lag(ep).over(w))
+        .where(F.col("gap_s").isNotNull())
+        .select("event_type", "gap_s")
+    )
+    mu = F.avg("gap_s")
+    sd = F.stddev_samp(F.col("gap_s").cast("double"))
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.round(mu, round_to).alias("mean_gap_s"),
+        F.round(sd / mu, round_to).alias("cv"),
+        F.round((sd - mu) / (sd + mu), round_to).alias("burstiness"),
+    )
+
+
+def mad_outliers(events: DataFrame, cut: float = 3.0, round_to: int = 6) -> DataFrame:
+    """Robust per-type value anomalies via median/MAD (the estimator
+    `value_outliers`' mean/σ version breaks on heavy tails): (event_type,
+    n_events, median_v, mad_v, n_outliers) with an outlier |v − median|
+    > cut·MAD.  Two exact-percentile aggregates (group cardinality =
+    events per type — swap in approx_percentile at 100 TB, same plan
+    shape) + one broadcast join back; MAD = 0 groups report outliers
+    against the strict > 0 bound."""
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "n_events",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("ad"),
+    )
+    mad = dev.groupBy("event_type", "n_events", "med").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    flagged = dev.join(
+        F.broadcast(mad.select("event_type", "mad")), "event_type"
+    ).select(
+        "event_type",
+        (F.col("ad") > cut * F.col("mad")).cast("int").alias("is_out"),
+    )
+    out = flagged.groupBy("event_type").agg(
+        F.sum("is_out").cast("long").alias("n_outliers")
+    )
+    return mad.join(out, "event_type").select(
+        "event_type",
+        "n_events",
+        F.round("med", round_to).alias("median_v"),
+        F.round("mad", round_to).alias("mad_v"),
+        "n_outliers",
+    )

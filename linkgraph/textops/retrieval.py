@@ -119,3 +119,28 @@ def hashing_vectorizer_stats(
         F.round(F.sqrt(F.sum(F.col("v") * F.col("v"))), round_to).alias("l2"),
         F.max(F.when(F.col("rn") == 1, F.col("dim"))).cast("long").alias("top_dim"),
     )
+
+
+def kwic_concordance(
+    docs: DataFrame, term: str, window: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Keyword-in-context concordance: (doc_id, pos, context) — one row
+    per occurrence of `term`, pos the 1-based token index, context the
+    ±window-token span joined by spaces.  One tokenize scan + a
+    positional explode; `text` itself never shuffles (the context spans
+    are built from the already-exploded token array in place)."""
+    if not term:
+        raise ValueError("term must be non-empty")
+    toks = docs.select("doc_id", normalized_tokens(text_col).alias("ts"))
+    hits = toks.select(
+        "doc_id", "ts", F.posexplode("ts").alias("p0", "tok")
+    ).where(F.col("tok") == term)
+    start = F.greatest(F.lit(1), F.col("p0") + 1 - window)
+    end = F.least(F.size("ts"), F.col("p0") + 1 + window)
+    return hits.select(
+        "doc_id",
+        (F.col("p0") + 1).cast("long").alias("pos"),
+        F.concat_ws(
+            " ", F.slice("ts", start, end - start + 1)
+        ).alias("context"),
+    )

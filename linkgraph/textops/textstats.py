@@ -1077,3 +1077,52 @@ def heaps_fit(docs: DataFrame, text_col: str = "text", round_to: int = 6) -> Dat
             round_to,
         ).alias("heaps_beta"),
     )
+
+
+def source_vocab_overlap(
+    docs: DataFrame, text_col: str = "text", round_to: int = 6
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources: (src_a, src_b,
+    vocab_a, vocab_b, n_common, jac) for src_a < src_b — the corpus-
+    comparison view of duplication (do two crawls speak the same
+    vocabulary?), complementing the doc-level containment/near-dup ops.
+
+    One tokenize scan collapses to the (source, term) DISTINCT table;
+    the pairwise intersection is a term-keyed equi-join — the source
+    count is a handful, so pair rows stay tiny while the join itself
+    remains corpus-linear."""
+    sv = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+        ).alias("term"),
+    ).distinct()
+    sz = sv.groupBy("source").agg(F.count(F.lit(1)).alias("vocab"))
+    a, b = sv.alias("a"), sv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sza = sz.select(F.col("source").alias("src_a"), F.col("vocab").alias("vocab_a"))
+    szb = sz.select(F.col("source").alias("src_b"), F.col("vocab").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(sza), "src_a")
+        .join(F.broadcast(szb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("vocab_a").cast("long").alias("vocab_a"),
+            F.col("vocab_b").cast("long").alias("vocab_b"),
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(
+                F.col("n_common")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")).cast(
+                    "double"
+                ),
+                round_to,
+            ).alias("jac"),
+        )
+    )
