@@ -7403,6 +7403,139 @@ FROM mad m JOIN o ON o.event_type = m.event_type
 """
 
 
+KM_CENSOR_DAYS = 7
+
+
+def q_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival curve of user lifetimes, right-censored
+    near the corpus end (operators/timeseries.py::kaplan_meier)."""
+    from linkgraph.operators.timeseries import kaplan_meier
+
+    return kaplan_meier(_t(spark, sf_dir, "events"), censor_days=KM_CENSOR_DAYS)
+
+
+SQL_KAPLAN_MEIER = f"""
+WITH pu AS MATERIALIZED (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_d, MAX(CAST(ts AS DATE)) AS last_d
+  FROM events GROUP BY user_id),
+ce AS (SELECT MAX(CAST(ts AS DATE)) AS end_d FROM events),
+lt AS (
+  SELECT date_diff('day', first_d, last_d) AS t_days,
+         CASE WHEN date_diff('day', last_d, end_d) < {KM_CENSOR_DAYS}
+              THEN 1 ELSE 0 END AS censored
+  FROM pu, ce),
+grp AS (
+  SELECT t_days, CAST(SUM(1 - censored) AS BIGINT) AS n_deaths,
+         CAST(SUM(censored) AS BIGINT) AS n_censored
+  FROM lt GROUP BY t_days),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM lt),
+curve AS (
+  SELECT t_days, n_deaths, n_censored,
+         total - COALESCE(SUM(n_deaths + n_censored) OVER (
+           ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM grp, tot),
+f AS (SELECT *, 1.0 - n_deaths / CAST(n_risk AS DOUBLE) AS factor FROM curve),
+s AS (
+  SELECT t_days, n_risk, n_deaths, n_censored,
+         MAX(CASE WHEN factor <= 0 THEN 1 ELSE 0 END) OVER (ORDER BY t_days)
+           AS dead_flag,
+         SUM(CASE WHEN factor > 0 THEN ln(factor) ELSE 0 END)
+           OVER (ORDER BY t_days) AS logsum
+  FROM f)
+SELECT CAST(t_days AS BIGINT) AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+       n_deaths, n_censored,
+       ROUND(CASE WHEN dead_flag = 1 THEN 0.0 ELSE exp(logsum) END, 6)
+         AS survival
+FROM s
+"""
+
+
+def q_cusum_changepoint(spark, sf_dir):
+    """Per-type CUSUM mean-shift scan over the daily count series
+    (operators/timeseries.py::cusum_changepoint)."""
+    from linkgraph.operators.timeseries import cusum_changepoint
+
+    return cusum_changepoint(_t(spark, sf_dir, "events"))
+
+
+SQL_CUSUM_CHANGEPOINT = """
+WITH daily AS MATERIALIZED (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, day),
+m AS (SELECT event_type, AVG(CAST(c AS DOUBLE)) AS mu,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY event_type),
+scan AS (
+  SELECT d.event_type, d.day, m.n_days,
+         SUM(d.c - m.mu) OVER (PARTITION BY d.event_type ORDER BY d.day)
+           AS cusum
+  FROM daily d JOIN m USING (event_type)),
+pick AS (
+  SELECT event_type, n_days, day AS change_day,
+         ROUND(abs(cusum), 6) AS max_abs_cusum,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ROUND(abs(cusum), 6) DESC, day ASC) AS rn
+  FROM scan)
+SELECT event_type, n_days, change_day, max_abs_cusum FROM pick WHERE rn = 1
+"""
+
+
+ACF_MAX_LAG = 7
+
+
+def q_acf_daily(spark, sf_dir):
+    """Autocorrelation of the total daily event-count series at lags
+    1..7 (operators/timeseries.py::acf_daily)."""
+    from linkgraph.operators.timeseries import acf_daily
+
+    return acf_daily(_t(spark, sf_dir, "events"), max_lag=ACF_MAX_LAG)
+
+
+SQL_ACF_DAILY = f"""
+WITH daily AS MATERIALIZED (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1),
+st AS (SELECT AVG(y) AS ybar FROM daily),
+c AS MATERIALIZED (SELECT d, y - ybar AS e FROM daily, st),
+den AS (SELECT SUM(e * e) AS den FROM c),
+l AS (SELECT c.e, lags.lag, c.d + CAST(lags.lag AS INTEGER) AS d2
+      FROM c, (SELECT UNNEST(range(1, {ACF_MAX_LAG + 1})) AS lag) lags),
+p AS (SELECT l.lag, l.e, c2.e AS e2 FROM l JOIN c c2 ON c2.d = l.d2)
+SELECT CAST(p.lag AS BIGINT) AS lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(SUM(p.e * p.e2) / den.den, 6) AS acf
+FROM p, den GROUP BY p.lag, den.den
+"""
+
+
+MOVING_WINDOW_ROWS = 7
+
+
+def q_moving_stats(spark, sf_dir):
+    """Daily revenue with 7-row moving average + running cumulative
+    total — the frame-spec window analytic
+    (operators/timeseries.py::moving_stats)."""
+    from linkgraph.operators.timeseries import moving_stats
+
+    return moving_stats(_t(spark, sf_dir, "orders"), window_rows=MOVING_WINDOW_ROWS)
+
+
+SQL_MOVING_STATS = f"""
+WITH daily AS MATERIALIZED (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM orders GROUP BY 1)
+SELECT day,
+  ROUND(rev_c / 100.0, 6) AS revenue,
+  ROUND(AVG(CAST(rev_c AS DOUBLE)) OVER (
+    ORDER BY day ROWS BETWEEN {MOVING_WINDOW_ROWS - 1} PRECEDING AND CURRENT ROW
+  ) / 100.0, 6) AS ma,
+  ROUND(SUM(rev_c) OVER (ORDER BY day) / 100.0, 6) AS cum_revenue
+FROM daily
+"""
+
+
 QUERIES = {
     "degree_topk": q_degree_topk,
     "edges_shared_key": q_edges_shared_key,
@@ -7600,6 +7733,10 @@ QUERIES = {
     "source_vocab_overlap": q_source_vocab_overlap,
     "burstiness": q_burstiness,
     "mad_outliers": q_mad_outliers,
+    "kaplan_meier": q_kaplan_meier,
+    "cusum_changepoint": q_cusum_changepoint,
+    "acf_daily": q_acf_daily,
+    "moving_stats": q_moving_stats,
 }
 
 ORACLES = {
@@ -7799,6 +7936,10 @@ ORACLES = {
     "source_vocab_overlap": SQL_SOURCE_VOCAB_OVERLAP,
     "burstiness": SQL_BURSTINESS,
     "mad_outliers": SQL_MAD_OUTLIERS,
+    "kaplan_meier": SQL_KAPLAN_MEIER,
+    "cusum_changepoint": SQL_CUSUM_CHANGEPOINT,
+    "acf_daily": SQL_ACF_DAILY,
+    "moving_stats": SQL_MOVING_STATS,
 }
 
 

@@ -1,0 +1,110 @@
+"""operators/timeseries.py vs hand-computed oracles on tiny fixtures."""
+
+from datetime import date, datetime
+
+import pytest
+
+
+def _events(spark, rows):
+    # (event_id, ts, user_id, event_type)
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+def test_kaplan_meier_hand_computed(spark):
+    from linkgraph.operators.timeseries import kaplan_meier
+
+    d = lambda day: datetime(2026, 1, day)
+    rows = [
+        (0, d(1), 1, "x"), (1, d(10), 1, "x"),   # t=9, death
+        (2, d(1), 2, "x"),                        # t=0, death
+        (3, d(2), 3, "x"), (4, d(28), 3, "x"),    # t=26, censored (31-28<7)
+        (5, d(5), 4, "x"), (6, d(14), 4, "x"),    # t=9, death
+        (7, d(1), 5, "x"), (8, d(31), 5, "x"),    # t=30, censored (corpus end)
+    ]
+    got = {
+        r.t_days: (r.n_risk, r.n_deaths, r.n_censored, r.survival)
+        for r in kaplan_meier(_events(spark, rows), censor_days=7).collect()
+    }
+    assert got == {
+        0: (5, 1, 0, 0.8),
+        9: (4, 2, 0, 0.4),
+        26: (2, 0, 1, 0.4),
+        30: (1, 0, 1, 0.4),
+    }
+
+
+def test_kaplan_meier_pins_to_zero_after_last_death(spark):
+    from linkgraph.operators.timeseries import kaplan_meier
+
+    d = lambda day: datetime(2026, 1, day)
+    # both users die (well before corpus end): survival must reach 0.0
+    rows = [
+        (0, d(1), 1, "x"), (1, d(2), 1, "x"),    # t=1
+        (2, d(1), 2, "x"), (3, d(3), 2, "x"),    # t=2
+        (4, d(1), 3, "x"), (5, d(31), 3, "x"),   # censored keeps corpus open
+    ]
+    out = {r.t_days: r.survival for r in
+           kaplan_meier(_events(spark, rows), censor_days=7).collect()}
+    assert out[1] == pytest.approx(2.0 / 3.0, abs=1e-6)
+    assert out[2] == pytest.approx(1.0 / 3.0, abs=1e-6)
+    assert out[30] == pytest.approx(1.0 / 3.0, abs=1e-6)
+
+
+def test_cusum_changepoint_tie_breaks_earliest(spark):
+    from linkgraph.operators.timeseries import cusum_changepoint
+
+    d = lambda day, i: datetime(2026, 1, day, 0, i)
+    rows = []
+    eid = 0
+    for day, n in [(1, 3), (2, 1), (3, 1), (4, 3)]:  # mu=2, cusum 1,0,-1,0
+        for i in range(n):
+            rows.append((eid, d(day, i), 1, "x"))
+            eid += 1
+    out = cusum_changepoint(_events(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.event_type, r.n_days, r.change_day, r.max_abs_cusum) == (
+        "x", 4, "2026-01-01", 1.0,
+    )
+
+
+def test_acf_daily_hand_computed(spark):
+    from linkgraph.operators.timeseries import acf_daily
+
+    d = lambda day, i: datetime(2026, 1, day, 0, i)
+    rows = []
+    eid = 0
+    for day, n in [(1, 1), (2, 2), (3, 3), (4, 2), (5, 1)]:
+        for i in range(n):
+            rows.append((eid, d(day, i), 1, "x"))
+            eid += 1
+    got = {r.lag: (r.n_pairs, r.acf) for r in
+           acf_daily(_events(spark, rows), max_lag=7).collect()}
+    # series [1,2,3,2,1], ybar=1.8, den=2.8
+    assert got[1] == (4, pytest.approx(0.16 / 2.8, abs=1e-6))
+    assert got[2] == (3, pytest.approx(-1.88 / 2.8, abs=1e-6))
+    assert got[4] == (1, pytest.approx(0.64 / 2.8, abs=1e-6))
+    assert 5 not in got and 7 not in got  # no pairs -> no row
+
+
+def test_moving_stats_frame_and_cumulative(spark):
+    from linkgraph.operators.timeseries import moving_stats
+
+    orders = spark.createDataFrame(
+        [
+            (1, date(2026, 1, 1), 10.00),
+            (2, date(2026, 1, 1), 5.25),
+            (3, date(2026, 1, 2), 4.75),
+            (4, date(2026, 1, 3), 10.00),
+        ],
+        "o_orderkey long, o_orderdate date, o_totalprice double",
+    )
+    got = {r.day: (r.revenue, r.ma, r.cum_revenue) for r in
+           moving_stats(orders, window_rows=2).collect()}
+    assert got == {
+        "2026-01-01": (15.25, 15.25, 15.25),
+        "2026-01-02": (4.75, 10.0, 20.0),
+        "2026-01-03": (10.0, 7.375, 30.0),
+    }
