@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from linkgraph.graph import LinkGraph
@@ -7536,6 +7536,250 @@ FROM daily
 """
 
 
+Q10_D1, Q10_D2 = "1997-01-01", "1997-04-01"
+
+
+def q_returned_items(spark, sf_dir):
+    """TPC-H Q10-form returned-item report: revenue lost to returns per
+    customer over a quarter, top 20.  Fact-fact join (lineitem ⋈ orders)
+    shuffles on orderkey with both sides date/flag-filtered BEFORE the
+    shuffle; customer joins on custkey (shuffle — customer is NOT a
+    broadcastable dim at scale); 25-row nation broadcasts.  Top-20 ranks
+    on the ROUNDED revenue with custkey tiebreak so the cut is
+    engine-stable."""
+    d1 = F.lit(Q10_D1).cast("timestamp")
+    d2 = F.lit(Q10_D2).cast("timestamp")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= d1) & (F.col("o_orderdate") < d2)
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_cust = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return (
+        per_cust.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select(
+            "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name", "revenue",
+        )
+    )
+
+
+SQL_RETURNED_ITEMS = f"""
+WITH per_cust AS MATERIALIZED (
+  SELECT c_custkey, c_name, c_acctbal, n_name,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '{Q10_D1} 00:00:00'
+    AND o_orderdate <  TIMESTAMP '{Q10_D2} 00:00:00'
+  GROUP BY c_custkey, c_name, c_acctbal, n_name),
+r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey ASC) AS rn
+      FROM per_cust)
+SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal, n_name, revenue
+FROM r WHERE rn <= 20
+"""
+
+
+Q5_REGION = "ASIA"
+Q5_YEAR = 1997
+
+
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5-form local-supplier volume: revenue per nation where the
+    ordering customer and the supplying supplier share a nation, one
+    region, one year.  nation⋈region collapses to a ≤25-key broadcast
+    filter; supplier broadcasts (true small dim); the only big shuffles
+    are lineitem⋈orders on orderkey and the custkey join."""
+    d1 = F.lit(f"{Q5_YEAR}-01-01").cast("timestamp")
+    d2 = F.lit(f"{Q5_YEAR + 1}-01-01").cast("timestamp")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == Q5_REGION)
+    nr = nation.join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    ).select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= d1) & (F.col("o_orderdate") < d2)
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nr), F.col("s_nationkey") == nr["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+    )
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = f"""
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE c.c_nationkey = s.s_nationkey
+  AND r.r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{Q5_YEAR}-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '{Q5_YEAR + 1}-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+Q8_NATION = "NATION_2"
+
+
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8-form market share: the fraction of ASIA-customer revenue
+    supplied by one nation's suppliers, per order year — conditional
+    aggregation over ONE joined pass (no numerator/denominator
+    re-scan)."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == Q5_REGION)
+    nr = nation.join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    ).select(F.col("n_nationkey").alias("cust_nk"))
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    snat = nation.select(
+        F.col("n_nationkey").alias("supp_nk"), F.col("n_name").alias("supp_nation")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nr), F.col("c_nationkey") == F.col("cust_nk"))
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(snat), F.col("s_nationkey") == F.col("supp_nk"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == Q8_NATION, rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum(rev), 2).alias("total_rev"),
+        )
+    )
+
+
+SQL_MARKET_SHARE = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       ROUND(SUM(CASE WHEN sn.n_name = '{Q8_NATION}'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+JOIN region r ON cn.n_regionkey = r.r_regionkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+WHERE r.r_name = '{Q5_REGION}'
+GROUP BY 1
+"""
+
+
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14-form promotion effect: percent of revenue from PROMO
+    parts per ship month — broadcast part dim, conditional agg, month
+    rollup in one pass."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+SQL_PROMO_REVENUE = """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1
+"""
+
+
+Q18_QTY = 200
+
+
+def q_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18-form large-volume customers: orders whose total
+    quantity exceeds a threshold, with their customer — the aggregate
+    HAVING pushes the qty rollup BEFORE the joins, so only qualifying
+    orderkeys (≈1% here) reach the orders/customer joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .where(F.col("sum_qty") > Q18_QTY)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_day"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+SQL_LARGE_VOLUME_CUSTOMERS = f"""
+WITH big AS MATERIALIZED (
+  SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING ROUND(SUM(l_quantity), 2) > {Q18_QTY})
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_day,
+       ROUND(o_totalprice, 2) AS o_totalprice, sum_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
 QUERIES = {
     "degree_topk": q_degree_topk,
     "edges_shared_key": q_edges_shared_key,
@@ -7737,6 +7981,11 @@ QUERIES = {
     "cusum_changepoint": q_cusum_changepoint,
     "acf_daily": q_acf_daily,
     "moving_stats": q_moving_stats,
+    "returned_items": q_returned_items,
+    "local_supplier_volume": q_local_supplier_volume,
+    "market_share": q_market_share,
+    "promo_revenue": q_promo_revenue,
+    "large_volume_customers": q_large_volume_customers,
 }
 
 ORACLES = {
@@ -7940,6 +8189,11 @@ ORACLES = {
     "cusum_changepoint": SQL_CUSUM_CHANGEPOINT,
     "acf_daily": SQL_ACF_DAILY,
     "moving_stats": SQL_MOVING_STATS,
+    "returned_items": SQL_RETURNED_ITEMS,
+    "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
+    "market_share": SQL_MARKET_SHARE,
+    "promo_revenue": SQL_PROMO_REVENUE,
+    "large_volume_customers": SQL_LARGE_VOLUME_CUSTOMERS,
 }
 
 
