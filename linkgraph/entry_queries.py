@@ -7536,6 +7536,23 @@ FROM daily
 """
 
 
+BPE_NUM_MERGES = 4
+
+
+def q_bpe_merges(spark, sf_dir):
+    """First 4 BPE merge rules learned over the document corpus
+    (textops/bpe.py::bpe_merge_table)."""
+    from linkgraph.textops.bpe import bpe_merge_table
+
+    return bpe_merge_table(_t(spark, sf_dir, "documents"), num_merges=BPE_NUM_MERGES)
+
+
+def _bpe_oracle() -> str:
+    from linkgraph.textops.bpe import bpe_oracle_sql
+
+    return bpe_oracle_sql(BPE_NUM_MERGES)
+
+
 Q10_D1, Q10_D2 = "1997-01-01", "1997-04-01"
 
 
@@ -7986,6 +8003,7 @@ QUERIES = {
     "market_share": q_market_share,
     "promo_revenue": q_promo_revenue,
     "large_volume_customers": q_large_volume_customers,
+    "bpe_merges": q_bpe_merges,
 }
 
 ORACLES = {
@@ -8194,6 +8212,7 @@ ORACLES = {
     "market_share": SQL_MARKET_SHARE,
     "promo_revenue": SQL_PROMO_REVENUE,
     "large_volume_customers": SQL_LARGE_VOLUME_CUSTOMERS,
+    "bpe_merges": _bpe_oracle(),
 }
 
 
