@@ -7536,6 +7536,65 @@ FROM daily
 """
 
 
+PEAK_WINDOW_S = 3600
+
+
+def q_peak_hour_load(spark, sf_dir):
+    """Per-user peak rolling-hour event load — the RANGE-interval frame
+    analytic (operators/events.py::peak_hour_load)."""
+    from linkgraph.operators.events import peak_hour_load
+
+    return peak_hour_load(_t(spark, sf_dir, "events"), window_s=PEAK_WINDOW_S)
+
+
+SQL_PEAK_HOUR_LOAD = f"""
+WITH e AS (
+  -- floor, not round: Spark's unix_timestamp truncates sub-second parts
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+r AS (
+  SELECT user_id, ep,
+         CAST(COUNT(*) OVER (
+           PARTITION BY user_id ORDER BY ep
+           RANGE BETWEEN {PEAK_WINDOW_S - 1} PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS n_1h
+  FROM e),
+p AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY n_1h DESC, ep ASC) AS rn FROM r)
+SELECT user_id, n_1h AS peak_n, ep AS peak_ep FROM p WHERE rn = 1
+"""
+
+
+EB_TAU = 20.0
+
+
+def q_eb_source_rates(spark, sf_dir):
+    """Empirical-Bayes shrunk per-source long-doc rates
+    (textops/textstats.py::eb_smoothed_long_doc_rates)."""
+    from linkgraph.textops.textstats import eb_smoothed_long_doc_rates
+
+    return eb_smoothed_long_doc_rates(
+        _t(spark, sf_dir, "documents"), prior_strength=EB_TAU
+    )
+
+
+SQL_EB_SOURCE_RATES = f"""
+WITH med AS (SELECT quantile_cont(n_chars, 0.5) AS med FROM documents),
+fl AS (SELECT source,
+              CASE WHEN n_chars > med THEN 1 ELSE 0 END AS is_long
+       FROM documents, med),
+ps AS MATERIALIZED (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(is_long) AS BIGINT) AS n_long
+  FROM fl GROUP BY source),
+g AS (SELECT SUM(n_long) / CAST(SUM(n_docs) AS DOUBLE) AS g FROM ps)
+SELECT source, n_docs, n_long,
+       ROUND(n_long / CAST(n_docs AS DOUBLE), 6) AS raw_rate,
+       ROUND((n_long + {EB_TAU} * g.g) / (n_docs + {EB_TAU}), 6)
+         AS smoothed_rate
+FROM ps, g
+"""
+
+
 BPE_NUM_MERGES = 4
 
 
@@ -8004,6 +8063,8 @@ QUERIES = {
     "promo_revenue": q_promo_revenue,
     "large_volume_customers": q_large_volume_customers,
     "bpe_merges": q_bpe_merges,
+    "peak_hour_load": q_peak_hour_load,
+    "eb_source_rates": q_eb_source_rates,
 }
 
 ORACLES = {
@@ -8213,6 +8274,8 @@ ORACLES = {
     "promo_revenue": SQL_PROMO_REVENUE,
     "large_volume_customers": SQL_LARGE_VOLUME_CUSTOMERS,
     "bpe_merges": _bpe_oracle(),
+    "peak_hour_load": SQL_PEAK_HOUR_LOAD,
+    "eb_source_rates": SQL_EB_SOURCE_RATES,
 }
 
 

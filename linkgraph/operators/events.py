@@ -778,3 +778,46 @@ def mad_outliers(events: DataFrame, cut: float = 3.0, round_to: int = 6) -> Data
         F.round("mad", round_to).alias("mad_v"),
         "n_outliers",
     )
+
+
+def peak_hour_load(
+    events: DataFrame, window_s: int = 3600
+) -> DataFrame:
+    """Per-user PEAK rolling-hour load: the largest number of events any
+    sliding `window_s`-second interval ending at one of the user's
+    events contains, plus when it happened — the RANGE-interval frame
+    analytic (RANGE BETWEEN W PRECEDING AND CURRENT ROW over epoch
+    seconds), the time-valued sibling of moving_stats' ROWS frame.
+    Returns (user_id, peak_n, peak_ep) with peak_ep the epoch second of
+    the densest window's closing event (epoch, not a rendered string —
+    timezone-proof across engines); ties break to the earliest closing
+    second.
+
+    The RANGE frame runs inside each user's partition (one shuffle on
+    user_id, no global window), so the plan is a partitioned window +
+    one argmax aggregate — frame width never materializes more than the
+    in-window rows per user.  Events sharing a second share a frame and
+    hence a count, so the tie-break on the second is total."""
+    ep = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ep)
+        .rangeBetween(-(window_s - 1), 0)
+    )
+    rolled = events.select(
+        "user_id",
+        ep.alias("ep"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+    )
+    pick = Window.partitionBy("user_id").orderBy(
+        F.col("n_1h").desc(), F.col("ep").asc()
+    )
+    return (
+        rolled.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("n_1h").alias("peak_n"),
+            F.col("ep").cast("long").alias("peak_ep"),
+        )
+    )

@@ -1126,3 +1126,46 @@ def source_vocab_overlap(
             ).alias("jac"),
         )
     )
+
+
+def eb_smoothed_long_doc_rates(
+    docs: DataFrame, prior_strength: float = 20.0, round_to: int = 6
+) -> DataFrame:
+    """Empirical-Bayes smoothed per-source long-document rates: the
+    fraction of a source's docs longer than the GLOBAL median length,
+    shrunk toward the corpus-wide rate with `prior_strength` pseudo-
+    observations — smoothed = (x + τ·g) / (n + τ).  This is the
+    small-sample-safe ranking a pipeline needs before up/down-weighting
+    sources: a 3-doc source with 3 long docs must NOT outrank a
+    10,000-doc source at 95% (raw rates say it does; the shrunk rate
+    says otherwise).  Fixed-τ pseudo-count prior keeps the estimator
+    deterministic and oracle-expressible (method-of-moments α,β adds a
+    variance estimate but no ranking power at this granularity).
+
+    Returns (source, n_docs, n_long, raw_rate, smoothed_rate).  Plan:
+    one exact global median (swap approx_percentile at 100 TB, same
+    shape), one broadcast scalar, one source rollup — a single shuffle.
+    Strictly-greater comparison against the median on the integer
+    n_chars column is engine-exact."""
+    med = docs.agg(F.expr("percentile(n_chars, 0.5)").alias("med"))
+    flagged = docs.crossJoin(F.broadcast(med)).select(
+        "source", (F.col("n_chars") > F.col("med")).cast("long").alias("is_long")
+    )
+    per_src = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("is_long").cast("long").alias("n_long"),
+    )
+    glob = per_src.agg(
+        (F.sum("n_long") / F.sum("n_docs")).alias("g")
+    )
+    tau = F.lit(float(prior_strength))
+    return per_src.crossJoin(F.broadcast(glob)).select(
+        "source",
+        "n_docs",
+        "n_long",
+        F.round(F.col("n_long") / F.col("n_docs"), round_to).alias("raw_rate"),
+        F.round(
+            (F.col("n_long") + tau * F.col("g")) / (F.col("n_docs") + tau),
+            round_to,
+        ).alias("smoothed_rate"),
+    )

@@ -108,3 +108,46 @@ def test_moving_stats_frame_and_cumulative(spark):
         "2026-01-02": (4.75, 10.0, 20.0),
         "2026-01-03": (10.0, 7.375, 30.0),
     }
+
+
+def test_peak_hour_load_range_frame(spark):
+    from linkgraph.operators.events import peak_hour_load
+
+    base = datetime(2026, 1, 1)
+    rows = [
+        # user 1: events at +0s, +100s, +3599s, +3600s -> peak 3,
+        # tie between windows closing at 3599 and 3600 -> earliest
+        (0, base, 1, "x"),
+        (1, datetime(2026, 1, 1, 0, 1, 40), 1, "x"),
+        (2, datetime(2026, 1, 1, 0, 59, 59), 1, "x"),
+        (3, datetime(2026, 1, 1, 1, 0, 0), 1, "x"),
+        # user 2: single event -> peak 1
+        (4, base, 2, "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {r.user_id: (r.peak_n, r.peak_ep) for r in
+           peak_hour_load(df, window_s=3600).collect()}
+    base_ep = int(base.timestamp())
+    assert got[1] == (3, base_ep + 3599)
+    assert got[2] == (1, base_ep)
+
+
+def test_eb_smoothed_rates_shrink_toward_global(spark):
+    import pytest as _pt
+
+    from linkgraph.textops.textstats import eb_smoothed_long_doc_rates
+
+    rows = [("A", 300)] * 3 + [("B", 300)] * 2 + [("B", 1)] * 8
+    docs = spark.createDataFrame(rows, "source string, n_chars long")
+    got = {r.source: r for r in
+           eb_smoothed_long_doc_rates(docs, prior_strength=20.0).collect()}
+    g = 5.0 / 13.0
+    assert got["A"].raw_rate == 1.0
+    assert got["B"].raw_rate == _pt.approx(0.2)
+    assert got["A"].smoothed_rate == _pt.approx((3 + 20 * g) / 23.0, abs=1e-6)
+    assert got["B"].smoothed_rate == _pt.approx((2 + 20 * g) / 30.0, abs=1e-6)
+    # shrinkage pulls the tiny all-long source DOWN and the big source UP
+    assert got["A"].smoothed_rate < got["A"].raw_rate
+    assert got["B"].smoothed_rate > got["B"].raw_rate
