@@ -7612,6 +7612,55 @@ def _bpe_oracle() -> str:
     return bpe_oracle_sql(BPE_NUM_MERGES)
 
 
+def q_bpe_fertility(spark, sf_dir):
+    """BPE compression curve: vocab size and symbols/word after each of
+    the first 4 merges (textops/bpe.py::bpe_fertility_curve)."""
+    from linkgraph.textops.bpe import bpe_fertility_curve
+
+    return bpe_fertility_curve(
+        _t(spark, sf_dir, "documents"), num_merges=BPE_NUM_MERGES
+    )
+
+
+def _bpe_fertility_oracle() -> str:
+    from linkgraph.textops.bpe import bpe_fertility_oracle_sql
+
+    return bpe_fertility_oracle_sql(BPE_NUM_MERGES)
+
+
+def q_benford_audit(spark, sf_dir):
+    """Benford first-digit audit of event values per type
+    (operators/profile.py::benford_audit)."""
+    from linkgraph.operators.profile import benford_audit
+
+    return benford_audit(_t(spark, sf_dir, "events"))
+
+
+SQL_BENFORD_AUDIT = """
+WITH obs AS MATERIALIZED (
+  SELECT event_type,
+         CAST(substr(CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n_d
+  FROM events WHERE value > 0 GROUP BY 1, 2),
+tot AS (SELECT event_type, CAST(SUM(n_d) AS BIGINT) AS n FROM obs GROUP BY 1),
+dig AS (SELECT CAST(UNNEST(range(1, 10)) AS BIGINT) AS digit),
+dense AS MATERIALIZED (
+  SELECT t.event_type, d.digit, t.n,
+         COALESCE(o.n_d, 0) AS n_d,
+         log10(1 + 1.0 / d.digit) AS benford_p,
+         t.n * log10(1 + 1.0 / d.digit) AS exp_d
+  FROM tot t CROSS JOIN dig d
+  LEFT JOIN obs o ON o.event_type = t.event_type AND o.digit = d.digit),
+chi AS (SELECT event_type, ROUND(SUM(pow(n_d - exp_d, 2) / exp_d), 6) AS chi2
+        FROM dense GROUP BY event_type)
+SELECT dense.event_type, digit, n_d,
+       ROUND(n_d / CAST(n AS DOUBLE), 6) AS share,
+       ROUND(benford_p, 6) AS benford_p, chi.chi2
+FROM dense JOIN chi ON chi.event_type = dense.event_type
+"""
+
+
 Q10_D1, Q10_D2 = "1997-01-01", "1997-04-01"
 
 
@@ -8065,6 +8114,8 @@ QUERIES = {
     "bpe_merges": q_bpe_merges,
     "peak_hour_load": q_peak_hour_load,
     "eb_source_rates": q_eb_source_rates,
+    "bpe_fertility": q_bpe_fertility,
+    "benford_audit": q_benford_audit,
 }
 
 ORACLES = {
@@ -8276,6 +8327,8 @@ ORACLES = {
     "bpe_merges": _bpe_oracle(),
     "peak_hour_load": SQL_PEAK_HOUR_LOAD,
     "eb_source_rates": SQL_EB_SOURCE_RATES,
+    "bpe_fertility": _bpe_fertility_oracle(),
+    "benford_audit": SQL_BENFORD_AUDIT,
 }
 
 

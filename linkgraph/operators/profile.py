@@ -61,3 +61,52 @@ def data_profile(
         .select("p.*")
         .orderBy("col_name")
     )
+
+
+def benford_audit(events: DataFrame, round_to: int = 6) -> DataFrame:
+    """Benford's-law first-digit audit of the value column, per event
+    type: fabricated or unit-mangled monetary columns drift from the
+    log-uniform first-digit law P(d) = log10(1 + 1/d) [Benford '38;
+    Nigrini's forensic-accounting test].  Returns one row per
+    (event_type, digit 1..9): observed count/share, the Benford
+    expectation, and the type's chi-square statistic against it
+    (missing digits contribute their full n·p term via the dense
+    type×digit scaffold, so chi2 is the real statistic, not the
+    observed-digit subset).
+
+    Portability: the first significant digit comes from the INTEGER
+    cents rendering (round(value·100) → string → first char) — exact on
+    both engines — never floor(log10(v)), whose 1-ulp libm wobble at
+    powers of ten flips the digit."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("long")
+    obs = (
+        events.where(F.col("value") > 0)
+        .select("event_type", digit.alias("digit"))
+        .groupBy("event_type", "digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_d"))
+    )
+    totals = obs.groupBy("event_type").agg(F.sum("n_d").cast("long").alias("n"))
+    digits = events.sparkSession.range(1, 10).select(
+        F.col("id").cast("long").alias("digit"),
+        F.log10(1 + 1 / F.col("id").cast("double")).alias("benford_p"),
+    )
+    dense = (
+        totals.crossJoin(F.broadcast(digits))
+        .join(obs, ["event_type", "digit"], "left")
+        .withColumn("n_d", F.coalesce(F.col("n_d"), F.lit(0)).cast("long"))
+        .withColumn("exp_d", F.col("n") * F.col("benford_p"))
+    )
+    chi2 = dense.groupBy("event_type").agg(
+        F.round(
+            F.sum(F.pow(F.col("n_d") - F.col("exp_d"), 2) / F.col("exp_d")), round_to
+        ).alias("chi2")
+    )
+    return dense.join(chi2, "event_type").select(
+        "event_type",
+        "digit",
+        "n_d",
+        F.round(F.col("n_d") / F.col("n"), round_to).alias("share"),
+        F.round("benford_p", round_to).alias("benford_p"),
+        "chi2",
+    )

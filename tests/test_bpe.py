@@ -31,3 +31,48 @@ def test_bpe_nonoverlapping_greedy_is_deterministic(spark):
     out = bpe_merge_table(_docs(spark, ["ababab"]), num_merges=2)
     rows = sorted((r.merge_rank, r.pair, r.cnt) for r in out.collect())
     assert rows == [(1, "a b", 3), (2, "a b", 1)]
+
+
+def test_bpe_fertility_curve_hand_computed(spark):
+    from linkgraph.textops.bpe import bpe_fertility_curve
+
+    # 'aaab' x3: step0 vocab {a,b}=2, total=4*3=12, spw=4.0
+    # merge1 (a,a): 'aa a b' -> vocab {aa,a,b}=3, total=9, spw=3.0
+    # merge2 (a,b): 'aa ab'  -> vocab {aa,ab}=2, total=6, spw=2.0
+    # merge3 (aa,ab): 'aaab' -> vocab {aaab}=1, total=3, spw=1.0
+    out = bpe_fertility_curve(_docs(spark, ["aaab aaab", "aaab"]), num_merges=4)
+    rows = sorted(
+        (r.step, r.vocab_symbols, r.total_symbols, r.symbols_per_word)
+        for r in out.collect()
+    )
+    assert rows == [
+        (0, 2, 12, 4.0),
+        (1, 3, 9, 3.0),
+        (2, 2, 6, 2.0),
+        (3, 1, 3, 1.0),
+    ]
+
+
+def test_benford_audit_uniform_digits(spark):
+    import math
+
+    import pytest as _pt
+
+    from linkgraph.operators.profile import benford_audit
+
+    # 9 events valued 1.00..9.00: each digit observed once, share 1/9
+    rows = [(i, None, 1, "x", float(d)) for i, d in enumerate(range(1, 10))]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {r.digit: r for r in benford_audit(df).collect()}
+    assert set(got) == set(range(1, 10))
+    chi2 = sum(
+        (1 - 9 * math.log10(1 + 1 / d)) ** 2 / (9 * math.log10(1 + 1 / d))
+        for d in range(1, 10)
+    )
+    for d in range(1, 10):
+        assert got[d].n_d == 1
+        assert got[d].share == _pt.approx(1 / 9, abs=1e-6)
+        assert got[d].benford_p == _pt.approx(math.log10(1 + 1 / d), abs=1e-6)
+        assert got[d].chi2 == _pt.approx(chi2, abs=1e-5)
