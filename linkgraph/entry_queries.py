@@ -2597,6 +2597,58 @@ FROM ev WHERE it = {EIGEN_ROUNDS}
 """
 
 
+FIEDLER_ROUNDS = 8
+
+
+def q_fiedler_partition(spark, sf_dir):
+    """Spectral bisection of the user graph: deflated power iteration on
+    the shifted Laplacian (algos/spectral.py::fiedler_partition)."""
+    from linkgraph.algos.spectral import fiedler_partition
+
+    return fiedler_partition(user_graph(spark, sf_dir), rounds=FIEDLER_ROUNDS)
+
+
+def _fiedler_oracle_sql(rounds: int) -> str:
+    """Unrolled CTE chain (not a recursive CTE: the per-round
+    re-centering needs a second aggregate per step, which a recursive
+    member cannot express)."""
+    ctes = [
+        "deg AS MATERIALIZED (SELECT src AS vid, CAST(COUNT(*) AS DOUBLE) "
+        "AS deg FROM e GROUP BY src)",
+        "dm AS (SELECT MAX(deg) AS dmax FROM deg)",
+        "h AS (SELECT vid, "
+        "(CAST('0x' || substr(md5(CAST(vid AS VARCHAR) || '#fiedler'), 1, 15) "
+        "AS BIGINT) % 1000000) / 1000000.0 AS hv FROM deg)",
+        "x0 AS MATERIALIZED (SELECT vid, hv - (SELECT AVG(hv) FROM h) AS x FROM h)",
+        "ea AS MATERIALIZED (SELECT src, dst, CAST(1.0 AS DOUBLE) AS w FROM e "
+        "UNION ALL SELECT vid, vid, (SELECT dmax FROM dm) - deg FROM deg)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"y{r} AS (SELECT ea.dst AS vid, SUM(x{r - 1}.x * ea.w) AS xr "
+            f"FROM x{r - 1} JOIN ea ON ea.src = x{r - 1}.vid GROUP BY ea.dst)"
+        )
+        ctes.append(
+            f"x{r} AS MATERIALIZED (SELECT vid, "
+            f"xr - (SELECT AVG(xr) FROM y{r}) AS x FROM y{r})"
+        )
+    ctes.append(f"mx AS (SELECT MAX(abs(x)) AS m FROM x{rounds})")
+    return (
+        f"WITH {_USER_E_MAT},\n"
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(vid AS BIGINT) AS vid,
+       ROUND(x / mx.m, 6) AS fiedler,
+       CAST(CASE WHEN ROUND(x / mx.m, 6) >= 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS side
+FROM x{rounds}, mx
+"""
+    )
+
+
+SQL_FIEDLER_PARTITION = _fiedler_oracle_sql(FIEDLER_ROUNDS)
+
+
 def q_reciprocity(spark, sf_dir):
     """Reciprocity of the DIRECTED sequential co-purchase graph."""
     from linkgraph.algos.gstats import reciprocity
@@ -8116,6 +8168,7 @@ QUERIES = {
     "eb_source_rates": q_eb_source_rates,
     "bpe_fertility": q_bpe_fertility,
     "benford_audit": q_benford_audit,
+    "fiedler_partition": q_fiedler_partition,
 }
 
 ORACLES = {
@@ -8329,6 +8382,7 @@ ORACLES = {
     "eb_source_rates": SQL_EB_SOURCE_RATES,
     "bpe_fertility": _bpe_fertility_oracle(),
     "benford_audit": SQL_BENFORD_AUDIT,
+    "fiedler_partition": SQL_FIEDLER_PARTITION,
 }
 
 
