@@ -7647,6 +7647,107 @@ FROM ps, g
 """
 
 
+SEASONAL_Z_CUT = 2.0
+
+
+def q_seasonal_anomalies(spark, sf_dir):
+    """Weekday-adjusted anomalous days in the event stream
+    (operators/timeseries.py::seasonal_anomalies)."""
+    from linkgraph.operators.timeseries import seasonal_anomalies
+
+    return seasonal_anomalies(_t(spark, sf_dir, "events"), z_cut=SEASONAL_Z_CUT)
+
+
+SQL_SEASONAL_ANOMALIES = f"""
+WITH daily AS MATERIALIZED (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dd,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+wd AS (SELECT day, CAST((dd + 3) % 7 AS BIGINT) AS weekday, c FROM daily),
+sc AS (
+  SELECT day, weekday, c,
+         AVG(CAST(c AS DOUBLE)) OVER (PARTITION BY weekday) AS mu_wd,
+         stddev_samp(CAST(c AS DOUBLE)) OVER (PARTITION BY weekday) AS sd_wd
+  FROM wd),
+z AS (SELECT *, ROUND((c - mu_wd) / sd_wd, 6) AS z FROM sc)
+SELECT day, weekday, c, ROUND(mu_wd, 6) AS mu_wd, ROUND(sd_wd, 6) AS sd_wd, z
+FROM z WHERE sd_wd IS NOT NULL AND sd_wd > 0 AND abs(z) > {SEASONAL_Z_CUT}
+"""
+
+
+def q_shipping_latency(spark, sf_dir):
+    """Order-to-ship latency distribution per order priority (Q12-ish):
+    exact mean/p50/p90/max days from the lineitem⋈orders join."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    lat = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("double")
+        .alias("lat_d"),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("lat_d"), 6).alias("mean_days"),
+        F.round(F.expr("percentile(lat_d, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(lat_d, 0.9)"), 6).alias("p90"),
+        F.max("lat_d").cast("long").alias("max_days"),
+    )
+
+
+SQL_SHIPPING_LATENCY = """
+WITH lat AS (
+  SELECT o_orderpriority,
+         CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                        CAST(l_shipdate AS DATE)) AS DOUBLE) AS lat_d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(lat_d), 6) AS mean_days,
+       ROUND(quantile_cont(lat_d, 0.5), 6) AS p50,
+       ROUND(quantile_cont(lat_d, 0.9), 6) AS p90,
+       CAST(MAX(lat_d) AS BIGINT) AS max_days
+FROM lat GROUP BY o_orderpriority
+"""
+
+
+def q_source_kl(spark, sf_dir):
+    """Per-source unigram KL divergence from the corpus distribution
+    (textops/textstats.py::source_kl_divergence)."""
+    from linkgraph.textops.textstats import source_kl_divergence
+
+    return source_kl_divergence(_t(spark, sf_dir, "documents"))
+
+
+SQL_SOURCE_KL = f"""
+WITH tok AS MATERIALIZED (
+  SELECT source, unnest({_SQL_TOKENS}) AS w FROM documents),
+sw AS MATERIALIZED (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n_sw FROM tok GROUP BY 1, 2),
+corpus AS MATERIALIZED (
+  SELECT w, CAST(SUM(n_sw) AS BIGINT) AS n_w FROM sw GROUP BY w),
+tot AS (SELECT source, CAST(SUM(n_sw) AS BIGINT) AS n_s FROM sw GROUP BY source),
+consts AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_total,
+                  CAST(COUNT(*) AS BIGINT) AS v FROM corpus),
+dense AS (
+  SELECT t.source, t.n_s, c.w, c.n_w, COALESCE(s.n_sw, 0) AS n_sw,
+         k.n_total, k.v
+  FROM tot t CROSS JOIN corpus c
+  LEFT JOIN sw s ON s.source = t.source AND s.w = c.w
+  CROSS JOIN consts k),
+terms AS (
+  SELECT source, n_s,
+         CASE WHEN n_sw > 0 THEN 1 ELSE 0 END AS hit,
+         ((n_sw + 1) / CAST(n_s + v AS DOUBLE))
+           * ln(((n_sw + 1) / CAST(n_s + v AS DOUBLE))
+                / (n_w / CAST(n_total AS DOUBLE))) AS term
+  FROM dense)
+SELECT source, MAX(n_s) AS n_tokens, CAST(SUM(hit) AS BIGINT) AS vocab_hits,
+       ROUND(SUM(term), 6) AS kl
+FROM terms GROUP BY source
+"""
+
+
 BPE_NUM_MERGES = 4
 
 
@@ -8169,6 +8270,9 @@ QUERIES = {
     "bpe_fertility": q_bpe_fertility,
     "benford_audit": q_benford_audit,
     "fiedler_partition": q_fiedler_partition,
+    "seasonal_anomalies": q_seasonal_anomalies,
+    "shipping_latency": q_shipping_latency,
+    "source_kl": q_source_kl,
 }
 
 ORACLES = {
@@ -8383,6 +8487,9 @@ ORACLES = {
     "bpe_fertility": _bpe_fertility_oracle(),
     "benford_audit": SQL_BENFORD_AUDIT,
     "fiedler_partition": SQL_FIEDLER_PARTITION,
+    "seasonal_anomalies": SQL_SEASONAL_ANOMALIES,
+    "shipping_latency": SQL_SHIPPING_LATENCY,
+    "source_kl": SQL_SOURCE_KL,
 }
 
 

@@ -210,3 +210,47 @@ def moving_stats(
         F.round(ma / 100.0, round_to).alias("ma"),
         F.round(cum / 100.0, round_to).alias("cum_revenue"),
     )
+
+
+def seasonal_anomalies(
+    events: DataFrame, z_cut: float = 2.0, round_to: int = 6
+) -> DataFrame:
+    """Weekday-adjusted anomalous days: each day's total event count is
+    z-scored against the mean/σ of ITS OWN weekday (Mondays compare to
+    Mondays), so weekly seasonality never masquerades as an anomaly —
+    the readout cusum_changepoint (level shifts) does not give.
+    Returns days with |z| > z_cut: (day, weekday, c, mu_wd, sd_wd, z).
+
+    Weekday comes from epoch-day arithmetic ((days_since_epoch + 3) % 7,
+    0 = Monday) — engines disagree on dayofweek() numbering, integer
+    arithmetic they cannot.  Same day-rollup plan as the other series
+    ops: one corpus shuffle, then windows over #days rows; the z filter
+    compares the ROUNDED score so the cut cannot flip on σ's last ulp.
+    """
+    daily = events.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("dd"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wd = daily.select(
+        "day", ((F.col("dd") + 3) % 7).cast("long").alias("weekday"), "c"
+    )
+    w = Window.partitionBy("weekday")
+    scored = (
+        wd.withColumn("mu_wd", F.avg(F.col("c").cast("double")).over(w))
+        .withColumn("sd_wd", F.stddev_samp(F.col("c").cast("double")).over(w))
+        .withColumn(
+            "z", F.round((F.col("c") - F.col("mu_wd")) / F.col("sd_wd"), round_to)
+        )
+    )
+    return scored.where(
+        F.col("sd_wd").isNotNull()
+        & (F.col("sd_wd") > 0)
+        & (F.abs(F.col("z")) > z_cut)
+    ).select(
+        "day",
+        "weekday",
+        "c",
+        F.round("mu_wd", round_to).alias("mu_wd"),
+        F.round("sd_wd", round_to).alias("sd_wd"),
+        "z",
+    )

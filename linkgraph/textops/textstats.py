@@ -1169,3 +1169,53 @@ def eb_smoothed_long_doc_rates(
             round_to,
         ).alias("smoothed_rate"),
     )
+
+
+def source_kl_divergence(docs: DataFrame, round_to: int = 6) -> DataFrame:
+    """Per-source unigram KL divergence from the corpus distribution:
+    D(P_s ‖ Q) = Σ_w P_s(w)·ln(P_s(w)/Q(w)) over the corpus vocabulary,
+    with add-1 smoothing on the source side (P_s(w) = (n_sw + 1) /
+    (N_s + V)) so absent words contribute finitely — the information-
+    theoretic "how far does this source's language drift from the
+    corpus?" readout that vocabulary Jaccard (source_vocab_overlap)
+    cannot give (overlap ignores frequency shape).
+
+    Returns (source, n_tokens, vocab_hits, kl).  Plan: ONE corpus scan
+    → (source, word) counts; corpus totals by rollup; the dense
+    source×vocab scaffold (|S|·V rows, |S| is a handful) carries the
+    absent-word terms via a left join.  Sums of per-word doubles differ
+    in association order between engines → kl rounded to 1e-6."""
+    tok = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+        ).alias("w"),
+    )
+    sw = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sw")
+    )
+    corpus = sw.groupBy("w").agg(F.sum("n_sw").cast("long").alias("n_w"))
+    totals = sw.groupBy("source").agg(F.sum("n_sw").cast("long").alias("n_s"))
+    consts = corpus.agg(
+        F.sum("n_w").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    dense = (
+        totals.crossJoin(corpus)
+        .join(sw, ["source", "w"], "left")
+        .withColumn("n_sw", F.coalesce(F.col("n_sw"), F.lit(0)))
+        .crossJoin(F.broadcast(consts))
+    )
+    p = (F.col("n_sw") + 1) / (F.col("n_s") + F.col("v")).cast("double")
+    q = F.col("n_w") / F.col("n_total").cast("double")
+    per_word = dense.select(
+        "source",
+        "n_s",
+        (F.col("n_sw") > 0).cast("long").alias("hit"),
+        (p * F.log(p / q)).alias("term"),
+    )
+    return per_word.groupBy("source").agg(
+        F.max("n_s").alias("n_tokens"),
+        F.sum("hit").cast("long").alias("vocab_hits"),
+        F.round(F.sum("term"), round_to).alias("kl"),
+    )

@@ -151,3 +151,50 @@ def test_eb_smoothed_rates_shrink_toward_global(spark):
     # shrinkage pulls the tiny all-long source DOWN and the big source UP
     assert got["A"].smoothed_rate < got["A"].raw_rate
     assert got["B"].smoothed_rate > got["B"].raw_rate
+
+
+def test_seasonal_anomalies_weekday_adjusted(spark):
+    from linkgraph.operators.timeseries import seasonal_anomalies
+
+    # Jan 2026: 1st = Thursday. Mondays (5,12,19,26) carry 10 events
+    # except the 26th carries 30 (the anomaly); all other days carry 10.
+    # A plain z-score would flag nothing special about Mondays; the
+    # weekday baseline isolates the 26th.
+    rows, eid = [], 0
+    for day in range(1, 29):
+        n = 30 if day == 26 else 10
+        for i in range(n):
+            rows.append((eid, datetime(2026, 1, day, 0, i % 60, i // 60), 1, "x"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = seasonal_anomalies(df, z_cut=1.4).collect()
+    assert [r.day for r in out] == ["2026-01-26"]
+    r = out[0]
+    assert r.weekday == 0 and r.c == 30  # Monday
+    assert r.mu_wd == 15.0  # (10+10+10+30)/4
+    assert r.z > 1.4
+
+
+def test_source_kl_zero_for_identical_sources(spark):
+    import pytest as _pt
+
+    from linkgraph.textops.textstats import source_kl_divergence
+
+    # two sources with IDENTICAL token distributions: KL reduces to the
+    # smoothing floor (P_s != Q only through add-1), tiny and equal;
+    # a third source with disjoint vocabulary scores far higher
+    docs = spark.createDataFrame(
+        [
+            (0, "A", "alpha beta alpha beta"),
+            (1, "B", "alpha beta alpha beta"),
+            (2, "C", "gamma delta gamma delta"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {r.source: r for r in source_kl_divergence(docs).collect()}
+    assert got["A"].kl == _pt.approx(got["B"].kl, abs=1e-9)
+    assert got["C"].kl > got["A"].kl * 2
+    assert got["A"].vocab_hits == 2 and got["C"].vocab_hits == 2
+    assert got["A"].n_tokens == 4
