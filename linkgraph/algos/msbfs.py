@@ -737,6 +737,7 @@ def batched_closeness(
     batch_width: int = 512,
     mode: str = "relational",
     track_teps: bool = False,
+    max_levels: int | None = None,
 ) -> tuple[DataFrame, list[MsBfsResult]]:
     """K4 source-batch scheduler: degree-descending seed order, chunked into
     ≤512-lane batches (hubs share frontiers → better bit utilization)."""
@@ -747,7 +748,9 @@ def batched_closeness(
     n = graph.num_vertices()
     for i in range(0, len(sources), batch_width):
         batch = sources[i : i + batch_width]
-        res = msbfs(graph, batch, mode=mode, track_teps=track_teps)
+        res = msbfs(
+            graph, batch, mode=mode, track_teps=track_teps, max_levels=max_levels
+        )
         results.append(res)
         frames.append(closeness(graph, res, n=n))
     out = frames[0]

@@ -460,6 +460,59 @@ FROM rs, n
 """
 
 
+CLOSENESS_TOPK_SRCS = 96
+CLOSENESS_TOPK_BATCH = 48
+
+
+def q_closeness_topk(spark, sf_dir):
+    """Exact top-10 closeness via the K4 MULTI-BATCH scheduler — the
+    [MSBFS15] headline application run through batched_closeness with 2
+    batches (96 sources, width 48), so the batch-union path itself is
+    oracle-gated.  Top-10 cut ranks on the ROUNDED score with src
+    tiebreak (engine-stable)."""
+    from linkgraph.algos.msbfs import batched_closeness
+
+    g = copurchase_graph(spark, sf_dir)
+    srcs = g.top_degree_vids(CLOSENESS_TOPK_SRCS)
+    out, _ = batched_closeness(
+        g, srcs, batch_width=CLOSENESS_TOPK_BATCH, max_levels=BFS_MAX_LEVELS + 4
+    )
+    ranked = out.select(
+        "src", "r", "s", F.round("c", 6).alias("c")
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("c").desc(), F.col("src").asc())
+        ),
+    )
+    return ranked.where(F.col("rn") <= 10).select("src", "r", "s", "c")
+
+
+SQL_CLOSENESS_TOPK = f"""
+WITH RECURSIVE {_COPURCHASE_E},
+deg AS (SELECT src AS vid, COUNT(*) AS d FROM e GROUP BY src),
+n AS (SELECT COUNT(*) AS n FROM deg),
+srcs AS (SELECT vid AS s FROM deg ORDER BY d DESC, vid ASC
+         LIMIT {CLOSENESS_TOPK_SRCS}),
+bfs(src, v, dist) AS (
+  SELECT s, s, 0 FROM srcs
+  UNION
+  SELECT bfs.src, e.dst, bfs.dist + 1 FROM bfs JOIN e ON e.src = bfs.v
+  WHERE bfs.dist < {BFS_MAX_LEVELS + 4}),
+md AS (SELECT src, v, MIN(dist) AS dist FROM bfs GROUP BY src, v),
+rs AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS r, CAST(SUM(dist) AS BIGINT) AS s
+       FROM md GROUP BY src),
+cc AS (
+  SELECT rs.src AS src, rs.r AS r, rs.s AS s,
+         ROUND(CASE WHEN rs.s > 0 AND n.n > 1
+               THEN (rs.r - 1.0) * (rs.r - 1.0) / ((n.n - 1.0) * rs.s)
+               ELSE 0.0 END, 6) AS c
+  FROM rs, n),
+rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY c DESC, src ASC) AS rn FROM cc)
+SELECT src, r, s, c FROM rk WHERE rn <= 10
+"""
+
+
 def q_harmonic(spark, sf_dir):
     """Harmonic centrality from the same 64-source MS-BFS batch shape as
     closeness — the Σ 1/d variant that stays defined on disconnected
@@ -8273,6 +8326,7 @@ QUERIES = {
     "seasonal_anomalies": q_seasonal_anomalies,
     "shipping_latency": q_shipping_latency,
     "source_kl": q_source_kl,
+    "closeness_topk": q_closeness_topk,
 }
 
 ORACLES = {
@@ -8490,6 +8544,7 @@ ORACLES = {
     "seasonal_anomalies": SQL_SEASONAL_ANOMALIES,
     "shipping_latency": SQL_SHIPPING_LATENCY,
     "source_kl": SQL_SOURCE_KL,
+    "closeness_topk": SQL_CLOSENESS_TOPK,
 }
 
 
