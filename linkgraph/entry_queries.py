@@ -1589,6 +1589,47 @@ FROM m
 """
 
 
+def q_lang_agreement(spark, sf_dir):
+    """Declared-vs-detected language confusion matrix: does the corpus's
+    `lang` column agree with the stopword-heuristic detector?  The QA
+    audit a multilingual ingest runs before trusting either label.
+    Returns (lang, lang_pred, n_docs, share_of_lang) — share within the
+    declared language.  Pure composition: language_id's per-doc verdict
+    joined back on doc_id, one rollup."""
+    from linkgraph.textops.textstats import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = language_id(docs).select("doc_id", "lang_pred")
+    cell = docs.select("doc_id", "lang").join(pred, "doc_id").groupBy(
+        "lang", "lang_pred"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    tot = cell.groupBy("lang").agg(F.sum("n_docs").alias("n_lang"))
+    return cell.join(tot, "lang").select(
+        "lang",
+        "lang_pred",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("n_lang"), 6).alias("share_of_lang"),
+    )
+
+
+SQL_LANG_AGREEMENT = f"""
+WITH tok AS (SELECT doc_id, lang, {_SQL_TOKENS} AS ts FROM documents),
+m AS (SELECT doc_id, lang, len(ts) AS nt,
+             len(list_filter(ts, x -> list_contains({_SQL_STOP}, x))) AS en
+      FROM tok),
+p AS (SELECT lang,
+             CASE WHEN nt > 0 AND CAST(en AS DOUBLE) / nt >= 0.05
+                  THEN 'en' ELSE 'other' END AS lang_pred
+      FROM m),
+cell AS (SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+         FROM p GROUP BY 1, 2),
+tot AS (SELECT lang, SUM(n_docs) AS n_lang FROM cell GROUP BY lang)
+SELECT cell.lang, lang_pred, n_docs,
+       ROUND(n_docs / CAST(n_lang AS DOUBLE), 6) AS share_of_lang
+FROM cell JOIN tot ON tot.lang = cell.lang
+"""
+
+
 def q_token_totals(spark, sf_dir):
     from linkgraph.textops.textstats import token_count_total
 
@@ -8327,6 +8368,7 @@ QUERIES = {
     "shipping_latency": q_shipping_latency,
     "source_kl": q_source_kl,
     "closeness_topk": q_closeness_topk,
+    "lang_agreement": q_lang_agreement,
 }
 
 ORACLES = {
@@ -8545,6 +8587,7 @@ ORACLES = {
     "shipping_latency": SQL_SHIPPING_LATENCY,
     "source_kl": SQL_SOURCE_KL,
     "closeness_topk": SQL_CLOSENESS_TOPK,
+    "lang_agreement": SQL_LANG_AGREEMENT,
 }
 
 
