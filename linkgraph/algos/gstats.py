@@ -684,3 +684,36 @@ def clustering_agreement(
         [(n, ax, by, both, ari)],
         "n_items long, pairs_x long, pairs_y long, pairs_both long, ari double",
     )
+
+
+def strength_disparity(wedges: DataFrame, round_to: int = 6) -> DataFrame:
+    """Weighted-degree strength and Barrat disparity per vertex:
+    s_i = Σ_j w_ij and Y_i = Σ_j (w_ij / s_i)² [Barrat et al., PNAS'04].
+    Y ≈ 1/deg means weight spreads evenly over neighbors; Y → 1 means
+    one neighbor carries nearly all of it — the per-vertex "is this hub
+    real or one dominant tie?" readout that global concentration
+    measures (degree_gini) cannot localize.  Returns (vid, deg,
+    strength, disparity, k_eff) with k_eff = 1/Y the effective neighbor
+    count.  ONE aggregate over the weighted edge table (w and w² sum in
+    the same pass; integer w keeps s exact)."""
+    return (
+        wedges.groupBy(F.col("src").alias("vid"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("deg"),
+            F.sum("w").cast("long").alias("strength"),
+            F.sum(F.col("w") * F.col("w")).cast("long").alias("w2"),
+        )
+        .select(
+            "vid",
+            "deg",
+            "strength",
+            F.round(
+                F.col("w2") / (F.col("strength") * F.col("strength")).cast("double"),
+                round_to,
+            ).alias("disparity"),
+            F.round(
+                (F.col("strength") * F.col("strength")).cast("double") / F.col("w2"),
+                round_to,
+            ).alias("k_eff"),
+        )
+    )

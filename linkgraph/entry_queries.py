@@ -7741,6 +7741,62 @@ FROM ps, g
 """
 
 
+def q_strength_disparity(spark, sf_dir):
+    """Weighted-degree strength + Barrat disparity per vertex on the
+    weighted co-purchase graph (algos/gstats.py::strength_disparity)."""
+    from linkgraph.algos.gstats import strength_disparity
+    from linkgraph.sources.derive import copurchase_weighted_edges
+
+    return strength_disparity(
+        copurchase_weighted_edges(_t(spark, sf_dir, "lineitem"))
+    )
+
+
+SQL_STRENGTH_DISPARITY = """
+WITH pk AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+we AS MATERIALIZED (
+  SELECT a.p AS src, b.p AS dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM pk a JOIN pk b ON a.k = b.k AND a.p <> b.p GROUP BY 1, 2)
+SELECT CAST(src AS BIGINT) AS vid, CAST(COUNT(*) AS BIGINT) AS deg,
+       CAST(SUM(w) AS BIGINT) AS strength,
+       ROUND(SUM(w * w) / CAST(SUM(w) * SUM(w) AS DOUBLE), 6) AS disparity,
+       ROUND(CAST(SUM(w) * SUM(w) AS DOUBLE) / SUM(w * w), 6) AS k_eff
+FROM we GROUP BY src
+"""
+
+
+def q_cohort_ltv(spark, sf_dir):
+    """Customer-cohort LTV accumulation by month offset
+    (operators/events.py::cohort_ltv)."""
+    from linkgraph.operators.events import cohort_ltv
+
+    return cohort_ltv(_t(spark, sf_dir, "orders"))
+
+
+SQL_COHORT_LTV = """
+WITH fst AS MATERIALIZED (
+  SELECT o_custkey, MIN(date_trunc('month', CAST(o_orderdate AS DATE))) AS m0
+  FROM orders GROUP BY 1),
+sized AS (SELECT strftime(m0, '%Y-%m') AS cohort_month,
+                 CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+          FROM fst GROUP BY 1),
+cells AS MATERIALIZED (
+  SELECT strftime(f.m0, '%Y-%m') AS cohort_month,
+         CAST((EXTRACT(year FROM CAST(o.o_orderdate AS DATE))
+               - EXTRACT(year FROM f.m0)) * 12
+              + (EXTRACT(month FROM CAST(o.o_orderdate AS DATE))
+                 - EXTRACT(month FROM f.m0)) AS BIGINT) AS month_offset,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM orders o JOIN fst f USING (o_custkey) GROUP BY 1, 2)
+SELECT c.cohort_month, c.month_offset, s.n_customers,
+       ROUND(c.rev_c / 100.0, 6) AS revenue,
+       ROUND(SUM(c.rev_c) OVER (PARTITION BY c.cohort_month ORDER BY c.month_offset
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / 100.0 / s.n_customers, 6) AS cum_revenue_per_cust
+FROM cells c JOIN sized s ON s.cohort_month = c.cohort_month
+"""
+
+
 SEASONAL_Z_CUT = 2.0
 
 
@@ -8369,6 +8425,8 @@ QUERIES = {
     "source_kl": q_source_kl,
     "closeness_topk": q_closeness_topk,
     "lang_agreement": q_lang_agreement,
+    "strength_disparity": q_strength_disparity,
+    "cohort_ltv": q_cohort_ltv,
 }
 
 ORACLES = {
@@ -8588,6 +8646,8 @@ ORACLES = {
     "source_kl": SQL_SOURCE_KL,
     "closeness_topk": SQL_CLOSENESS_TOPK,
     "lang_agreement": SQL_LANG_AGREEMENT,
+    "strength_disparity": SQL_STRENGTH_DISPARITY,
+    "cohort_ltv": SQL_COHORT_LTV,
 }
 
 

@@ -821,3 +821,56 @@ def peak_hour_load(
             F.col("ep").cast("long").alias("peak_ep"),
         )
     )
+
+
+def cohort_ltv(orders: DataFrame, round_to: int = 6) -> DataFrame:
+    """Customer-cohort lifetime value: customers grouped by FIRST-order
+    month, revenue accumulated by month offset — the monetary sibling
+    of retention_cohorts (users-retained) on the order stream.  Returns
+    (cohort_month, month_offset, n_customers, revenue, cum_revenue_per_cust)
+    where the running total divides by the cohort's FIXED size, the LTV
+    curve every growth report draws.
+
+    Two shuffles (first-order rollup on custkey, cohort-cell rollup) +
+    one per-cohort ordered window over ≤ #months² cells.  Money rides
+    integer cents (exact), month offset is integer month arithmetic."""
+    first = orders.groupBy("o_custkey").agg(
+        F.min(F.trunc(F.to_date("o_orderdate"), "month")).alias("m0")
+    )
+    sized = first.groupBy("m0").agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_customers")
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cells = (
+        orders.join(first, "o_custkey")
+        .groupBy(
+            F.date_format("m0", "yyyy-MM").alias("cohort_month"),
+            (
+                (F.year(F.to_date("o_orderdate")) - F.year("m0")) * 12
+                + (F.month(F.to_date("o_orderdate")) - F.month("m0"))
+            ).cast("long").alias("month_offset"),
+        )
+        .agg(F.sum(cents).alias("rev_c"))
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cells.join(
+            sized.select(
+                F.date_format("m0", "yyyy-MM").alias("cohort_month"), "n_customers"
+            ),
+            "cohort_month",
+        )
+        .select(
+            "cohort_month",
+            "month_offset",
+            "n_customers",
+            F.round(F.col("rev_c") / 100.0, round_to).alias("revenue"),
+            F.round(
+                F.sum("rev_c").over(w) / 100.0 / F.col("n_customers"), round_to
+            ).alias("cum_revenue_per_cust"),
+        )
+    )

@@ -198,3 +198,49 @@ def test_source_kl_zero_for_identical_sources(spark):
     assert got["C"].kl > got["A"].kl * 2
     assert got["A"].vocab_hits == 2 and got["C"].vocab_hits == 2
     assert got["A"].n_tokens == 4
+
+
+def test_strength_disparity_extremes(spark):
+    import pytest as _pt
+
+    from linkgraph.algos.gstats import strength_disparity
+
+    # vertex 1: weight spread evenly over 4 neighbors -> Y = 1/4, k_eff 4
+    # vertex 2: one dominant tie (97 of 100) -> Y near 1, k_eff near 1
+    rows = [(1, 10 + j, 5) for j in range(4)]
+    rows += [(2, 20, 97), (2, 21, 1), (2, 22, 1), (2, 23, 1)]
+    we = spark.createDataFrame(rows, "src long, dst long, w long")
+    got = {r.vid: r for r in strength_disparity(we).collect()}
+    assert got[1].deg == 4 and got[1].strength == 20
+    assert got[1].disparity == _pt.approx(0.25, abs=1e-6)
+    assert got[1].k_eff == _pt.approx(4.0, abs=1e-6)
+    assert got[2].disparity == _pt.approx((97**2 + 3) / 100.0**2, abs=1e-6)
+    assert got[2].k_eff < 1.1
+
+
+def test_cohort_ltv_accumulates_per_fixed_cohort_size(spark):
+    import pytest as _pt
+
+    from linkgraph.operators.events import cohort_ltv
+
+    orders = spark.createDataFrame(
+        [
+            # cohort 2026-01: two customers
+            (1, 100, date(2026, 1, 5), 10.00),
+            (2, 101, date(2026, 1, 20), 30.00),
+            # month offset 1: only customer 100 returns
+            (3, 100, date(2026, 2, 2), 20.00),
+            # cohort 2026-02: one customer
+            (4, 102, date(2026, 2, 10), 50.00),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double",
+    )
+    got = {(r.cohort_month, r.month_offset): r for r in cohort_ltv(orders).collect()}
+    r0 = got[("2026-01", 0)]
+    assert r0.n_customers == 2 and r0.revenue == 40.0
+    assert r0.cum_revenue_per_cust == _pt.approx(20.0)
+    r1 = got[("2026-01", 1)]
+    assert r1.revenue == 20.0
+    # cumulative divides by the FIXED cohort size (2), not active users
+    assert r1.cum_revenue_per_cust == _pt.approx(30.0)
+    assert got[("2026-02", 0)].cum_revenue_per_cust == _pt.approx(50.0)
