@@ -7741,6 +7741,57 @@ FROM ps, g
 """
 
 
+L_DIVERSITY_L = 3
+
+
+def q_l_diversity(spark, sf_dir):
+    """l-diversity audit: (event_type, day) classes vs the user_id
+    sensitive attribute (textops/pii.py::l_diversity)."""
+    from linkgraph.textops.pii import l_diversity
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "user_id",
+    )
+    return l_diversity(ev, ["event_type", "day"], "user_id", l=L_DIVERSITY_L)
+
+
+SQL_L_DIVERSITY = f"""
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+       CAST(COUNT(*) AS BIGINT) AS group_n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_sensitive,
+       CAST(CASE WHEN COUNT(DISTINCT user_id) < {L_DIVERSITY_L}
+                 THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_class_balance(spark, sf_dir):
+    """Exact class-balanced document sample across languages
+    (operators/sampling.py::class_balance_sample)."""
+    from linkgraph.operators.sampling import class_balance_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return class_balance_sample(docs, "lang", "doc_id")
+
+
+SQL_CLASS_BALANCE = """
+WITH keepn AS (
+  SELECT MIN(n) AS keep FROM (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang)),
+rk AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#balance'),
+                                        1, 15) AS BIGINT) ASC,
+                    doc_id ASC) AS r
+  FROM documents)
+SELECT doc_id, lang, n_chars FROM rk, keepn WHERE r <= keep
+"""
+
+
 def q_strength_disparity(spark, sf_dir):
     """Weighted-degree strength + Barrat disparity per vertex on the
     weighted co-purchase graph (algos/gstats.py::strength_disparity)."""
@@ -8427,6 +8478,8 @@ QUERIES = {
     "lang_agreement": q_lang_agreement,
     "strength_disparity": q_strength_disparity,
     "cohort_ltv": q_cohort_ltv,
+    "l_diversity": q_l_diversity,
+    "class_balance": q_class_balance,
 }
 
 ORACLES = {
@@ -8648,6 +8701,8 @@ ORACLES = {
     "lang_agreement": SQL_LANG_AGREEMENT,
     "strength_disparity": SQL_STRENGTH_DISPARITY,
     "cohort_ltv": SQL_COHORT_LTV,
+    "l_diversity": SQL_L_DIVERSITY,
+    "class_balance": SQL_CLASS_BALANCE,
 }
 
 

@@ -266,3 +266,36 @@ def epoch_shuffle(
             (F.col("rk") - 1 + F.col("off")).cast("long").alias("pos"),
         )
     )
+
+
+def class_balance_sample(
+    df: DataFrame, label_col: str, id_col: str, salt: str = "balance"
+) -> DataFrame:
+    """Exact class-balanced downsampling: keep min-class-count rows PER
+    LABEL, chosen as the lowest portable-md5 hash ranks within each
+    label — the deterministic fix for label skew before training (every
+    label ends with EXACTLY the same count, unlike fraction-based
+    stratified_sample which only equalizes in expectation).  Engine-,
+    retry- and partitioning-stable: the kept set is a pure function of
+    (id, salt).
+
+    Plan: one count rollup (label cardinality rows, broadcast), one
+    rank window PER LABEL partition — the window sorts within labels
+    only, no global sort; ties cannot occur (rank key includes the
+    unique id)."""
+    counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("_n"))
+    floor = counts.agg(F.min("_n").alias("_keep"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit("#" + salt))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy(label_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(floor))
+        .where(F.col("_rk") <= F.col("_keep"))
+        .drop("_rk", "_keep")
+    )

@@ -92,3 +92,28 @@ def k_anonymity(
         .cast("long")
         .alias("at_risk"),
     )
+
+
+def l_diversity(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, l: int = 2
+) -> DataFrame:
+    """l-diversity audit [Machanavajjhala et al., ICDE'06] — the
+    standard escalation of k_anonymity: an equivalence class can be
+    large (k-safe) yet still leak the sensitive attribute if everyone
+    in it shares one value.  One row per quasi-identifier class:
+    (quasi..., group_n, n_sensitive, at_risk) with at_risk = 1 when the
+    class carries fewer than `l` DISTINCT sensitive values.
+
+    Same single-shuffle rollup as k_anonymity with a two-phase distinct
+    aggregate riding along; class-table cardinality bounds the output.
+    """
+    if not quasi_cols:
+        raise ValueError("l_diversity: need at least one quasi-identifier")
+    if l < 1:
+        raise ValueError("l_diversity: l must be >= 1")
+    nd = F.countDistinct(sensitive_col)
+    return df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("group_n"),
+        nd.cast("long").alias("n_sensitive"),
+        F.when(nd < l, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("at_risk"),
+    )

@@ -54,3 +54,35 @@ def test_stratified_sample_per_stratum(spark):
 
     with pytest.raises(ValueError):
         stratified_sample(df, "s", 0.0, "id")
+
+
+def test_class_balance_exact_counts_and_determinism(spark):
+    from linkgraph.operators.sampling import class_balance_sample
+
+    rows = [(i, "big") for i in range(50)] + [(100 + i, "small") for i in range(7)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = class_balance_sample(df, "lang", "doc_id")
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert counts == {"big": 7, "small": 7}
+    # retry-stable: the same 14 ids every run
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(r.doc_id for r in class_balance_sample(df, "lang", "doc_id").collect())
+    assert ids1 == ids2
+    # the small class is kept in full
+    assert set(range(100, 107)) <= set(ids1)
+
+
+def test_l_diversity_flags_single_valued_class(spark):
+    from linkgraph.textops.pii import l_diversity
+
+    rows = [
+        ("a", "d1", 1), ("a", "d1", 1), ("a", "d1", 1),   # 1 distinct user
+        ("b", "d1", 1), ("b", "d1", 2), ("b", "d1", 3),   # 3 distinct users
+    ]
+    df = spark.createDataFrame(rows, "event_type string, day string, user_id long")
+    got = {(r.event_type, r.day): r for r in
+           l_diversity(df, ["event_type", "day"], "user_id", l=2).collect()}
+    assert got[("a", "d1")].at_risk == 1 and got[("a", "d1")].n_sensitive == 1
+    assert got[("b", "d1")].at_risk == 0 and got[("b", "d1")].n_sensitive == 3
