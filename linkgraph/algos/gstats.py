@@ -717,3 +717,66 @@ def strength_disparity(wedges: DataFrame, round_to: int = 6) -> DataFrame:
             ).alias("k_eff"),
         )
     )
+
+
+def tie_strength_overlap(
+    dedges: DataFrame, round_to: int = 6
+) -> DataFrame:
+    """Granovetter weak-tie test [AJS'73]: do STRONGER ties sit in
+    denser neighborhoods?  Input is a DIRECTED multigraph-as-counts
+    table (src, dst) rows with repetition; ties are symmetrized with
+    weight w = total traversals both ways, and each tie (u < v) gets
+    the neighborhood Jaccard |N(u)∩N(v)| / |N(u)∪N(v)| (endpoints
+    excluded by construction: u ∉ N(u)).  Returns one row per weight
+    value: (w, n_ties, mean_jaccard) — the embeddedness-vs-strength
+    curve; weak ties bridging communities show low overlap.
+
+    Plan: weight rollup (one shuffle), common-neighbor count via the
+    neighbor-keyed self-join of the UNDIRECTED adjacency — cost is
+    Σ_z deg(z)² wedge rows, the standard wedge budget (use on sparse
+    derived graphs; the dense co-purchase projection wants the
+    hub-capped linkpred machinery instead)."""
+    und = (
+        dedges.select("src", "dst")
+        .union(dedges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    ties = und.where(F.col("src") < F.col("dst"))
+    adj = und.select("src", "dst")  # distinct undirected adjacency
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    wedge = adj.select(F.col("dst").alias("z"), F.col("src").alias("a")).join(
+        adj.select(F.col("dst").alias("z"), F.col("src").alias("b")), "z"
+    ).where(F.col("a") < F.col("b"))
+    common = wedge.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("cn")
+    )
+    scored = (
+        ties.join(
+            common,
+            (ties["src"] == common["a"]) & (ties["dst"] == common["b"]),
+            "left",
+        )
+        .join(deg.select(F.col("src").alias("u"), F.col("deg").alias("du")),
+              ties["src"] == F.col("u"))
+        .join(deg.select(F.col("src").alias("v"), F.col("deg").alias("dv")),
+              ties["dst"] == F.col("v"))
+        .select(
+            "w",
+            F.coalesce(F.col("cn"), F.lit(0)).alias("cn"),
+            (F.col("du") + F.col("dv")).alias("dd"),
+        )
+    )
+    # union excludes endpoints: u∈N(v) and v∈N(u) are IN deg but not in
+    # the wedge commons; |N(u)∪N(v)\{u,v}| = du + dv - cn - 2
+    jac = F.col("cn") / (F.col("dd") - F.col("cn") - 2).cast("double")
+    return (
+        scored.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ties"),
+            F.round(
+                F.avg(F.when(F.col("dd") - F.col("cn") - 2 > 0, jac).otherwise(0.0)),
+                round_to,
+            ).alias("mean_jaccard"),
+        )
+    )

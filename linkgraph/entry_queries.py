@@ -7816,6 +7816,51 @@ FROM we GROUP BY src
 """
 
 
+def q_tie_strength_overlap(spark, sf_dir):
+    """Granovetter embeddedness-vs-strength curve on the sequential
+    co-purchase multigraph (algos/gstats.py::tie_strength_overlap)."""
+    from linkgraph.algos.gstats import tie_strength_overlap
+
+    return tie_strength_overlap(
+        derive.sequential_copurchase_edges(
+            _t(spark, sf_dir, "lineitem"), keep_multiplicity=True
+        )
+    )
+
+
+SQL_TIE_STRENGTH_OVERLAP = """
+WITH seq AS (
+  SELECT l_partkey AS src,
+         LEAD(l_partkey) OVER (
+           PARTITION BY l_orderkey
+           ORDER BY l_linenumber ASC, l_partkey ASC) AS dst
+  FROM lineitem),
+de AS (SELECT src, dst FROM seq WHERE dst IS NOT NULL AND dst <> src),
+und AS MATERIALIZED (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM (
+    SELECT src, dst FROM de
+    UNION ALL SELECT dst AS src, src AS dst FROM de)
+  GROUP BY 1, 2),
+ties AS (SELECT src, dst, w FROM und WHERE src < dst),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY src),
+common AS (
+  SELECT a.src AS a, b.src AS b, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM und a JOIN und b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY 1, 2),
+scored AS (
+  SELECT t.w, COALESCE(c.cn, 0) AS cn, du.deg + dv.deg AS dd
+  FROM ties t
+  LEFT JOIN common c ON t.src = c.a AND t.dst = c.b
+  JOIN deg du ON t.src = du.src
+  JOIN deg dv ON t.dst = dv.src)
+SELECT w, CAST(COUNT(*) AS BIGINT) AS n_ties,
+       ROUND(AVG(CASE WHEN dd - cn - 2 > 0
+                      THEN cn / CAST(dd - cn - 2 AS DOUBLE)
+                      ELSE 0.0 END), 6) AS mean_jaccard
+FROM scored GROUP BY w
+"""
+
+
 def q_cohort_ltv(spark, sf_dir):
     """Customer-cohort LTV accumulation by month offset
     (operators/events.py::cohort_ltv)."""
@@ -8477,6 +8522,7 @@ QUERIES = {
     "closeness_topk": q_closeness_topk,
     "lang_agreement": q_lang_agreement,
     "strength_disparity": q_strength_disparity,
+    "tie_strength_overlap": q_tie_strength_overlap,
     "cohort_ltv": q_cohort_ltv,
     "l_diversity": q_l_diversity,
     "class_balance": q_class_balance,
@@ -8700,6 +8746,7 @@ ORACLES = {
     "closeness_topk": SQL_CLOSENESS_TOPK,
     "lang_agreement": SQL_LANG_AGREEMENT,
     "strength_disparity": SQL_STRENGTH_DISPARITY,
+    "tie_strength_overlap": SQL_TIE_STRENGTH_OVERLAP,
     "cohort_ltv": SQL_COHORT_LTV,
     "l_diversity": SQL_L_DIVERSITY,
     "class_balance": SQL_CLASS_BALANCE,

@@ -180,12 +180,17 @@ def events_adjacency(events: DataFrame) -> DataFrame:
     )
 
 
-def sequential_copurchase_edges(lineitem: DataFrame) -> DataFrame:
+def sequential_copurchase_edges(
+    lineitem: DataFrame, keep_multiplicity: bool = False
+) -> DataFrame:
     """DIRECTED part→part edges: within each order, linenumber i's part
     points at linenumber i+1's part (S8-shaped: one window on a stable
     per-order sort, no self-join).  Different orders traverse parts in
     different sequences, so the union develops real directed cycles —
-    the fixture the SCC kernel needs, derived purely relationally."""
+    the fixture the SCC kernel needs, derived purely relationally.
+
+    ``keep_multiplicity=True`` keeps repeated (src, dst) transitions —
+    the multigraph-as-rows shape tie-strength analyses weight by."""
     # (l_linenumber, l_partkey): l_linenumber alone is NOT unique per
     # order in the fixture data, and a tied sort key makes the LEAD
     # sequence engine/partitioning-dependent; adding l_partkey gives a
@@ -194,13 +199,13 @@ def sequential_copurchase_edges(lineitem: DataFrame) -> DataFrame:
     w = Window.partitionBy("l_orderkey").orderBy(
         F.col("l_linenumber").asc(), F.col("l_partkey").asc()
     )
-    return (
+    out = (
         lineitem.select("l_orderkey", "l_linenumber", "l_partkey")
         .withColumn("nxt", F.lead("l_partkey").over(w))
         .where(F.col("nxt").isNotNull() & (F.col("nxt") != F.col("l_partkey")))
         .select(F.col("l_partkey").alias("src"), F.col("nxt").alias("dst"))
-        .distinct()
     )
+    return out if keep_multiplicity else out.distinct()
 
 
 def edge_pmi(weighted_edges: DataFrame, round_to: int = 6) -> DataFrame:

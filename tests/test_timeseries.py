@@ -218,6 +218,27 @@ def test_strength_disparity_extremes(spark):
     assert got[2].k_eff < 1.1
 
 
+def test_tie_strength_overlap_curve(spark):
+    import pytest as _pt
+
+    from linkgraph.algos.gstats import tie_strength_overlap
+
+    # triangle {1,2,3} with a doubled 1-2 tie, a tripled bridge 3-4,
+    # pendant 4-5, and an isolated dyad 6-7 (zero-denominator guard)
+    rows = [(1, 2), (2, 1), (1, 3), (2, 3), (3, 4), (3, 4), (4, 3), (4, 5), (6, 7)]
+    de = spark.createDataFrame(rows, "src long, dst long")
+    got = {r.w: r for r in tie_strength_overlap(de).collect()}
+    # w=1: (1,3) jac 1/2, (2,3) jac 1/2, (4,5) jac 0, (6,7) denom 0 -> 0
+    assert got[1].n_ties == 4
+    assert got[1].mean_jaccard == _pt.approx(0.25, abs=1e-6)
+    # w=2: (1,2) shares {3}; union\{1,2}={3} -> jaccard 1.0
+    assert got[2].n_ties == 1
+    assert got[2].mean_jaccard == _pt.approx(1.0, abs=1e-6)
+    # w=3: bridge (3,4), no common neighbors -> 0
+    assert got[3].n_ties == 1
+    assert got[3].mean_jaccard == _pt.approx(0.0, abs=1e-6)
+
+
 def test_cohort_ltv_accumulates_per_fixed_cohort_size(spark):
     import pytest as _pt
 
