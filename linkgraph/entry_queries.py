@@ -7861,6 +7861,42 @@ FROM scored GROUP BY w
 """
 
 
+def q_psi_drift(spark, sf_dir):
+    """Event-mix PSI, first half of the month vs second, keyed by
+    event_type × 6-hour bucket (operators/profile.py::population_stability)."""
+    from linkgraph.operators.profile import population_stability
+
+    ev = _t(spark, sf_dir, "events")
+    labeled = ev.select(
+        F.when(F.dayofmonth("ts") <= 15, "ref").otherwise("cur").alias("pop"),
+        F.concat_ws(
+            "#h", F.col("event_type"), F.floor(F.hour("ts") / 6).cast("string")
+        ).alias("cat"),
+    )
+    return population_stability(labeled)
+
+
+SQL_PSI_DRIFT = """
+WITH lab AS (
+  SELECT CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 'ref' ELSE 'cur' END AS pop,
+         event_type || '#h' ||
+           CAST(CAST(FLOOR(EXTRACT(hour FROM ts) / 6) AS BIGINT) AS VARCHAR) AS cat
+  FROM events),
+c AS (
+  SELECT cat,
+         CAST(SUM(CASE WHEN pop = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(SUM(CASE WHEN pop = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM lab GROUP BY cat),
+t AS (SELECT CAST(SUM(n_ref) AS DOUBLE) AS t_ref,
+             CAST(SUM(n_cur) AS DOUBLE) AS t_cur FROM c)
+SELECT cat, n_ref, n_cur,
+       ROUND((GREATEST(n_cur / t_cur, 1e-6) - GREATEST(n_ref / t_ref, 1e-6))
+             * LN(GREATEST(n_cur / t_cur, 1e-6) / GREATEST(n_ref / t_ref, 1e-6)),
+             6) AS psi_term
+FROM c, t
+"""
+
+
 def q_cohort_ltv(spark, sf_dir):
     """Customer-cohort LTV accumulation by month offset
     (operators/events.py::cohort_ltv)."""
@@ -8523,6 +8559,7 @@ QUERIES = {
     "lang_agreement": q_lang_agreement,
     "strength_disparity": q_strength_disparity,
     "tie_strength_overlap": q_tie_strength_overlap,
+    "psi_drift": q_psi_drift,
     "cohort_ltv": q_cohort_ltv,
     "l_diversity": q_l_diversity,
     "class_balance": q_class_balance,
@@ -8747,6 +8784,7 @@ ORACLES = {
     "lang_agreement": SQL_LANG_AGREEMENT,
     "strength_disparity": SQL_STRENGTH_DISPARITY,
     "tie_strength_overlap": SQL_TIE_STRENGTH_OVERLAP,
+    "psi_drift": SQL_PSI_DRIFT,
     "cohort_ltv": SQL_COHORT_LTV,
     "l_diversity": SQL_L_DIVERSITY,
     "class_balance": SQL_CLASS_BALANCE,

@@ -110,3 +110,44 @@ def benford_audit(events: DataFrame, round_to: int = 6) -> DataFrame:
         F.round("benford_p", round_to).alias("benford_p"),
         "chi2",
     )
+
+
+def population_stability(
+    labeled: DataFrame, eps: float = 1e-6, round_to: int = 6
+) -> DataFrame:
+    """Population Stability Index between two labeled populations.
+
+    Input: (pop, cat) rows where pop ∈ {'ref', 'cur'} tags which
+    population the row belongs to and cat is any categorical (or
+    pre-binned numeric) key.  Output: one row per category —
+    (cat, n_ref, n_cur, psi_term) with
+    psi_term = (p_cur − p_ref) · ln(p_cur / p_ref), shares clamped at
+    `eps` so one-sided categories stay finite (the standard PSI
+    epsilon).  Σ psi_term is the headline PSI (< 0.1 stable, > 0.25
+    drifted — the usual scorecard-monitoring thresholds).
+
+    Scale shape: one shuffle (the category rollup computes both
+    population counts in a single two-lane conditional aggregate); the
+    grand totals are a one-row aggregate broadcast back, so the table
+    scans once and nothing driver-side touches data.
+    """
+    counts = labeled.groupBy("cat").agg(
+        F.sum(F.when(F.col("pop") == "ref", 1).otherwise(0))
+        .cast("long")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("pop") == "cur", 1).otherwise(0))
+        .cast("long")
+        .alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").cast("double").alias("t_ref"),
+        F.sum("n_cur").cast("double").alias("t_cur"),
+    )
+    p_ref = F.greatest(F.col("n_ref") / F.col("t_ref"), F.lit(float(eps)))
+    p_cur = F.greatest(F.col("n_cur") / F.col("t_cur"), F.lit(float(eps)))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "cat",
+        "n_ref",
+        "n_cur",
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), round_to).alias("psi_term"),
+    )

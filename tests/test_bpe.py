@@ -76,3 +76,32 @@ def test_benford_audit_uniform_digits(spark):
         assert got[d].share == _pt.approx(1 / 9, abs=1e-6)
         assert got[d].benford_p == _pt.approx(math.log10(1 + 1 / d), abs=1e-6)
         assert got[d].chi2 == _pt.approx(chi2, abs=1e-5)
+
+
+def test_population_stability_terms_and_epsilon(spark):
+    import math
+
+    import pytest as _pt
+
+    from linkgraph.operators.profile import population_stability
+
+    # A: 8 ref / 2 cur, B: 2 ref / 8 cur, C: cur-only (epsilon clamp)
+    rows = (
+        [("ref", "A")] * 8 + [("cur", "A")] * 2
+        + [("ref", "B")] * 2 + [("cur", "B")] * 8
+        + [("cur", "C")] * 5
+    )
+    df = spark.createDataFrame(rows, "pop string, cat string")
+    got = {r.cat: r for r in population_stability(df).collect()}
+
+    def term(pr, pc):
+        pr, pc = max(pr, 1e-6), max(pc, 1e-6)
+        return (pc - pr) * math.log(pc / pr)
+
+    assert got["A"].n_ref == 8 and got["A"].n_cur == 2
+    assert got["A"].psi_term == _pt.approx(term(8 / 10, 2 / 15), abs=1e-6)
+    assert got["B"].psi_term == _pt.approx(term(2 / 10, 8 / 15), abs=1e-6)
+    # C has zero ref mass -> share clamped at 1e-6, term stays finite
+    assert got["C"].n_ref == 0
+    assert got["C"].psi_term == _pt.approx(term(0.0, 5 / 15), abs=1e-6)
+    assert math.isfinite(got["C"].psi_term)
