@@ -163,3 +163,59 @@ def vertex_similarity(
             F.col("v").asc(),
         ).limit(topk)
     return out
+
+
+def triadic_closure_rate(
+    tedges: DataFrame, hub_cap: int = 64, round_to: int = 6
+) -> DataFrame:
+    """Temporal triadic closure [Kossinets & Watts, Science '06]: for
+    every directed wedge a→b→c (a ≠ c) the pair (a, c) is "closed" if
+    the edge a→c formed STRICTLY AFTER the wedge did (tf = the later of
+    the two wedge edges' first-seen times).  Returns one row per wedge
+    formation month: (month, n_wedges, n_closed, closure_rate) — the
+    how-fast-does-my-graph-densify curve GNN/link-prediction training
+    pipelines use to pick temporal train/test splits.
+
+    Input: (src, dst, t) directed FIRST-FORMATION times (one row per
+    edge; derive with a min-t rollup).  Same wedge budget as
+    link_prediction: the center self-join is quadratic in deg(b), so
+    centers with total degree > hub_cap are excluded — part of the
+    operator contract, mirrored by the oracle.  Closure is checked with
+    ONE keyed left join against the edge table (never an all-pairs
+    scan); months ride the wedge rows so the final rollup is one
+    map-side-combined aggregate over ≤#months groups.
+    """
+    e = tedges.select("src", "dst", "t")
+    deg = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .where(F.col("deg") <= F.lit(int(hub_cap)))
+    )
+    din = e.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("t").alias("t1")
+    )
+    dout = e.select(
+        F.col("src").alias("b"), F.col("dst").alias("c"), F.col("t").alias("t2")
+    )
+    wedges = (
+        din.join(deg.select(F.col("v").alias("b")), "b", "left_semi")
+        .join(dout, "b")
+        .where(F.col("a") != F.col("c"))
+        .select(
+            "a", "c", F.greatest(F.col("t1"), F.col("t2")).alias("tf")
+        )
+    )
+    closing = e.select(
+        F.col("src").alias("a"), F.col("dst").alias("c"), F.col("t").alias("t3")
+    )
+    scored = wedges.join(closing, ["a", "c"], "left").select(
+        F.date_format("tf", "yyyy-MM").alias("month"),
+        F.when(F.col("t3") > F.col("tf"), 1).otherwise(0).alias("closed"),
+    )
+    return scored.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_wedges"),
+        F.sum("closed").cast("long").alias("n_closed"),
+        F.round(F.sum("closed") / F.count(F.lit(1)), round_to).alias("closure_rate"),
+    )

@@ -7897,6 +7897,53 @@ FROM c, t
 """
 
 
+def q_triadic_closure(spark, sf_dir):
+    """Monthly temporal triadic-closure rate on the timestamped
+    sequential co-purchase graph (algos/linkpred.py::triadic_closure_rate)."""
+    from linkgraph.algos.linkpred import triadic_closure_rate
+
+    return triadic_closure_rate(
+        derive.sequential_copurchase_times(
+            _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+        ),
+        hub_cap=64,
+    )
+
+
+SQL_TRIADIC_CLOSURE = """
+WITH seq AS (
+  SELECT l_orderkey, l_partkey AS src,
+         LEAD(l_partkey) OVER (
+           PARTITION BY l_orderkey
+           ORDER BY l_linenumber ASC, l_partkey ASC) AS dst
+  FROM lineitem),
+trans AS (
+  SELECT l_orderkey, src, dst FROM seq
+  WHERE dst IS NOT NULL AND dst <> src),
+te AS MATERIALIZED (
+  SELECT src, dst, MIN(o_orderdate) AS t
+  FROM trans JOIN orders ON trans.l_orderkey = orders.o_orderkey
+  GROUP BY 1, 2),
+deg AS (
+  SELECT v FROM (
+    SELECT src AS v FROM te UNION ALL SELECT dst AS v FROM te)
+  GROUP BY v HAVING COUNT(*) <= 64),
+wedges AS (
+  SELECT i.src AS a, i.dst AS b, o.dst AS c,
+         GREATEST(i.t, o.t) AS tf
+  FROM te i JOIN te o ON i.dst = o.src
+  WHERE i.src <> o.dst AND i.dst IN (SELECT v FROM deg)),
+scored AS (
+  SELECT strftime(w.tf, '%Y-%m') AS month,
+         CASE WHEN e.t > w.tf THEN 1 ELSE 0 END AS closed
+  FROM wedges w LEFT JOIN te e ON w.a = e.src AND w.c = e.dst)
+SELECT month, CAST(COUNT(*) AS BIGINT) AS n_wedges,
+       CAST(SUM(closed) AS BIGINT) AS n_closed,
+       ROUND(SUM(closed) / CAST(COUNT(*) AS DOUBLE), 6) AS closure_rate
+FROM scored GROUP BY month
+"""
+
+
 def q_cohort_ltv(spark, sf_dir):
     """Customer-cohort LTV accumulation by month offset
     (operators/events.py::cohort_ltv)."""
@@ -8560,6 +8607,7 @@ QUERIES = {
     "strength_disparity": q_strength_disparity,
     "tie_strength_overlap": q_tie_strength_overlap,
     "psi_drift": q_psi_drift,
+    "triadic_closure": q_triadic_closure,
     "cohort_ltv": q_cohort_ltv,
     "l_diversity": q_l_diversity,
     "class_balance": q_class_balance,
@@ -8785,6 +8833,7 @@ ORACLES = {
     "strength_disparity": SQL_STRENGTH_DISPARITY,
     "tie_strength_overlap": SQL_TIE_STRENGTH_OVERLAP,
     "psi_drift": SQL_PSI_DRIFT,
+    "triadic_closure": SQL_TRIADIC_CLOSURE,
     "cohort_ltv": SQL_COHORT_LTV,
     "l_diversity": SQL_L_DIVERSITY,
     "class_balance": SQL_CLASS_BALANCE,

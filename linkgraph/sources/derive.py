@@ -208,6 +208,36 @@ def sequential_copurchase_edges(
     return out if keep_multiplicity else out.distinct()
 
 
+def sequential_copurchase_times(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Sequential co-purchase transitions with FIRST-FORMATION times:
+    (src, dst, t) where t = min o_orderdate over orders containing the
+    directed transition — the timestamped edge table temporal-graph
+    operators (triadic closure, temporal reach) consume.  Same strict
+    per-order total order as sequential_copurchase_edges; the orderkey
+    join is fact-fact on the orders key, then one min-rollup per edge."""
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_linenumber").asc(), F.col("l_partkey").asc()
+    )
+    trans = (
+        lineitem.select("l_orderkey", "l_linenumber", "l_partkey")
+        .withColumn("nxt", F.lead("l_partkey").over(w))
+        .where(F.col("nxt").isNotNull() & (F.col("nxt") != F.col("l_partkey")))
+        .select(
+            "l_orderkey",
+            F.col("l_partkey").alias("src"),
+            F.col("nxt").alias("dst"),
+        )
+    )
+    return (
+        trans.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            trans["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("o_orderdate").alias("t"))
+    )
+
+
 def edge_pmi(weighted_edges: DataFrame, round_to: int = 6) -> DataFrame:
     """Pointwise-mutual-information reweighting of a co-occurrence edge
     table (src, dst, w):

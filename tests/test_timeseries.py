@@ -265,3 +265,33 @@ def test_cohort_ltv_accumulates_per_fixed_cohort_size(spark):
     # cumulative divides by the FIXED cohort size (2), not active users
     assert r1.cum_revenue_per_cust == _pt.approx(30.0)
     assert got[("2026-02", 0)].cum_revenue_per_cust == _pt.approx(50.0)
+
+
+def test_triadic_closure_rate_strict_after_and_hub_cap(spark):
+    import pytest as _pt
+
+    from linkgraph.algos.linkpred import triadic_closure_rate
+
+    E = [
+        # wedge 1->2->3 forms 2024-01, closed by (1,3) in Feb
+        (1, 2, date(2024, 1, 5)),
+        (2, 3, date(2024, 1, 10)),
+        (1, 3, date(2024, 2, 1)),
+        # wedge 4->5->6 forms 2024-03, never closed
+        (4, 5, date(2024, 1, 20)),
+        (5, 6, date(2024, 3, 15)),
+        # wedge 7->8->9 forms 2024-02 but (7,9) predates it -> NOT closed
+        (7, 8, date(2024, 2, 10)),
+        (8, 9, date(2024, 2, 20)),
+        (7, 9, date(2024, 2, 1)),
+    ]
+    te = spark.createDataFrame(E, "src long, dst long, t date")
+    got = {r.month: r for r in triadic_closure_rate(te).collect()}
+    assert got["2024-01"].n_wedges == 1 and got["2024-01"].n_closed == 1
+    assert got["2024-01"].closure_rate == _pt.approx(1.0, abs=1e-6)
+    assert got["2024-02"].n_wedges == 1 and got["2024-02"].n_closed == 0
+    assert got["2024-03"].n_wedges == 1 and got["2024-03"].n_closed == 0
+    # hub cap: center 2 has total degree 2 (in 1, out 1); cap 1 removes
+    # the January wedge entirely
+    capped = {r.month for r in triadic_closure_rate(te, hub_cap=1).collect()}
+    assert "2024-01" not in capped
