@@ -7944,6 +7944,45 @@ FROM scored GROUP BY month
 """
 
 
+def q_ewma_control(spark, sf_dir):
+    """EWMA control chart over per-type daily event counts
+    (operators/timeseries.py::ewma_control)."""
+    from linkgraph.operators.timeseries import ewma_control
+
+    return ewma_control(_t(spark, sf_dir, "events"))
+
+
+SQL_EWMA_CONTROL = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+idx AS (
+  SELECT event_type, day, c,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         AVG(c) OVER (PARTITION BY event_type) AS mu,
+         STDDEV_POP(c) OVER (PARTITION BY event_type) AS sig
+  FROM daily),
+ws AS (
+  SELECT l.event_type, l.day, l.c, l.t, l.mu, l.sig,
+         SUM(POWER(0.5, l.t - r.t) * r.c) AS wsum
+  FROM idx l JOIN idx r ON l.event_type = r.event_type AND r.t <= l.t
+  GROUP BY 1, 2, 3, 4, 5, 6),
+fin AS (
+  SELECT event_type, day, c,
+         ROUND(0.5 * wsum + POWER(0.5, t) * mu, 6) AS ewma,
+         ROUND(mu - 3.0 * sig * SQRT((0.5 / 1.5) * (1 - POWER(0.5, 2 * t))), 6)
+           AS lcl,
+         ROUND(mu + 3.0 * sig * SQRT((0.5 / 1.5) * (1 - POWER(0.5, 2 * t))), 6)
+           AS ucl
+  FROM ws)
+SELECT event_type, day, c AS n_events, ewma, lcl, ucl,
+       CAST(CASE WHEN ewma > ucl OR ewma < lcl THEN 1 ELSE 0 END AS INTEGER)
+         AS flag
+FROM fin
+"""
+
+
 def q_cohort_ltv(spark, sf_dir):
     """Customer-cohort LTV accumulation by month offset
     (operators/events.py::cohort_ltv)."""
@@ -8608,6 +8647,7 @@ QUERIES = {
     "tie_strength_overlap": q_tie_strength_overlap,
     "psi_drift": q_psi_drift,
     "triadic_closure": q_triadic_closure,
+    "ewma_control": q_ewma_control,
     "cohort_ltv": q_cohort_ltv,
     "l_diversity": q_l_diversity,
     "class_balance": q_class_balance,
@@ -8834,6 +8874,7 @@ ORACLES = {
     "tie_strength_overlap": SQL_TIE_STRENGTH_OVERLAP,
     "psi_drift": SQL_PSI_DRIFT,
     "triadic_closure": SQL_TRIADIC_CLOSURE,
+    "ewma_control": SQL_EWMA_CONTROL,
     "cohort_ltv": SQL_COHORT_LTV,
     "l_diversity": SQL_L_DIVERSITY,
     "class_balance": SQL_CLASS_BALANCE,

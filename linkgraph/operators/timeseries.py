@@ -254,3 +254,80 @@ def seasonal_anomalies(
         F.round("sd_wd", round_to).alias("sd_wd"),
         "z",
     )
+
+
+def ewma_control(
+    events: DataFrame,
+    alpha: float = 0.5,
+    limit_l: float = 3.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """EWMA control chart [Roberts, Technometrics 1959] per event type
+    over the observed daily-count series: s_t = α·x_t + (1−α)·s_{t−1}
+    with s_0 = the series mean, flagged when s_t leaves
+    μ ± L·σ·sqrt(α/(2−α)·(1−(1−α)^{2t})) (the exact finite-t variance
+    inflation, not the asymptotic band).  Returns one row per
+    (event_type, day): (day, n_events, ewma, lcl, ucl, flag).
+
+    The recurrence lowers to the closed form
+    s_t = (1−α)^t·μ + α·Σ_{i≤t} (1−α)^{t−i}·x_i, computed with a
+    day-index self-join over the per-type DAY series — quadratic in
+    #days, but the corpus already collapsed to the daily rollup, so
+    the join is O(#types·#days²) rows regardless of event volume (the
+    module-header scale posture).  Default α = 0.5 keeps every decay
+    weight an EXACT binary power, so pow() is exact on both engines and
+    the chart carries zero libm wobble (the floor(log10) lesson from
+    benford_audit); the out-of-band verdict compares ROUNDED statistic
+    against ROUNDED limits so the cut is engine-stable.
+    """
+    a = float(alpha)
+    b = 1.0 - a
+    daily = events.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wt = Window.partitionBy("event_type")
+    idx = (
+        daily.withColumn("t", F.row_number().over(wt.orderBy("day")))
+        .withColumn("mu", F.avg(F.col("c").cast("double")).over(wt))
+        .withColumn("sig", F.stddev_pop(F.col("c").cast("double")).over(wt))
+    )
+    lhs = idx.select(
+        "event_type", "day", "c", "t", "mu", "sig"
+    )
+    rhs = idx.select(
+        F.col("event_type").alias("et2"),
+        F.col("t").alias("i"),
+        F.col("c").alias("ci"),
+    )
+    ws = (
+        lhs.join(
+            rhs,
+            (lhs["event_type"] == rhs["et2"]) & (rhs["i"] <= lhs["t"]),
+        )
+        .groupBy("event_type", "day", "c", "t", "mu", "sig")
+        .agg(
+            F.sum(
+                F.pow(F.lit(b), F.col("t") - F.col("i")) * F.col("ci")
+            ).alias("wsum")
+        )
+    )
+    s = F.round(
+        F.lit(a) * F.col("wsum") + F.pow(F.lit(b), F.col("t")) * F.col("mu"),
+        round_to,
+    )
+    half = (
+        F.lit(float(limit_l))
+        * F.col("sig")
+        * F.sqrt(F.lit(a / (2.0 - a)) * (1.0 - F.pow(F.lit(b), 2 * F.col("t"))))
+    )
+    lcl = F.round(F.col("mu") - half, round_to)
+    ucl = F.round(F.col("mu") + half, round_to)
+    return ws.select(
+        "event_type",
+        "day",
+        F.col("c").alias("n_events"),
+        s.alias("ewma"),
+        lcl.alias("lcl"),
+        ucl.alias("ucl"),
+        F.when((s > ucl) | (s < lcl), 1).otherwise(0).cast("int").alias("flag"),
+    )

@@ -295,3 +295,34 @@ def test_triadic_closure_rate_strict_after_and_hub_cap(spark):
     # the January wedge entirely
     capped = {r.month for r in triadic_closure_rate(te, hub_cap=1).collect()}
     assert "2024-01" not in capped
+
+
+def test_ewma_control_chart_flags_spike(spark):
+    import pytest as _pt
+
+    from linkgraph.operators.timeseries import ewma_control
+
+    # 7 flat days then a 4x spike; L=1 band so the in-sample-inflated
+    # sigma still lets the spike day flag
+    counts = [10] * 7 + [40]
+    rows, eid = [], 0
+    for day, n in enumerate(counts, 1):
+        for i in range(n):
+            rows.append((eid, datetime(2026, 1, day, 0, i % 60, i // 60), 1, "x"))
+            eid += 1
+    got = sorted(
+        ewma_control(_events(spark, rows), limit_l=1.0).collect(),
+        key=lambda r: r.day,
+    )
+    # the closed form must equal the textbook recurrence seeded at mu
+    mu = sum(counts) / len(counts)
+    s, exp = mu, []
+    for x in counts:
+        s = 0.5 * x + 0.5 * s
+        exp.append(s)
+    for r, e in zip(got, exp):
+        assert r.ewma == _pt.approx(e, abs=1e-6)
+    assert [r.flag for r in got] == [0] * 7 + [1]
+    # finite-t variance inflation: the band widens monotonically
+    ucls = [r.ucl for r in got]
+    assert all(ucls[i] <= ucls[i + 1] + 1e-9 for i in range(len(ucls) - 1))
