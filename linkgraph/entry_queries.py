@@ -7983,6 +7983,45 @@ FROM fin
 """
 
 
+def q_did_estimate(spark, sf_dir):
+    """Difference-in-differences A/A calibration over the corpus-midpoint
+    panel (operators/events.py::did_estimate)."""
+    from linkgraph.operators.events import did_estimate
+
+    return did_estimate(_t(spark, sf_dir, "events"))
+
+
+SQL_DID_ESTIMATE = f"""
+WITH b AS (
+  SELECT CAST(floor((MIN(CAST(floor(epoch(ts)) AS BIGINT))
+             + MAX(CAST(floor(epoch(ts)) AS BIGINT))) / 2.0) AS BIGINT) AS tmid
+  FROM events),
+pu AS MATERIALIZED (
+  SELECT user_id,
+         COALESCE(SUM(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) < b.tmid
+                           THEN value END), 0.0) AS pre,
+         COALESCE(SUM(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) >= b.tmid
+                           THEN value END), 0.0) AS post
+  FROM events CROSS JOIN b GROUP BY user_id),
+g AS (
+  SELECT pre, post,
+         ({_SQL_H60.format(x="CAST(user_id AS VARCHAR) || '#did'")}) % 2 = 0
+           AS is_t
+  FROM pu)
+SELECT CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+       CAST(SUM(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl,
+       ROUND(AVG(CASE WHEN is_t THEN pre END), 6) AS pre_treat,
+       ROUND(AVG(CASE WHEN is_t THEN post END), 6) AS post_treat,
+       ROUND(AVG(CASE WHEN NOT is_t THEN pre END), 6) AS pre_ctrl,
+       ROUND(AVG(CASE WHEN NOT is_t THEN post END), 6) AS post_ctrl,
+       ROUND((AVG(CASE WHEN is_t THEN post END)
+              - AVG(CASE WHEN is_t THEN pre END))
+             - (AVG(CASE WHEN NOT is_t THEN post END)
+                - AVG(CASE WHEN NOT is_t THEN pre END)), 6) AS did
+FROM g
+"""
+
+
 def q_cohort_ltv(spark, sf_dir):
     """Customer-cohort LTV accumulation by month offset
     (operators/events.py::cohort_ltv)."""
@@ -8648,6 +8687,7 @@ QUERIES = {
     "psi_drift": q_psi_drift,
     "triadic_closure": q_triadic_closure,
     "ewma_control": q_ewma_control,
+    "did_estimate": q_did_estimate,
     "cohort_ltv": q_cohort_ltv,
     "l_diversity": q_l_diversity,
     "class_balance": q_class_balance,
@@ -8875,6 +8915,7 @@ ORACLES = {
     "psi_drift": SQL_PSI_DRIFT,
     "triadic_closure": SQL_TRIADIC_CLOSURE,
     "ewma_control": SQL_EWMA_CONTROL,
+    "did_estimate": SQL_DID_ESTIMATE,
     "cohort_ltv": SQL_COHORT_LTV,
     "l_diversity": SQL_L_DIVERSITY,
     "class_balance": SQL_CLASS_BALANCE,

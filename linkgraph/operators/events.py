@@ -874,3 +874,62 @@ def cohort_ltv(orders: DataFrame, round_to: int = 6) -> DataFrame:
             ).alias("cum_revenue_per_cust"),
         )
     )
+
+
+def did_estimate(
+    events: DataFrame, salt: str = "did", round_to: int = 6
+) -> DataFrame:
+    """Difference-in-differences readout [Card-Krueger '94 form] over
+    the corpus-midpoint panel: per-user pre/post value sums
+    (zero-filled, same panel construction as cuped_ab_test), a
+    deterministic 50/50 md5 user split as treat/control, and
+
+        did = (post_T − pre_T) − (post_C − pre_C)
+
+    in ONE single-row conditional aggregate over the per-user table.
+    With the null hash assignment this is the A/A calibration read (did
+    concentrates at 0); a real rollout substitutes its own assignment
+    by salting on the rollout key.  Scale shape: one corpus scan → one
+    user-keyed shuffle → a 1-row aggregate; the midpoint anchor is a
+    broadcast scalar (integer seconds, engine/timezone-portable).
+    """
+    from linkgraph.textops.dedup import portable_hash60
+
+    ep = F.unix_timestamp("ts")
+    bounds = events.agg(F.min(ep).alias("mn"), F.max(ep).alias("mx")).select(
+        F.floor((F.col("mn") + F.col("mx")) / 2).cast("long").alias("tmid")
+    )
+    per_user = (
+        events.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(ep < F.col("tmid"), F.col("value"))), F.lit(0.0)
+            ).alias("pre"),
+            F.coalesce(
+                F.sum(F.when(ep >= F.col("tmid"), F.col("value"))), F.lit(0.0)
+            ).alias("post"),
+        )
+    )
+    is_t = (
+        F.pmod(
+            portable_hash60(
+                F.concat(F.col("user_id").cast("string"), F.lit("#" + salt))
+            ),
+            F.lit(2),
+        )
+        == 0
+    )
+    pre_t = F.avg(F.when(is_t, F.col("pre")))
+    post_t = F.avg(F.when(is_t, F.col("post")))
+    pre_c = F.avg(F.when(~is_t, F.col("pre")))
+    post_c = F.avg(F.when(~is_t, F.col("post")))
+    return per_user.agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).cast("long").alias("n_treat"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).cast("long").alias("n_ctrl"),
+        F.round(pre_t, round_to).alias("pre_treat"),
+        F.round(post_t, round_to).alias("post_treat"),
+        F.round(pre_c, round_to).alias("pre_ctrl"),
+        F.round(post_c, round_to).alias("post_ctrl"),
+        F.round((post_t - pre_t) - (post_c - pre_c), round_to).alias("did"),
+    )

@@ -82,3 +82,37 @@ def test_revenue_simple_pushes_filters_to_scan(spark, sf0001):
     # the shipdate range must reach the parquet reader, not sit in a
     # post-scan Filter only
     assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+
+
+def test_did_estimate_recovers_planted_effect(spark):
+    import hashlib
+
+    from linkgraph.operators.events import did_estimate
+
+    def grp(u):
+        h = int(hashlib.md5(f"{u}#did".encode()).hexdigest()[:15], 16)
+        return "T" if h % 2 == 0 else "C"
+
+    # every user: pre value 10 at day 1, post value 20 at day 9 (common
+    # trend +10); treated users get +5 extra post -> did = +5 exactly
+    rows, eid = [], 0
+    users = list(range(1, 13))
+    for u in users:
+        rows.append((eid, "2024-01-01 00:00:00", u, "a", 10.0, ""))
+        eid += 1
+        post = 25.0 if grp(u) == "T" else 20.0
+        rows.append((eid, "2024-01-09 00:00:00", u, "a", post, ""))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = did_estimate(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    n_t = sum(1 for u in users if grp(u) == "T")
+    assert (r.n_treat, r.n_ctrl) == (n_t, len(users) - n_t)
+    assert r.pre_treat == pytest.approx(10.0) and r.pre_ctrl == pytest.approx(10.0)
+    assert r.post_treat == pytest.approx(25.0)
+    assert r.post_ctrl == pytest.approx(20.0)
+    assert r.did == pytest.approx(5.0)
