@@ -780,3 +780,54 @@ def tie_strength_overlap(
             ).alias("mean_jaccard"),
         )
     )
+
+
+def null_model_audit(graph: LinkGraph, round_to: int = 6) -> DataFrame:
+    """Configuration-model null audit [Molloy-Reed '95; Newman SIREV'03]:
+    ONE row comparing the observed graph against the degree-preserving
+    random null —
+
+      kappa        = ⟨k²⟩/⟨k⟩   (Molloy-Reed: giant component iff κ > 2)
+      c_expected   = (⟨k²⟩−⟨k⟩)² / (n·⟨k⟩³)   (null-model transitivity)
+      c_actual     = 3·triangles / wedges
+      c_lift       = c_actual / c_expected — how much more clustered
+                     than chance; the "is community structure real"
+                     scalar that decides whether running Louvain is
+                     even worth the shuffle.
+
+    Numeric parity: every moment (s1 = Σd, s2 = Σd², wedges2 = Σd(d−1))
+    is an EXACT integer sum — no float accumulates across rows, so both
+    engines divide the identical longs and the doubles agree to the
+    last bit; powers are written as explicit products (libm pow wobble,
+    the benford lesson).  Plan: one |V|-row aggregate for the moments +
+    the degree-ordered triangle count, crossJoined as 1-row tables —
+    zero driver actions.  supercritical compares the ROUNDED kappa.
+    """
+    from linkgraph.algos.triangles import triangle_paths
+
+    d = F.col("deg").cast("long")
+    mom = graph.degrees().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d).cast("long").alias("s1"),
+        F.sum(d * d).cast("long").alias("s2"),
+        F.sum(d * (d - 1)).cast("long").alias("wedges2"),
+    )
+    tri = triangle_paths(graph, by_degree=True).agg(
+        F.count(F.lit(1)).cast("long").alias("tri")
+    )
+    nd = F.col("n").cast("double")
+    k1 = F.col("s1") / nd
+    k2 = F.col("s2") / nd
+    kappa = F.round(F.col("s2") / F.col("s1").cast("double"), round_to)
+    c_exp = ((k2 - k1) * (k2 - k1)) / (nd * k1 * k1 * k1)
+    c_act = F.lit(6.0) * F.col("tri") / F.col("wedges2").cast("double")
+    return mom.crossJoin(tri).select(
+        F.col("n").alias("n_vertices"),
+        (F.col("s1") / 2).cast("long").alias("n_edges"),
+        F.col("tri").alias("n_triangles"),
+        kappa.alias("kappa"),
+        (kappa > 2.0).cast("int").alias("supercritical"),
+        F.round(c_exp, round_to).alias("c_expected"),
+        F.round(c_act, round_to).alias("c_actual"),
+        F.round(c_act / c_exp, round_to).alias("c_lift"),
+    )

@@ -8022,6 +8022,50 @@ FROM g
 """
 
 
+def q_null_model(spark, sf_dir):
+    """Configuration-model null audit of the user graph: Molloy-Reed
+    kappa + observed-vs-expected transitivity
+    (algos/gstats.py::null_model_audit)."""
+    from linkgraph.algos.gstats import null_model_audit
+
+    return null_model_audit(user_graph(spark, sf_dir))
+
+
+SQL_NULL_MODEL = f"""
+WITH {_USER_E},
+d AS MATERIALIZED (SELECT src AS vid, CAST(COUNT(*) AS BIGINT) AS deg
+                   FROM e GROUP BY src),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(deg) AS BIGINT) AS s1,
+             CAST(SUM(deg * deg) AS BIGINT) AS s2,
+             CAST(SUM(deg * (deg - 1)) AS BIGINT) AS wedges2
+      FROM d),
+o AS (SELECT src AS a, dst AS b FROM e WHERE src < dst),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tri
+      FROM o e1 JOIN o e2 ON e1.b = e2.a
+      JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT n AS n_vertices,
+       s1 // 2 AS n_edges,
+       tri AS n_triangles,
+       ROUND(s2 / CAST(s1 AS DOUBLE), 6) AS kappa,
+       CAST(CASE WHEN ROUND(s2 / CAST(s1 AS DOUBLE), 6) > 2.0
+                 THEN 1 ELSE 0 END AS INTEGER) AS supercritical,
+       ROUND(((s2 / CAST(n AS DOUBLE) - s1 / CAST(n AS DOUBLE))
+              * (s2 / CAST(n AS DOUBLE) - s1 / CAST(n AS DOUBLE)))
+             / (CAST(n AS DOUBLE) * (s1 / CAST(n AS DOUBLE))
+                * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))),
+             6) AS c_expected,
+       ROUND(6.0 * tri / CAST(wedges2 AS DOUBLE), 6) AS c_actual,
+       ROUND((6.0 * tri / CAST(wedges2 AS DOUBLE))
+             / (((s2 / CAST(n AS DOUBLE) - s1 / CAST(n AS DOUBLE))
+                 * (s2 / CAST(n AS DOUBLE) - s1 / CAST(n AS DOUBLE)))
+                / (CAST(n AS DOUBLE) * (s1 / CAST(n AS DOUBLE))
+                   * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))),
+             6) AS c_lift
+FROM m CROSS JOIN t
+"""
+
+
 def q_cohort_ltv(spark, sf_dir):
     """Customer-cohort LTV accumulation by month offset
     (operators/events.py::cohort_ltv)."""
@@ -8688,6 +8732,7 @@ QUERIES = {
     "triadic_closure": q_triadic_closure,
     "ewma_control": q_ewma_control,
     "did_estimate": q_did_estimate,
+    "null_model": q_null_model,
     "cohort_ltv": q_cohort_ltv,
     "l_diversity": q_l_diversity,
     "class_balance": q_class_balance,
@@ -8916,6 +8961,7 @@ ORACLES = {
     "triadic_closure": SQL_TRIADIC_CLOSURE,
     "ewma_control": SQL_EWMA_CONTROL,
     "did_estimate": SQL_DID_ESTIMATE,
+    "null_model": SQL_NULL_MODEL,
     "cohort_ltv": SQL_COHORT_LTV,
     "l_diversity": SQL_L_DIVERSITY,
     "class_balance": SQL_CLASS_BALANCE,

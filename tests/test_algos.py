@@ -483,3 +483,26 @@ def test_bowtie_decomposition_exact(spark):
     assert (r.scc_size, r.in_size, r.out_size, r.other_size, r.n_vertices) == (
         3, 2, 2, 3, 10,
     )
+
+
+def test_null_model_audit_clique_plus_edge(spark):
+    import pytest as _pt
+
+    from linkgraph.algos.gstats import null_model_audit
+    from linkgraph.graph import LinkGraph
+
+    # 4-clique {1..4} + isolated edge (5,6):
+    # n=6, s1=14, s2=38, wedges2=24, triangles=4
+    pairs = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)] + [(5, 6)]
+    g = LinkGraph.from_undirected(
+        spark.createDataFrame(pairs, "src long, dst long"), num_partitions=4
+    )
+    r = null_model_audit(g).collect()[0]
+    assert (r.n_vertices, r.n_edges, r.n_triangles) == (6, 7, 4)
+    assert r.kappa == _pt.approx(38 / 14, abs=1e-6)
+    assert r.supercritical == 1
+    k1, k2 = 14 / 6, 38 / 6
+    c_exp = (k2 - k1) ** 2 / (6 * k1**3)
+    assert r.c_expected == _pt.approx(c_exp, abs=1e-6)
+    assert r.c_actual == _pt.approx(1.0, abs=1e-6)  # clique wedges all close
+    assert r.c_lift == _pt.approx(1.0 / c_exp, abs=1e-4)
