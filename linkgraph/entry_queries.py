@@ -8066,6 +8066,49 @@ FROM m CROSS JOIN t
 """
 
 
+def q_retention_lift(spark, sf_dir):
+    """Decile lift curve: pre-period spend vs post-period retention
+    (operators/events.py::retention_lift)."""
+    from linkgraph.operators.events import retention_lift
+
+    return retention_lift(_t(spark, sf_dir, "events"))
+
+
+_SQL_LIFT_ABOVE = " + ".join(
+    f"CAST(score > cs[{i}] AS INTEGER)" for i in range(1, 10)
+)
+
+SQL_RETENTION_LIFT = f"""
+WITH b AS (
+  SELECT CAST(floor((MIN(CAST(floor(epoch(ts)) AS BIGINT))
+             + MAX(CAST(floor(epoch(ts)) AS BIGINT))) / 2.0) AS BIGINT) AS tmid
+  FROM events),
+pu AS MATERIALIZED (
+  SELECT user_id,
+         ROUND(COALESCE(SUM(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) < b.tmid
+                                 THEN value END), 0.0), 6) AS score,
+         MAX(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) >= b.tmid
+                  THEN 1 ELSE 0 END) AS label
+  FROM events CROSS JOIN b GROUP BY user_id),
+c AS (
+  SELECT quantile_cont(score,
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cs
+  FROM pu),
+cells AS (
+  SELECT 10 - ({_SQL_LIFT_ABOVE}) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(label) AS BIGINT) AS n_retained
+  FROM pu CROSS JOIN c GROUP BY 1)
+SELECT bucket, n_users, n_retained,
+       ROUND(n_retained / CAST(n_users AS DOUBLE), 6) AS retain_rate,
+       ROUND((SUM(n_retained) OVER (ORDER BY bucket)
+              / CAST(SUM(n_users) OVER (ORDER BY bucket) AS DOUBLE))
+             / (SUM(n_retained) OVER ()
+                / CAST(SUM(n_users) OVER () AS DOUBLE)), 6) AS cum_lift
+FROM cells
+"""
+
+
 def q_cohort_ltv(spark, sf_dir):
     """Customer-cohort LTV accumulation by month offset
     (operators/events.py::cohort_ltv)."""
@@ -8733,6 +8776,7 @@ QUERIES = {
     "ewma_control": q_ewma_control,
     "did_estimate": q_did_estimate,
     "null_model": q_null_model,
+    "retention_lift": q_retention_lift,
     "cohort_ltv": q_cohort_ltv,
     "l_diversity": q_l_diversity,
     "class_balance": q_class_balance,
@@ -8962,6 +9006,7 @@ ORACLES = {
     "ewma_control": SQL_EWMA_CONTROL,
     "did_estimate": SQL_DID_ESTIMATE,
     "null_model": SQL_NULL_MODEL,
+    "retention_lift": SQL_RETENTION_LIFT,
     "cohort_ltv": SQL_COHORT_LTV,
     "l_diversity": SQL_L_DIVERSITY,
     "class_balance": SQL_CLASS_BALANCE,

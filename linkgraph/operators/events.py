@@ -933,3 +933,74 @@ def did_estimate(
         F.round(post_c, round_to).alias("post_ctrl"),
         F.round((post_t - pre_t) - (post_c - pre_c), round_to).alias("did"),
     )
+
+
+def retention_lift(
+    events: DataFrame, n_buckets: int = 10, round_to: int = 6
+) -> DataFrame:
+    """Decile lift / calibration curve: does pre-period activity predict
+    post-period retention?  Per-user score = pre-period value sum
+    (zero-filled, ROUNDED before bucketing so cross-engine last-ulp sum
+    noise cannot flip a user across a cut), label = 1 iff the user has
+    ANY post-period event; the corpus-midpoint anchor is the cuped_ab
+    convention.  Users land in score buckets cut at exact percentiles
+    — ONE percentile aggregate broadcast back, never a global
+    sort/row_number (the no-partition window that would single-partition
+    the corpus); bucket 1 = top scores.  Returns per bucket:
+    (bucket, n_users, n_retained, retain_rate, cum_lift) where cum_lift
+    is the cumulative top-b-bucket retention over the overall rate —
+    the model-eval readout every targeting pipeline charts.  The cell
+    table is ≤n_buckets rows, so the ordered cumulative window is
+    bounded regardless of corpus size.
+    """
+    ep = F.unix_timestamp("ts")
+    bounds = events.agg(F.min(ep).alias("mn"), F.max(ep).alias("mx")).select(
+        F.floor((F.col("mn") + F.col("mx")) / 2).cast("long").alias("tmid")
+    )
+    per_user = (
+        events.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(ep < F.col("tmid"), F.col("value"))), F.lit(0.0)
+                ),
+                round_to,
+            ).alias("score"),
+            F.max(F.when(ep >= F.col("tmid"), 1).otherwise(0)).alias("label"),
+        )
+    )
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = per_user.agg(
+        F.expr(
+            "percentile(score, array({}))".format(",".join(str(q) for q in qs))
+        ).alias("cs")
+    )
+    above = sum(
+        (F.col("score") > F.col("cs").getItem(i)).cast("int")
+        for i in range(len(qs))
+    )
+    cells = (
+        per_user.crossJoin(F.broadcast(cuts))
+        .select((F.lit(n_buckets) - above).alias("bucket"), "label")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("label").cast("long").alias("n_retained"),
+        )
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.partitionBy().orderBy("bucket")
+    return cells.select(
+        "bucket",
+        "n_users",
+        "n_retained",
+        F.round(F.col("n_retained") / F.col("n_users"), round_to).alias(
+            "retain_rate"
+        ),
+        F.round(
+            (F.sum("n_retained").over(w_cum) / F.sum("n_users").over(w_cum))
+            / (F.sum("n_retained").over(w_all) / F.sum("n_users").over(w_all)),
+            round_to,
+        ).alias("cum_lift"),
+    )

@@ -116,3 +116,30 @@ def test_did_estimate_recovers_planted_effect(spark):
     assert r.post_treat == pytest.approx(25.0)
     assert r.post_ctrl == pytest.approx(20.0)
     assert r.did == pytest.approx(5.0)
+
+
+def test_retention_lift_separating_score(spark):
+    from linkgraph.operators.events import retention_lift
+
+    # users 1-10: high pre spend AND post activity; users 11-20: low
+    # pre spend, churned -> with 2 buckets the curve separates exactly
+    rows, eid = [], 0
+    for u in range(1, 11):
+        rows.append((eid, "2024-01-01 00:00:00", u, "a", 10.0 * u, ""))
+        eid += 1
+        rows.append((eid, "2024-01-09 00:00:00", u, "a", 1.0, ""))
+        eid += 1
+    for u in range(11, 21):
+        rows.append((eid, "2024-01-01 00:00:00", u, "a", 1.0, ""))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.bucket: r for r in retention_lift(ev, n_buckets=2).collect()}
+    assert set(got) == {1, 2}
+    assert (got[1].n_users, got[1].n_retained) == (10, 10)
+    assert (got[2].n_users, got[2].n_retained) == (10, 0)
+    assert got[1].retain_rate == pytest.approx(1.0)
+    assert got[1].cum_lift == pytest.approx(2.0)  # top bucket doubles base
+    assert got[2].cum_lift == pytest.approx(1.0)  # full population = base
