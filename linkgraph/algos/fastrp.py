@@ -37,7 +37,10 @@ no extra shuffle under AQE); the output feeds the ANN stack
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
 
 
 def _seed_expr(j: int, hash_mode: str, density_inv: int):
@@ -137,3 +140,100 @@ def as_embedding_vectors(emb: DataFrame, id_out: str = "vec_id") -> DataFrame:
         F.col("vid").alias(id_out),
         F.array(*[F.col(c).cast("float") for c in dims]).alias("embedding"),
     )
+
+
+def embedding_link_auc(
+    graph: LinkGraph, emb: DataFrame, dims: int, k: int = 200, salt: str = "auc"
+) -> DataFrame:
+    """Link-prediction AUC of a node embedding: do embedding dot
+    products rank the graph's own edges above non-edges?  The
+    does-it-reconstruct-the-graph eval a GNN pipeline runs before
+    training on an embedding.  Returns one row (n_pos, n_neg, auc).
+
+    Sampling is deterministic end to end (portable-md5 orders with vid
+    tiebreaks, mirrored by the SQL oracle): positives = the k
+    lowest-hashed canonical edges; negatives = consecutive pairs of the
+    2k lowest-hashed vertices, anti-joined against the edge table.  AUC
+    is the exact mean pairwise indicator (ties scored 0.5) over the
+    bounded |pos|×|neg| cross join — broadcast nested loop, ≤k² rows
+    regardless of graph size; no global structure is ever sorted beyond
+    the two TakeOrdered samples.
+
+    Note the null calibration: on an unstructured (near-random) graph
+    the true AUC is ~0.5 — the metric reads structure, it does not
+    invent it (the sf fixtures' sequential co-purchase graph is such a
+    null; the two-clique unit fixture pins the structured case high).
+    """
+    from linkgraph.textops.dedup import portable_hash60
+
+    emb = emb.select(
+        "vid", *[F.round(F.col(f"e{j}"), 9).alias(f"e{j}") for j in range(dims)]
+    )
+    und = graph.edges.where(F.col("src") < F.col("dst")).select("src", "dst")
+    hp = portable_hash60(
+        F.concat(
+            F.col("src").cast("string"),
+            F.lit("#"),
+            F.col("dst").cast("string"),
+            F.lit("#" + salt),
+        )
+    )
+    pos = und.orderBy(hp.asc(), F.col("src").asc(), F.col("dst").asc()).limit(k)
+    hv = portable_hash60(
+        F.concat(F.col("vid").cast("string"), F.lit("#" + salt + "neg"))
+    )
+    verts = (
+        emb.select("vid", hv.alias("h"))
+        .orderBy(F.col("h").asc(), F.col("vid").asc())
+        .limit(2 * k)
+    )
+    # bounded 2k-row table: the no-partition row_number window is fine
+    vr = verts.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.col("h").asc(), F.col("vid").asc())),
+    )
+    aa = vr.where(F.col("rn") % 2 == 1).select(
+        F.col("vid").alias("u"), ((F.col("rn") + 1) / 2).cast("long").alias("p")
+    )
+    bb = vr.where(F.col("rn") % 2 == 0).select(
+        F.col("vid").alias("v"), (F.col("rn") / 2).cast("long").alias("p")
+    )
+    cand = aa.join(bb, "p").select(
+        F.least("u", "v").alias("src"), F.greatest("u", "v").alias("dst")
+    )
+    neg = cand.join(und, ["src", "dst"], "left_anti")
+
+    eu = emb.select(
+        F.col("vid").alias("src"),
+        *[F.col(f"e{j}").alias(f"a{j}") for j in range(dims)],
+    )
+    ev = emb.select(
+        F.col("vid").alias("dst"),
+        *[F.col(f"e{j}").alias(f"b{j}") for j in range(dims)],
+    )
+
+    def dot(df, out):
+        s = df.join(eu, "src").join(ev, "dst")
+        expr = None
+        for j in range(dims):
+            t = F.col(f"a{j}") * F.col(f"b{j}")
+            expr = t if expr is None else expr + t
+        return s.select(expr.alias(out))
+
+    ps = dot(pos, "sp")
+    ns = dot(neg, "sn")
+    np_ = ps.agg(F.count(F.lit(1)).cast("long").alias("n_pos"))
+    nn_ = ns.agg(F.count(F.lit(1)).cast("long").alias("n_neg"))
+    # both sides are ≤k rows; broadcasting one turns the cartesian into
+    # a single-stage BroadcastNestedLoopJoin instead of a P²-task product
+    auc = ps.crossJoin(F.broadcast(ns)).agg(
+        F.round(
+            F.avg(
+                F.when(F.col("sp") > F.col("sn"), 1.0)
+                .when(F.col("sp") == F.col("sn"), 0.5)
+                .otherwise(0.0)
+            ),
+            6,
+        ).alias("auc")
+    )
+    return np_.crossJoin(nn_).crossJoin(auc)

@@ -6296,9 +6296,12 @@ def _frp_seed_sql(j: int) -> str:
     )
 
 
-def _frp_cte() -> str:
+def _frp_cte(edges_cte: str | None = None) -> str:
     """Shared DuckDB CTE prefix: unrolled 2-hop exact-integer FastRP up to
-    `comb` (the un-normalized embedding) and `nrm` (row L2 norms)."""
+    `comb` (the un-normalized embedding) and `nrm` (row L2 norms).
+
+    `edges_cte` swaps the graph source (a CTE chain ending in a symmetric
+    `e(src, dst)`); default is the user graph."""
     d = _FRP_DIMS
     w1, w2 = _FRP_W
     xs = [f"x{j}" for j in range(d)]
@@ -6308,7 +6311,7 @@ def _frp_cte() -> str:
     comb = ", ".join(f"{w1} * a.{x} + {w2} * b.{x} AS {x}" for x in xs)
     sq = " + ".join(f"{x} * {x}" for x in xs)
     return f"""
-WITH {_USER_E_MAT},
+WITH {edges_cte if edges_cte is not None else _USER_E_MAT},
 verts AS MATERIALIZED (SELECT DISTINCT src AS vid FROM e),
 r AS MATERIALIZED (
   SELECT vid, {seeds}
@@ -8109,6 +8112,86 @@ FROM cells
 """
 
 
+_AUC_K = 200
+
+_SEQ_UND_E_MAT = """
+seq AS (
+  SELECT l_partkey AS s0,
+         LEAD(l_partkey) OVER (
+           PARTITION BY l_orderkey
+           ORDER BY l_linenumber ASC, l_partkey ASC) AS d0
+  FROM lineitem),
+e0 AS (SELECT DISTINCT s0 AS src, d0 AS dst FROM seq
+       WHERE d0 IS NOT NULL AND d0 <> s0),
+e AS MATERIALIZED (
+  SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0)
+"""
+
+
+def q_embedding_auc(spark, sf_dir):
+    """Link-prediction AUC of FastRP embeddings on the (undirected)
+    sequential co-purchase graph — the does-the-embedding-reconstruct-
+    the-graph eval (algos/fastrp.py::embedding_link_auc).  On this
+    near-random synthetic fixture the true AUC is ~0.5 (the null
+    calibration); the two-clique unit fixture pins the structured case
+    high."""
+    from linkgraph.algos.fastrp import embedding_link_auc, fastrp_embeddings
+    from linkgraph.sources.derive import sequential_copurchase_edges
+
+    g = LinkGraph.from_undirected(
+        sequential_copurchase_edges(_t(spark, sf_dir, "lineitem"))
+    )
+    emb = fastrp_embeddings(g, dims=_FRP_DIMS, weights=_FRP_W, hash_mode="md5")
+    return embedding_link_auc(g, emb, dims=_FRP_DIMS, k=_AUC_K)
+
+
+def _embedding_auc_sql() -> str:
+    d = _FRP_DIMS
+    embn_cols = ", ".join(
+        f"CASE WHEN nn > 0 THEN ROUND(CAST(x{j} AS DOUBLE) / nn, 9)"
+        f" ELSE 0.0 END AS e{j}"
+        for j in range(d)
+    )
+    dot = " + ".join(f"a.e{j} * b.e{j}" for j in range(d))
+    hpair = (
+        "CAST('0x' || substr(md5(CAST(src AS VARCHAR) || '#' ||"
+        " CAST(dst AS VARCHAR) || '#auc'), 1, 15) AS BIGINT)"
+    )
+    hvert = (
+        "CAST('0x' || substr(md5(CAST(vid AS VARCHAR) || '#aucneg'), 1, 15)"
+        " AS BIGINT)"
+    )
+    return f"""{_frp_cte(edges_cte=_SEQ_UND_E_MAT)},
+embn AS MATERIALIZED (SELECT vid, {embn_cols} FROM nrm),
+und AS MATERIALIZED (SELECT src, dst FROM e WHERE src < dst),
+pos AS (SELECT src, dst FROM und
+        ORDER BY {hpair} ASC, src ASC, dst ASC LIMIT {_AUC_K}),
+vh0 AS (SELECT vid, {hvert} AS h FROM embn
+        ORDER BY h ASC, vid ASC LIMIT {2 * _AUC_K}),
+vh AS (SELECT vid, ROW_NUMBER() OVER (ORDER BY h ASC, vid ASC) AS rn FROM vh0),
+aa AS (SELECT vid AS u, (rn + 1) // 2 AS p FROM vh WHERE rn % 2 = 1),
+bb AS (SELECT vid AS v, rn // 2 AS p FROM vh WHERE rn % 2 = 0),
+cand AS (SELECT LEAST(u, v) AS src, GREATEST(u, v) AS dst
+         FROM aa JOIN bb USING (p)),
+neg AS (SELECT c.src, c.dst FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM und
+                          WHERE und.src = c.src AND und.dst = c.dst)),
+ps AS (SELECT {dot} AS sp FROM pos p
+       JOIN embn a ON a.vid = p.src JOIN embn b ON b.vid = p.dst),
+ns AS (SELECT {dot} AS sn FROM neg p
+       JOIN embn a ON a.vid = p.src JOIN embn b ON b.vid = p.dst)
+SELECT CAST((SELECT COUNT(*) FROM ps) AS BIGINT) AS n_pos,
+       CAST((SELECT COUNT(*) FROM ns) AS BIGINT) AS n_neg,
+       ROUND((SELECT AVG(CASE WHEN sp > sn THEN 1.0
+                              WHEN sp = sn THEN 0.5
+                              ELSE 0.0 END)
+              FROM ps CROSS JOIN ns), 6) AS auc
+"""
+
+
+SQL_EMBEDDING_AUC = _embedding_auc_sql()
+
+
 def q_cohort_ltv(spark, sf_dir):
     """Customer-cohort LTV accumulation by month offset
     (operators/events.py::cohort_ltv)."""
@@ -8777,6 +8860,7 @@ QUERIES = {
     "did_estimate": q_did_estimate,
     "null_model": q_null_model,
     "retention_lift": q_retention_lift,
+    "embedding_auc": q_embedding_auc,
     "cohort_ltv": q_cohort_ltv,
     "l_diversity": q_l_diversity,
     "class_balance": q_class_balance,
@@ -9007,6 +9091,7 @@ ORACLES = {
     "did_estimate": SQL_DID_ESTIMATE,
     "null_model": SQL_NULL_MODEL,
     "retention_lift": SQL_RETENTION_LIFT,
+    "embedding_auc": SQL_EMBEDDING_AUC,
     "cohort_ltv": SQL_COHORT_LTV,
     "l_diversity": SQL_L_DIVERSITY,
     "class_balance": SQL_CLASS_BALANCE,

@@ -506,3 +506,26 @@ def test_null_model_audit_clique_plus_edge(spark):
     assert r.c_expected == _pt.approx(c_exp, abs=1e-6)
     assert r.c_actual == _pt.approx(1.0, abs=1e-6)  # clique wedges all close
     assert r.c_lift == _pt.approx(1.0 / c_exp, abs=1e-4)
+
+
+def test_embedding_link_auc_separates_two_cliques(spark):
+    from linkgraph.algos.fastrp import embedding_link_auc, fastrp_embeddings
+    from linkgraph.graph import LinkGraph
+
+    # two 8-cliques joined by one bridge: FastRP neighborhoods inside a
+    # clique coincide, so edge dot products dominate the (mostly
+    # cross-clique) hash-paired non-edges -> AUC well above the null
+    pairs = []
+    for base in (0, 100):
+        pairs += [
+            (base + a, base + b) for a in range(8) for b in range(a + 1, 8)
+        ]
+    pairs.append((7, 100))
+    g = LinkGraph.from_undirected(
+        spark.createDataFrame(pairs, "src long, dst long"), num_partitions=4
+    )
+    emb = fastrp_embeddings(g, dims=8, weights=(1, 2), hash_mode="md5")
+    r = embedding_link_auc(g, emb, dims=8, k=30).collect()[0]
+    assert r.n_pos == 30 and r.n_neg > 0
+    assert 0.0 <= r.auc <= 1.0
+    assert r.auc > 0.75
