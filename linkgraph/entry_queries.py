@@ -8192,6 +8192,56 @@ SELECT CAST((SELECT COUNT(*) FROM ps) AS BIGINT) AS n_pos,
 SQL_EMBEDDING_AUC = _embedding_auc_sql()
 
 
+IPF_ROUNDS = 5
+
+
+def q_ipf_weights(spark, sf_dir):
+    """Two-axis raking of the event corpus toward a uniform
+    event_type × 6-hour-bucket mix (operators/sampling.py::ipf_weights)."""
+    from linkgraph.operators.sampling import ipf_weights
+
+    lab = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("i"),
+        F.floor(F.hour("ts") / 6).cast("long").alias("j"),
+    )
+    return ipf_weights(lab, rounds=IPF_ROUNDS)
+
+
+def _ipf_sql() -> str:
+    prev = "m0"
+    steps = []
+    for r in range(1, IPF_ROUNDS + 1):
+        steps.append(
+            f"r{r} AS (SELECT i, j, n,"
+            f" m * (t.nn / t.ni) / SUM(m) OVER (PARTITION BY i) AS m"
+            f" FROM {prev} CROSS JOIN t)"
+        )
+        steps.append(
+            f"s{r} AS (SELECT i, j, n,"
+            f" m * (t.nn / t.nj) / SUM(m) OVER (PARTITION BY j) AS m"
+            f" FROM r{r} CROSS JOIN t)"
+        )
+        prev = f"s{r}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH lab AS (
+  SELECT event_type AS i,
+         CAST(FLOOR(EXTRACT(hour FROM ts) / 6) AS BIGINT) AS j
+  FROM events),
+c0 AS (SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n FROM lab GROUP BY 1, 2),
+t AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn,
+             CAST(COUNT(DISTINCT i) AS DOUBLE) AS ni,
+             CAST(COUNT(DISTINCT j) AS DOUBLE) AS nj
+      FROM c0),
+m0 AS (SELECT i, j, n, CAST(n AS DOUBLE) AS m FROM c0),
+{chain}
+SELECT i, j, n, ROUND(m, 6) AS m_fit, ROUND(m / n, 6) AS w FROM {prev}
+"""
+
+
+SQL_IPF_WEIGHTS = _ipf_sql()
+
+
 def q_cohort_ltv(spark, sf_dir):
     """Customer-cohort LTV accumulation by month offset
     (operators/events.py::cohort_ltv)."""
@@ -8861,6 +8911,7 @@ QUERIES = {
     "null_model": q_null_model,
     "retention_lift": q_retention_lift,
     "embedding_auc": q_embedding_auc,
+    "ipf_weights": q_ipf_weights,
     "cohort_ltv": q_cohort_ltv,
     "l_diversity": q_l_diversity,
     "class_balance": q_class_balance,
@@ -9092,6 +9143,7 @@ ORACLES = {
     "null_model": SQL_NULL_MODEL,
     "retention_lift": SQL_RETENTION_LIFT,
     "embedding_auc": SQL_EMBEDDING_AUC,
+    "ipf_weights": SQL_IPF_WEIGHTS,
     "cohort_ltv": SQL_COHORT_LTV,
     "l_diversity": SQL_L_DIVERSITY,
     "class_balance": SQL_CLASS_BALANCE,

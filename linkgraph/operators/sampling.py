@@ -299,3 +299,51 @@ def class_balance_sample(
         .where(F.col("_rk") <= F.col("_keep"))
         .drop("_rk", "_keep")
     )
+
+
+def ipf_weights(
+    labeled: DataFrame, rounds: int = 5, round_to: int = 6
+) -> DataFrame:
+    """Iterative proportional fitting / raking [Deming-Stephan, Ann.
+    Math. Stat. 1940]: per-cell weights that re-balance a two-axis
+    contingency table to UNIFORM target marginals — the two-axis
+    generalization of single-axis mixture reweighting, used to rake a
+    training corpus toward a target (domain × time, lang × source, …)
+    mix without resampling rows.
+
+    Input: (i, j) rows (one per observation).  The corpus pays ONE
+    rollup shuffle into the |I|·|J|-cell table; every IPF round is then
+    two window-normalizations OVER THE CELL TABLE ONLY (row-scale, then
+    column-scale), so the unrolled fixed-`rounds` plan never touches
+    corpus-scale data again — the same tiny-table iteration contract as
+    the other unrolled oracles.  Output per cell: (i, j, n, m_fit, w)
+    with w = m_fit/n the row weight to apply.  Fixed rounds, not a
+    convergence probe: the oracle unrolls the identical recursion.
+    """
+    cells = labeled.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tgt = cells.agg(
+        F.sum("n").cast("double").alias("nn"),
+        F.countDistinct("i").cast("double").alias("ni"),
+        F.countDistinct("j").cast("double").alias("nj"),
+    )
+    m = cells.crossJoin(F.broadcast(tgt)).withColumn(
+        "m", F.col("n").cast("double")
+    )
+    wi = Window.partitionBy("i")
+    wj = Window.partitionBy("j")
+    for _ in range(int(rounds)):
+        m = m.withColumn(
+            "m", F.col("m") * (F.col("nn") / F.col("ni")) / F.sum("m").over(wi)
+        )
+        m = m.withColumn(
+            "m", F.col("m") * (F.col("nn") / F.col("nj")) / F.sum("m").over(wj)
+        )
+    return m.select(
+        "i",
+        "j",
+        "n",
+        F.round("m", round_to).alias("m_fit"),
+        F.round(F.col("m") / F.col("n"), round_to).alias("w"),
+    )

@@ -86,3 +86,29 @@ def test_l_diversity_flags_single_valued_class(spark):
            l_diversity(df, ["event_type", "day"], "user_id", l=2).collect()}
     assert got[("a", "d1")].at_risk == 1 and got[("a", "d1")].n_sensitive == 1
     assert got[("b", "d1")].at_risk == 0 and got[("b", "d1")].n_sensitive == 3
+
+
+def test_ipf_weights_rakes_to_uniform_marginals(spark):
+    import pytest as _pt
+
+    from linkgraph.operators.sampling import ipf_weights
+
+    # skewed 2x2 table: (A,x)=30 (A,y)=10 (B,x)=10 (B,y)=10; uniform
+    # targets are 30 per row and per column (N=60, 2 levels each)
+    rows = (
+        [("A", "x")] * 30 + [("A", "y")] * 10
+        + [("B", "x")] * 10 + [("B", "y")] * 10
+    )
+    lab = spark.createDataFrame(rows, "i string, j string")
+    got = {(r.i, r.j): r for r in ipf_weights(lab, rounds=8).collect()}
+    assert got[("A", "x")].n == 30
+    # fitted masses: row sums and column sums within 1e-3 of 30
+    for lvl in ("A", "B"):
+        s = sum(v.m_fit for k, v in got.items() if k[0] == lvl)
+        assert s == _pt.approx(30.0, abs=1e-3)
+    for lvl in ("x", "y"):
+        s = sum(v.m_fit for k, v in got.items() if k[1] == lvl)
+        assert s == _pt.approx(30.0, abs=1e-3)
+    # total mass preserved; over-represented cell down-weighted
+    assert sum(v.m_fit for v in got.values()) == _pt.approx(60.0, abs=1e-3)
+    assert got[("A", "x")].w < 1.0 < got[("B", "y")].w
