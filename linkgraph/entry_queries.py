@@ -8242,6 +8242,68 @@ SELECT i, j, n, ROUND(m, 6) AS m_fit, ROUND(m / n, 6) AS w FROM {prev}
 SQL_IPF_WEIGHTS = _ipf_sql()
 
 
+def q_covariate_balance(spark, sf_dir):
+    """Standardized-mean-difference balance audit of the did/cuped hash
+    split (operators/events.py::covariate_balance)."""
+    from linkgraph.operators.events import covariate_balance
+
+    return covariate_balance(_t(spark, sf_dir, "events"))
+
+
+def _covariate_balance_sql() -> str:
+    covs = ("pre_days", "pre_events", "pre_value")
+    stat = ", ".join(
+        f"AVG(CASE WHEN is_t THEN {c} END) AS {c}__mt,"
+        f" AVG(CASE WHEN NOT is_t THEN {c} END) AS {c}__mc,"
+        f" VAR_POP(CASE WHEN is_t THEN {c} END) AS {c}__vt,"
+        f" VAR_POP(CASE WHEN NOT is_t THEN {c} END) AS {c}__vc"
+        for c in covs
+    )
+    def _smd(c: str) -> str:
+        # zero-pooled-variance guard mirrors the Spark operator: smd 0
+        # when the means agree, NULL when a constant covariate differs
+        return (
+            f"CASE WHEN SQRT(({c}__vt + {c}__vc) / 2.0) > 0"
+            f" THEN ({c}__mt - {c}__mc) / SQRT(({c}__vt + {c}__vc) / 2.0)"
+            f" WHEN ROUND({c}__mt - {c}__mc, 6) = 0.0 THEN 0.0"
+            f" ELSE NULL END"
+        )
+
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS covariate, ROUND({c}__mt, 6) AS mean_treat,"
+        f" ROUND({c}__mc, 6) AS mean_ctrl,"
+        f" ROUND({_smd(c)}, 6) AS smd,"
+        f" CAST(CASE WHEN {_smd(c)} IS NULL THEN 1"
+        f"      WHEN ABS(ROUND({_smd(c)}, 6)) > 0.1"
+        f"      THEN 1 ELSE 0 END AS INTEGER) AS imbalanced"
+        f" FROM s"
+        for c in covs
+    )
+    h = _SQL_H60.format(x="CAST(user_id AS VARCHAR) || '#did'")
+    return f"""
+WITH b AS (
+  SELECT CAST(floor((MIN(CAST(floor(epoch(ts)) AS BIGINT))
+             + MAX(CAST(floor(epoch(ts)) AS BIGINT))) / 2.0) AS BIGINT) AS tmid
+  FROM events),
+pu AS MATERIALIZED (
+  SELECT user_id,
+         COALESCE(SUM(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) < b.tmid
+                           THEN value END), 0.0) AS pre_value,
+         CAST(SUM(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) < b.tmid
+                       THEN 1 ELSE 0 END) AS DOUBLE) AS pre_events,
+         CAST(COUNT(DISTINCT CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) < b.tmid
+                                  THEN CAST(ts AS DATE) END) AS DOUBLE)
+           AS pre_days
+  FROM events CROSS JOIN b GROUP BY user_id),
+g AS (SELECT *, ({h}) % 2 = 0 AS is_t FROM pu),
+s AS (SELECT {stat} FROM g)
+{arms}
+"""
+
+
+SQL_COVARIATE_BALANCE = _covariate_balance_sql()
+
+
 def q_cohort_ltv(spark, sf_dir):
     """Customer-cohort LTV accumulation by month offset
     (operators/events.py::cohort_ltv)."""
@@ -8912,6 +8974,7 @@ QUERIES = {
     "retention_lift": q_retention_lift,
     "embedding_auc": q_embedding_auc,
     "ipf_weights": q_ipf_weights,
+    "covariate_balance": q_covariate_balance,
     "cohort_ltv": q_cohort_ltv,
     "l_diversity": q_l_diversity,
     "class_balance": q_class_balance,
@@ -9144,6 +9207,7 @@ ORACLES = {
     "retention_lift": SQL_RETENTION_LIFT,
     "embedding_auc": SQL_EMBEDDING_AUC,
     "ipf_weights": SQL_IPF_WEIGHTS,
+    "covariate_balance": SQL_COVARIATE_BALANCE,
     "cohort_ltv": SQL_COHORT_LTV,
     "l_diversity": SQL_L_DIVERSITY,
     "class_balance": SQL_CLASS_BALANCE,

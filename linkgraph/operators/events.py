@@ -1004,3 +1004,91 @@ def retention_lift(
             round_to,
         ).alias("cum_lift"),
     )
+
+
+def covariate_balance(
+    events: DataFrame, salt: str = "did", round_to: int = 6
+) -> DataFrame:
+    """Covariate-balance audit for a hash A/B split: per pre-period
+    covariate, the standardized mean difference between arms
+
+        smd = (mean_T − mean_C) / sqrt((var_T + var_C) / 2)
+
+    — the experiment-health check run BEFORE reading any effect (|smd|
+    > 0.1 is the conventional imbalance flag).  Covariates are per-user
+    pre-period aggregates (value sum, event count, active days) on the
+    corpus-midpoint panel; the split reuses the portable-md5 family, so
+    pairing it with did_estimate/cuped_ab_test audits exactly the
+    assignment those read.  ONE user-keyed shuffle; the rest is a 1-row
+    conditional aggregate unpivoted through a literal struct explode
+    (the data_profile shape).  Variances are population variances of
+    identical per-user doubles, flag compares the ROUNDED |smd|.
+    """
+    from linkgraph.textops.dedup import portable_hash60
+
+    ep = F.unix_timestamp("ts")
+    bounds = events.agg(F.min(ep).alias("mn"), F.max(ep).alias("mx")).select(
+        F.floor((F.col("mn") + F.col("mx")) / 2).cast("long").alias("tmid")
+    )
+    pre = F.col("__ep") < F.col("tmid")
+    per_user = (
+        events.crossJoin(F.broadcast(bounds))
+        .withColumn("__ep", ep)
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(F.sum(F.when(pre, F.col("value"))), F.lit(0.0)).alias(
+                "pre_value"
+            ),
+            F.sum(F.when(pre, 1).otherwise(0)).cast("double").alias("pre_events"),
+            F.countDistinct(
+                F.when(pre, F.to_date("ts"))
+            ).cast("double").alias("pre_days"),
+        )
+    )
+    is_t = (
+        F.pmod(
+            portable_hash60(
+                F.concat(F.col("user_id").cast("string"), F.lit("#" + salt))
+            ),
+            F.lit(2),
+        )
+        == 0
+    )
+    aggs = []
+    for c in ("pre_value", "pre_events", "pre_days"):
+        aggs += [
+            F.avg(F.when(is_t, F.col(c))).alias(f"{c}__mt"),
+            F.avg(F.when(~is_t, F.col(c))).alias(f"{c}__mc"),
+            F.var_pop(F.when(is_t, F.col(c))).alias(f"{c}__vt"),
+            F.var_pop(F.when(~is_t, F.col(c))).alias(f"{c}__vc"),
+        ]
+    row = per_user.agg(*aggs)
+    packed = []
+    for c in ("pre_value", "pre_events", "pre_days"):
+        diff = F.col(f"{c}__mt") - F.col(f"{c}__mc")
+        den = F.sqrt((F.col(f"{c}__vt") + F.col(f"{c}__vc")) / 2.0)
+        # zero pooled variance (constant covariate): smd 0 when the
+        # means agree, NULL (undefined/infinite) when they differ —
+        # ANSI mode would otherwise raise divide-by-zero
+        smd = (
+            F.when(den > 0, diff / den)
+            .when(F.round(diff, round_to) == 0.0, F.lit(0.0))
+            .otherwise(F.lit(None).cast("double"))
+        )
+        packed.append(
+            F.struct(
+                F.lit(c).alias("covariate"),
+                F.round(F.col(f"{c}__mt"), round_to).alias("mean_treat"),
+                F.round(F.col(f"{c}__mc"), round_to).alias("mean_ctrl"),
+                F.round(smd, round_to).alias("smd"),
+                F.when(smd.isNull(), 1)
+                .otherwise((F.abs(F.round(smd, round_to)) > 0.1).cast("int"))
+                .cast("int")
+                .alias("imbalanced"),
+            )
+        )
+    return (
+        row.select(F.explode(F.array(*packed)).alias("p"))
+        .select("p.*")
+        .orderBy("covariate")
+    )

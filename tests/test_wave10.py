@@ -143,3 +143,35 @@ def test_retention_lift_separating_score(spark):
     assert got[1].retain_rate == pytest.approx(1.0)
     assert got[1].cum_lift == pytest.approx(2.0)  # top bucket doubles base
     assert got[2].cum_lift == pytest.approx(1.0)  # full population = base
+
+
+def test_covariate_balance_flags_planted_imbalance(spark):
+    import hashlib
+
+    from linkgraph.operators.events import covariate_balance
+
+    def grp(u):
+        h = int(hashlib.md5(f"{u}#did".encode()).hexdigest()[:15], 16)
+        return "T" if h % 2 == 0 else "C"
+
+    # pre_value: treated users planted 3x higher (imbalanced);
+    # pre_events/pre_days identical across arms (balanced, smd = 0)
+    rows, eid = [], 0
+    users = list(range(1, 17))
+    for u in users:
+        v = 30.0 if grp(u) == "T" else 10.0
+        rows.append((eid, "2024-01-01 00:00:00", u, "a", v + u * 1e-3, ""))
+        eid += 1
+        rows.append((eid, "2024-01-09 00:00:00", u, "a", 1.0, ""))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.covariate: r for r in covariate_balance(ev).collect()}
+    assert set(got) == {"pre_value", "pre_events", "pre_days"}
+    assert got["pre_value"].imbalanced == 1 and got["pre_value"].smd > 1.0
+    assert got["pre_events"].smd == pytest.approx(0.0, abs=1e-6)
+    assert got["pre_events"].imbalanced == 0
+    assert got["pre_days"].imbalanced == 0
+    assert got["pre_value"].mean_treat > got["pre_value"].mean_ctrl
