@@ -8304,6 +8304,52 @@ s AS (SELECT {stat} FROM g)
 SQL_COVARIATE_BALANCE = _covariate_balance_sql()
 
 
+def q_poisson_bootstrap(spark, sf_dir):
+    """Deterministic Poisson-bootstrap CI for the mean per-user value
+    sum (operators/events.py::poisson_bootstrap_mean)."""
+    from linkgraph.operators.events import poisson_bootstrap_mean
+
+    return poisson_bootstrap_mean(_t(spark, sf_dir, "events"), b=100)
+
+
+def _poisson_boot_sql() -> str:
+    from linkgraph.operators.events import POISSON1_CDF
+
+    case = " ".join(
+        f"WHEN u < {t} THEN {k}" for k, t in enumerate(POISSON1_CDF)
+    )
+    h = (
+        "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#' ||"
+        " CAST(rep AS VARCHAR) || '#boot'), 1, 15) AS BIGINT)"
+    )
+    return f"""
+WITH pu AS MATERIALIZED (
+  SELECT user_id, SUM(value) AS x FROM events GROUP BY user_id),
+reps AS (
+  SELECT pu.user_id, pu.x, CAST(t.range AS BIGINT) AS rep
+  FROM pu CROSS JOIN range(100) t),
+wdraw AS (
+  SELECT rep, x, CASE {case} ELSE 7 END AS w
+  FROM (SELECT rep, x, user_id,
+               ({h}) / 1152921504606846976.0 AS u
+        FROM reps)),
+cells AS (SELECT rep, SUM(w * x) AS sx, SUM(CAST(w AS DOUBLE)) AS sw
+          FROM wdraw GROUP BY rep),
+ms AS (SELECT sx / sw AS m FROM cells WHERE sw > 0),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_reps,
+              ROUND(STDDEV_SAMP(m), 6) AS boot_se,
+              ROUND(quantile_cont(m, 0.025), 6) AS ci_lo,
+              ROUND(quantile_cont(m, 0.975), 6) AS ci_hi
+       FROM ms),
+e AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users, ROUND(AVG(x), 6) AS est
+      FROM pu)
+SELECT n_users, n_reps, est, boot_se, ci_lo, ci_hi FROM e CROSS JOIN st
+"""
+
+
+SQL_POISSON_BOOTSTRAP = _poisson_boot_sql()
+
+
 def q_cohort_ltv(spark, sf_dir):
     """Customer-cohort LTV accumulation by month offset
     (operators/events.py::cohort_ltv)."""
@@ -8975,6 +9021,7 @@ QUERIES = {
     "embedding_auc": q_embedding_auc,
     "ipf_weights": q_ipf_weights,
     "covariate_balance": q_covariate_balance,
+    "poisson_bootstrap": q_poisson_bootstrap,
     "cohort_ltv": q_cohort_ltv,
     "l_diversity": q_l_diversity,
     "class_balance": q_class_balance,
@@ -9208,6 +9255,7 @@ ORACLES = {
     "embedding_auc": SQL_EMBEDDING_AUC,
     "ipf_weights": SQL_IPF_WEIGHTS,
     "covariate_balance": SQL_COVARIATE_BALANCE,
+    "poisson_bootstrap": SQL_POISSON_BOOTSTRAP,
     "cohort_ltv": SQL_COHORT_LTV,
     "l_diversity": SQL_L_DIVERSITY,
     "class_balance": SQL_CLASS_BALANCE,

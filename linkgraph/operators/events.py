@@ -1092,3 +1092,80 @@ def covariate_balance(
         .select("p.*")
         .orderBy("covariate")
     )
+
+
+# Poisson(1) CDF thresholds for the deterministic bootstrap draw; shared
+# verbatim with the SQL oracle so both engines parse identical doubles
+POISSON1_CDF = (
+    "0.36787944117144233",
+    "0.73575888234288467",
+    "0.91969860292860584",
+    "0.98101184312384626",
+    "0.99634015317265634",
+    "0.99940581518241833",
+    "0.99991675885071196",
+)
+_H60_SPAN = 1152921504606846976  # 2^60
+
+
+def poisson_bootstrap_mean(
+    events: DataFrame, b: int = 100, salt: str = "boot", round_to: int = 6
+) -> DataFrame:
+    """Poisson bootstrap [Chamandy et al., Google 2012] for the mean
+    per-user value sum: each of `b` replicates reweights every user by
+    an independent Poisson(1) draw — the resampling scheme that needs
+    NO global coordination, which is why it is the uncertainty method
+    for massive data (a multinomial bootstrap would need the total row
+    count inside the draw).  Returns one row:
+    (n_users, n_reps, est, boot_se, ci_lo, ci_hi) with the percentile
+    2.5/97.5 interval.
+
+    Determinism: the draw is md5(user#replicate#salt) mapped through
+    the Poisson(1) CDF thresholds above (shared verbatim with the
+    oracle), so every engine resamples identically — bootstrap
+    without a random number generator.  Plan: ONE user rollup shuffle,
+    the replicate explode runs over the per-user table only (|U|·b
+    rows, never raw events), replicate means are a b-row aggregate and
+    the CI is an exact percentile over b values.
+    """
+    from linkgraph.textops.dedup import portable_hash60
+
+    per_user = events.groupBy("user_id").agg(F.sum("value").alias("x"))
+    reps = per_user.crossJoin(
+        events.sparkSession.range(int(b)).select(F.col("id").alias("rep"))
+    )
+    u = (
+        portable_hash60(
+            F.concat(
+                F.col("user_id").cast("string"),
+                F.lit("#"),
+                F.col("rep").cast("string"),
+                F.lit("#" + salt),
+            )
+        )
+        / F.lit(float(_H60_SPAN))
+    )
+    w = F.lit(7)
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(float(POISSON1_CDF[k])), k).otherwise(w)
+    cells = (
+        reps.select("rep", (w.cast("double") * F.col("x")).alias("wx"),
+                    w.cast("double").alias("w"))
+        .groupBy("rep")
+        .agg(F.sum("wx").alias("sx"), F.sum("w").alias("sw"))
+        .where(F.col("sw") > 0)
+        .select((F.col("sx") / F.col("sw")).alias("m"))
+    )
+    stats = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_reps"),
+        F.round(F.stddev_samp("m"), round_to).alias("boot_se"),
+        F.round(F.expr("percentile(m, 0.025)"), round_to).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.975)"), round_to).alias("ci_hi"),
+    )
+    est = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(F.avg("x"), round_to).alias("est"),
+    )
+    return est.crossJoin(F.broadcast(stats)).select(
+        "n_users", "n_reps", "est", "boot_se", "ci_lo", "ci_hi"
+    )

@@ -175,3 +175,27 @@ def test_covariate_balance_flags_planted_imbalance(spark):
     assert got["pre_events"].imbalanced == 0
     assert got["pre_days"].imbalanced == 0
     assert got["pre_value"].mean_treat > got["pre_value"].mean_ctrl
+
+
+def test_poisson_bootstrap_deterministic_and_calibrated(spark):
+    from linkgraph.operators.events import poisson_bootstrap_mean
+
+    rows = []
+    for u in range(1, 41):
+        rows.append((u, "2024-01-01 00:00:00", u, "a", float(u), ""))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r1 = poisson_bootstrap_mean(ev, b=60).collect()[0]
+    r2 = poisson_bootstrap_mean(ev, b=60).collect()[0]
+    assert r1 == r2  # hash-derived draws: no RNG, bit-stable reruns
+    assert r1.n_users == 40 and r1.n_reps == 60
+    assert r1.est == pytest.approx(20.5)
+    assert r1.ci_lo < r1.est < r1.ci_hi
+    # analytic SE of the mean is sd/sqrt(n) ~ 1.83; the Poisson
+    # bootstrap should land in the right ballpark, not a decade off
+    import statistics
+
+    se = statistics.pstdev(range(1, 41)) / (40**0.5)
+    assert 0.3 * se < r1.boot_se < 3.0 * se
