@@ -8350,6 +8350,48 @@ SELECT n_users, n_reps, est, boot_se, ci_lo, ci_hi FROM e CROSS JOIN st
 SQL_POISSON_BOOTSTRAP = _poisson_boot_sql()
 
 
+def q_ks_drift(spark, sf_dir):
+    """One-vs-rest Kolmogorov-Smirnov drift over doc-length
+    distributions (textops/textstats.py::ks_drift)."""
+    from linkgraph.textops.textstats import ks_drift
+
+    return ks_drift(_t(spark, sf_dir, "documents"))
+
+
+SQL_KS_DRIFT = """
+WITH per AS (
+  SELECT source, n_chars AS l, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2),
+ls AS (SELECT DISTINCT l FROM per),
+srcs AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_s FROM per GROUP BY source),
+filled AS (
+  SELECT s.source, ls.l, s.n_s, COALESCE(p.n, 0) AS n
+  FROM srcs s CROSS JOIN ls
+  LEFT JOIN per p ON p.source = s.source AND p.l = ls.l),
+cum AS (
+  SELECT source, l, n_s,
+         CAST(SUM(n) OVER (PARTITION BY source ORDER BY l) AS BIGINT) AS cs
+  FROM filled),
+cum2 AS (
+  SELECT *, CAST(SUM(cs) OVER (PARTITION BY l) AS BIGINT) AS call FROM cum),
+tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS nn FROM srcs),
+scored AS (
+  SELECT source, l, n_s, nn,
+         ROUND(ABS(cs / CAST(n_s AS DOUBLE)
+                   - (call - cs) / CAST(nn - n_s AS DOUBLE)), 6) AS gap
+  FROM cum2 CROSS JOIN tot),
+pick AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY source ORDER BY gap DESC, l ASC) AS rn
+  FROM scored)
+SELECT source, n_s, gap AS ks, l AS at_len,
+       ROUND(1.358 * SQRT(nn / CAST(n_s * (nn - n_s) AS DOUBLE)), 6) AS crit,
+       CAST(CASE WHEN gap > ROUND(1.358 * SQRT(nn / CAST(n_s * (nn - n_s) AS DOUBLE)), 6)
+                 THEN 1 ELSE 0 END AS INTEGER) AS drifted
+FROM pick WHERE rn = 1
+"""
+
+
 def q_cohort_ltv(spark, sf_dir):
     """Customer-cohort LTV accumulation by month offset
     (operators/events.py::cohort_ltv)."""
@@ -9022,6 +9064,7 @@ QUERIES = {
     "ipf_weights": q_ipf_weights,
     "covariate_balance": q_covariate_balance,
     "poisson_bootstrap": q_poisson_bootstrap,
+    "ks_drift": q_ks_drift,
     "cohort_ltv": q_cohort_ltv,
     "l_diversity": q_l_diversity,
     "class_balance": q_class_balance,
@@ -9256,6 +9299,7 @@ ORACLES = {
     "ipf_weights": SQL_IPF_WEIGHTS,
     "covariate_balance": SQL_COVARIATE_BALANCE,
     "poisson_bootstrap": SQL_POISSON_BOOTSTRAP,
+    "ks_drift": SQL_KS_DRIFT,
     "cohort_ltv": SQL_COHORT_LTV,
     "l_diversity": SQL_L_DIVERSITY,
     "class_balance": SQL_CLASS_BALANCE,

@@ -1219,3 +1219,81 @@ def source_kl_divergence(docs: DataFrame, round_to: int = 6) -> DataFrame:
         F.sum("hit").cast("long").alias("vocab_hits"),
         F.round(F.sum("term"), round_to).alias("kl"),
     )
+
+
+def ks_drift(
+    docs: DataFrame, round_to: int = 6, crit_c: float = 1.358
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test, each source vs the
+    pooled REST of the corpus, over the doc-length distribution — the
+    continuous-distribution sibling of chi_square (categorical) and
+    psi_drift (binned): D_s = max_l |F_s(l) − F_rest(l)| with the
+    α=0.05 critical value c·√(N/(n_s·(N−n_s))), c = 1.358.
+
+    One-vs-rest needs NO second scan: F_rest = (cum_all − cum_s) /
+    (N − n_s), so the pooled CDF lane is derived algebraically from the
+    same scaffold.  Plan: one (source, length) rollup, a zero-filled
+    |S|·|L| scaffold (L = DISTINCT length values — bounded by the value
+    domain, not corpus size), per-source cumulative windows
+    (partitioned — never a global sort), cum_all as a partition-by-l
+    window sum of the per-source cums, and a per-source argmax on the
+    ROUNDED gap with smallest-l tiebreak (the cusum lesson).  All CDFs
+    are ratios of exact integer cums, so both engines compare identical
+    doubles.  Returns (source, n_s, ks, at_len, crit, drifted).
+    """
+    from pyspark.sql import Window
+
+    per = docs.groupBy("source", F.col("n_chars").alias("l")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ls = per.select("l").distinct()
+    srcs = per.groupBy("source").agg(F.sum("n").cast("long").alias("n_s"))
+    filled = (
+        srcs.crossJoin(ls)
+        .join(per, ["source", "l"], "left")
+        .select(
+            "source", "l", "n_s", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+        )
+    )
+    cum = filled.withColumn(
+        "cs",
+        F.sum("n").over(Window.partitionBy("source").orderBy("l")).cast("long"),
+    ).withColumn("call", F.sum("cs").over(Window.partitionBy("l")).cast("long"))
+    tot = srcs.agg(F.sum("n_s").cast("long").alias("nn"))
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "l",
+        "n_s",
+        "nn",
+        F.round(
+            F.abs(
+                F.col("cs") / F.col("n_s")
+                - (F.col("call") - F.col("cs"))
+                / (F.col("nn") - F.col("n_s")).cast("double")
+            ),
+            round_to,
+        ).alias("gap"),
+    )
+    pick = Window.partitionBy("source").orderBy(
+        F.col("gap").desc(), F.col("l").asc()
+    )
+    crit = F.round(
+        F.lit(float(crit_c))
+        * F.sqrt(
+            F.col("nn")
+            / (F.col("n_s") * (F.col("nn") - F.col("n_s"))).cast("double")
+        ),
+        round_to,
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "source",
+            "n_s",
+            F.col("gap").alias("ks"),
+            F.col("l").alias("at_len"),
+            crit.alias("crit"),
+            (F.col("gap") > crit).cast("int").alias("drifted"),
+        )
+    )

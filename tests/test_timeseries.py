@@ -326,3 +326,30 @@ def test_ewma_control_chart_flags_spike(spark):
     # finite-t variance inflation: the band widens monotonically
     ucls = [r.ucl for r in got]
     assert all(ucls[i] <= ucls[i + 1] + 1e-9 for i in range(len(ucls) - 1))
+
+
+def test_ks_drift_one_vs_rest(spark):
+    import pytest as _pt
+
+    from linkgraph.textops.textstats import ks_drift
+
+    # A and B share lengths 1..10; C sits at 101..110 (fully shifted)
+    rows = []
+    did = 0
+    for src, base in (("A", 0), ("B", 0), ("C", 100)):
+        for i in range(1, 11):
+            rows.append((did, "t", "en", src, base + i))
+            did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r.source: r for r in ks_drift(docs).collect()}
+    crit = 1.358 * (30 / (10 * 20)) ** 0.5
+    # C vs rest: total separation -> D = 1.0 at the rest's last mass point
+    assert got["C"].ks == _pt.approx(1.0, abs=1e-6)
+    assert got["C"].at_len == 10 and got["C"].drifted == 1
+    # A vs rest (B identical, C shifted): D = 0.5, under the critical value
+    assert got["A"].ks == _pt.approx(0.5, abs=1e-6)
+    assert got["A"].drifted == 0
+    assert got["A"].crit == _pt.approx(crit, abs=1e-5)
+    assert got["B"].ks == got["A"].ks
