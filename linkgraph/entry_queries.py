@@ -8392,6 +8392,53 @@ FROM pick WHERE rn = 1
 """
 
 
+def q_brand_elasticity(spark, sf_dir):
+    """Per-brand log-log price-quantity OLS — the fit-a-line-per-segment
+    primitive (operators/profile.py::grouped_ols) on the lineitem ⋈ part
+    star join with the ≤|brands| dim broadcast."""
+    from linkgraph.operators.profile import grouped_ols
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"]).select(
+        "p_brand",
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("lx"),
+        F.log(F.col("l_quantity")).alias("ly"),
+    )
+    return grouped_ols(j, "p_brand", "lx", "ly")
+
+
+SQL_BRAND_ELASTICITY = """
+WITH j AS (
+  SELECT p_brand AS grp,
+         LN(l_extendedprice / l_quantity) AS x,
+         LN(l_quantity) AS y
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_quantity > 0),
+a AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM j WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY grp),
+d AS (
+  SELECT grp, n,
+         CAST(n AS DOUBLE) * sxx - sx * sx AS dxx,
+         CAST(n AS DOUBLE) * syy - sy * sy AS dyy,
+         CAST(n AS DOUBLE) * sxy - sx * sy AS dxy,
+         sx, sy
+  FROM a)
+SELECT grp, n,
+       ROUND(CASE WHEN n >= 2 AND dxx > 0 AND dyy > 0
+                  THEN dxy / dxx ELSE NULL END, 6) AS slope,
+       ROUND(CASE WHEN n >= 2 AND dxx > 0 AND dyy > 0
+                  THEN (sy - (dxy / dxx) * sx) / CAST(n AS DOUBLE)
+                  ELSE NULL END, 6) AS intercept,
+       ROUND(CASE WHEN n >= 2 AND dxx > 0 AND dyy > 0
+                  THEN (dxy * dxy) / (dxx * dyy) ELSE NULL END, 6) AS r2
+FROM d
+"""
+
+
 def q_cohort_ltv(spark, sf_dir):
     """Customer-cohort LTV accumulation by month offset
     (operators/events.py::cohort_ltv)."""
@@ -9065,6 +9112,7 @@ QUERIES = {
     "covariate_balance": q_covariate_balance,
     "poisson_bootstrap": q_poisson_bootstrap,
     "ks_drift": q_ks_drift,
+    "brand_elasticity": q_brand_elasticity,
     "cohort_ltv": q_cohort_ltv,
     "l_diversity": q_l_diversity,
     "class_balance": q_class_balance,
@@ -9300,6 +9348,7 @@ ORACLES = {
     "covariate_balance": SQL_COVARIATE_BALANCE,
     "poisson_bootstrap": SQL_POISSON_BOOTSTRAP,
     "ks_drift": SQL_KS_DRIFT,
+    "brand_elasticity": SQL_BRAND_ELASTICITY,
     "cohort_ltv": SQL_COHORT_LTV,
     "l_diversity": SQL_L_DIVERSITY,
     "class_balance": SQL_CLASS_BALANCE,

@@ -151,3 +151,58 @@ def population_stability(
         "n_cur",
         F.round((p_cur - p_ref) * F.log(p_cur / p_ref), round_to).alias("psi_term"),
     )
+
+
+def grouped_ols(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group simple linear regression from ONE aggregate pass:
+    (grp, n, slope, intercept, r2) via the closed-form moment identities
+
+        slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+        r²    = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²))
+
+    — the "fit a line per segment" primitive (elasticity per brand,
+    trend per source, …) that needs no ML library and shuffles ONCE on
+    the group key with map-side-combined algebraic partials.  Rows with
+    a NULL coordinate are dropped; degenerate groups (zero variance in
+    x or y, or n < 2) return NULL fit columns rather than dividing by
+    zero (ANSI-safe on both engines).
+    """
+    xd = F.col(x_col).cast("double")
+    yd = F.col(y_col).cast("double")
+    agg = (
+        df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(xd).alias("sx"),
+            F.sum(yd).alias("sy"),
+            F.sum(xd * xd).alias("sxx"),
+            F.sum(yd * yd).alias("syy"),
+            F.sum(xd * yd).alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    dxx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    dxy = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    ok = (F.col("n") >= 2) & (dxx > 0) & (dyy > 0)
+    slope = F.when(ok, dxy / dxx).otherwise(F.lit(None).cast("double"))
+    intercept = F.when(
+        ok, (F.col("sy") - (dxy / dxx) * F.col("sx")) / nd
+    ).otherwise(F.lit(None).cast("double"))
+    r2 = F.when(ok, (dxy * dxy) / (dxx * dyy)).otherwise(
+        F.lit(None).cast("double")
+    )
+    return agg.select(
+        "grp",
+        "n",
+        F.round(slope, round_to).alias("slope"),
+        F.round(intercept, round_to).alias("intercept"),
+        F.round(r2, round_to).alias("r2"),
+    )

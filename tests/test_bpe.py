@@ -105,3 +105,21 @@ def test_population_stability_terms_and_epsilon(spark):
     assert got["C"].n_ref == 0
     assert got["C"].psi_term == _pt.approx(term(0.0, 5 / 15), abs=1e-6)
     assert math.isfinite(got["C"].psi_term)
+
+
+def test_grouped_ols_exact_line_and_degenerate(spark):
+    import pytest as _pt
+
+    from linkgraph.operators.profile import grouped_ols
+
+    rows = [("L", float(x), 2.0 * x + 1.0) for x in range(1, 6)]
+    rows += [("D", 3.0, float(y)) for y in range(1, 4)]  # zero x-variance
+    rows += [("N", 1.0, 5.0), ("N", 2.0, None)]  # null y dropped -> n=1
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r.grp: r for r in grouped_ols(df, "g", "x", "y").collect()}
+    assert got["L"].n == 5
+    assert got["L"].slope == _pt.approx(2.0, abs=1e-6)
+    assert got["L"].intercept == _pt.approx(1.0, abs=1e-6)
+    assert got["L"].r2 == _pt.approx(1.0, abs=1e-6)
+    assert got["D"].slope is None and got["D"].r2 is None
+    assert got["N"].n == 1 and got["N"].slope is None
