@@ -8439,6 +8439,51 @@ FROM d
 """
 
 
+def q_entry_exit(spark, sf_dir):
+    """Session entry/exit matrix with bounce rates at the standard
+    session gap (operators/events.py::entry_exit_matrix)."""
+    from linkgraph.operators.events import entry_exit_matrix
+
+    return entry_exit_matrix(_t(spark, sf_dir, "events"), gap_seconds=SESSION_GAP_S)
+
+
+SQL_ENTRY_EXIT = f"""
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events),
+f AS (
+  SELECT *, CASE WHEN ep - lag(ep) OVER w > {SESSION_GAP_S} THEN 1 ELSE 0 END AS nw
+  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sno
+  FROM f),
+m AS (
+  SELECT user_id, sno, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, sno
+                            ORDER BY ts ASC, event_id ASC) AS rf,
+         ROW_NUMBER() OVER (PARTITION BY user_id, sno
+                            ORDER BY ts DESC, event_id DESC) AS rl
+  FROM s),
+sess AS (
+  SELECT user_id, sno,
+         MAX(CASE WHEN rf = 1 THEN event_type END) AS entry_type,
+         MAX(CASE WHEN rl = 1 THEN event_type END) AS exit_type,
+         COUNT(*) AS n_ev
+  FROM m GROUP BY user_id, sno),
+cells AS (
+  SELECT entry_type, exit_type,
+         CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce
+  FROM sess GROUP BY 1, 2)
+SELECT entry_type, exit_type, n_sessions, n_bounce,
+       ROUND(n_bounce / CAST(n_sessions AS DOUBLE), 6) AS bounce_rate,
+       ROUND(n_sessions / CAST(SUM(n_sessions) OVER () AS DOUBLE), 6) AS share
+FROM cells
+"""
+
+
 def q_cohort_ltv(spark, sf_dir):
     """Customer-cohort LTV accumulation by month offset
     (operators/events.py::cohort_ltv)."""
@@ -9113,6 +9158,7 @@ QUERIES = {
     "poisson_bootstrap": q_poisson_bootstrap,
     "ks_drift": q_ks_drift,
     "brand_elasticity": q_brand_elasticity,
+    "entry_exit": q_entry_exit,
     "cohort_ltv": q_cohort_ltv,
     "l_diversity": q_l_diversity,
     "class_balance": q_class_balance,
@@ -9349,6 +9395,7 @@ ORACLES = {
     "poisson_bootstrap": SQL_POISSON_BOOTSTRAP,
     "ks_drift": SQL_KS_DRIFT,
     "brand_elasticity": SQL_BRAND_ELASTICITY,
+    "entry_exit": SQL_ENTRY_EXIT,
     "cohort_ltv": SQL_COHORT_LTV,
     "l_diversity": SQL_L_DIVERSITY,
     "class_balance": SQL_CLASS_BALANCE,

@@ -1169,3 +1169,71 @@ def poisson_bootstrap_mean(
     return est.crossJoin(F.broadcast(stats)).select(
         "n_users", "n_reps", "est", "boot_se", "ci_lo", "ci_hi"
     )
+
+
+def entry_exit_matrix(
+    events: DataFrame, gap_seconds: int = 28800, round_to: int = 6
+) -> DataFrame:
+    """Session entry/exit matrix + bounce rate — the landing/exit-page
+    report of product analytics: sessions by the standard gap rule
+    (sessionize's windows), each classified by its FIRST and LAST event
+    type, rolled up to (entry_type, exit_type) cells with
+    (n_sessions, n_bounce, bounce_rate, share).  A bounce is a
+    single-event session.
+
+    Plan: ONE exchange on user, the session flag + cumsum + first/last
+    row_number windows all run inside user partitions on (ts, event_id)
+    total order (the desc window re-sorts within the partition, no new
+    shuffle), one session rollup, then a ≤|types|² cell table where the
+    global share window is bounded by the type vocabulary, not the
+    corpus.  First/last via rank-conditional MAX, not argmin over
+    structs — the portable form both engines agree on.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.unix_timestamp("ts")
+    f = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(ep - F.lag(ep).over(w) > gap_seconds, 1).otherwise(0).alias("nw"),
+    )
+    s = f.withColumn(
+        "sno", F.sum("nw").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    ws = Window.partitionBy("user_id", "sno")
+    marked = s.select(
+        "user_id",
+        "sno",
+        "event_type",
+        F.row_number()
+        .over(ws.orderBy(F.col("ts").asc(), F.col("event_id").asc()))
+        .alias("rf"),
+        F.row_number()
+        .over(ws.orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+        .alias("rl"),
+    )
+    sess = marked.groupBy("user_id", "sno").agg(
+        F.max(F.when(F.col("rf") == 1, F.col("event_type"))).alias("entry_type"),
+        F.max(F.when(F.col("rl") == 1, F.col("event_type"))).alias("exit_type"),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    cells = sess.groupBy("entry_type", "exit_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("n_ev") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounce"),
+    )
+    wall = Window.partitionBy()
+    return cells.select(
+        "entry_type",
+        "exit_type",
+        "n_sessions",
+        "n_bounce",
+        F.round(F.col("n_bounce") / F.col("n_sessions"), round_to).alias(
+            "bounce_rate"
+        ),
+        F.round(
+            F.col("n_sessions") / F.sum("n_sessions").over(wall), round_to
+        ).alias("share"),
+    )

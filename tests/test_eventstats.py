@@ -409,3 +409,30 @@ def test_corpus_composition_exact(spark):
     }
     assert got[("en", "a")] == (2, 5, round(2 / 3, 6), round(5 / 8, 6))
     assert got[("de", "b")] == (1, 3, round(1 / 3, 6), round(3 / 8, 6))
+
+
+def test_entry_exit_matrix_bounce_and_share(spark):
+    import pytest as _pt
+
+    from linkgraph.operators.events import entry_exit_matrix
+
+    d = lambda h, m=0: datetime(2026, 1, 1, h, m)
+    rows = [
+        # user 1, session 1: view -> click (entry view, exit click)
+        (0, d(0), 1, "view"), (1, d(0, 30), 1, "click"),
+        # user 1, session 2 (after >2h gap with gap=3600): lone error = bounce
+        (2, d(5), 1, "error"),
+        # user 2, one session: view -> view -> purchase
+        (3, d(1), 2, "view"), (4, d(1, 20), 2, "view"), (5, d(1, 40), 2, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {(r.entry_type, r.exit_type): r
+           for r in entry_exit_matrix(ev, gap_seconds=3600).collect()}
+    assert got[("view", "click")].n_sessions == 1
+    assert got[("view", "click")].n_bounce == 0
+    assert got[("error", "error")].n_bounce == 1
+    assert got[("error", "error")].bounce_rate == _pt.approx(1.0)
+    assert got[("view", "purchase")].n_sessions == 1
+    assert sum(r.share for r in got.values()) == _pt.approx(1.0, abs=1e-5)
