@@ -8484,6 +8484,72 @@ FROM cells
 """
 
 
+def q_dedup_coverage(spark, sf_dir):
+    """Chapman capture-recapture estimate of the true near-dup pair
+    population from two INDEPENDENT detectors (MinHash-LSH verified
+    pairs vs portable-SimHash hamming≤3 pairs): N̂ = (n_a+1)(n_b+1)/
+    (m+1) − 1 and each detector's implied coverage — the "how many
+    duplicates are we missing" answer no single detector can give
+    about itself."""
+    from linkgraph.textops.dedup import (
+        minhash_near_duplicates,
+        simhash_portable_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pa = minhash_near_duplicates(
+        docs, threshold=0.3, num_hashes=64, bands=16, hash_family="md5"
+    ).select("a", "b")
+    pb = simhash_portable_pairs(docs, max_hamming=3).select("a", "b")
+    from linkgraph.textops.dedup import chapman_estimate
+
+    return chapman_estimate(pa, pb)
+
+
+def _dedup_coverage_sql() -> str:
+    pack = "\n     + ".join(
+        f"(CASE WHEN 2*c{j} > n THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END)"
+        for j in range(60)
+    )
+    bits_cnt = ",\n       ".join(
+        f"SUM((h >> {j}) & 1) AS c{j}" for j in range(60)
+    )
+    return f"""
+WITH {_SQL_MINHASH_CTES},
+pa AS (SELECT a, b FROM jac WHERE jac >= 0.3),
+stok AS (
+  SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS w FROM documents),
+sth AS (SELECT doc_id, {_SQL_H60.format(x="w")} AS h FROM stok),
+scnt AS (SELECT doc_id, COUNT(*) AS n,
+       {bits_cnt}
+       FROM sth GROUP BY doc_id),
+sh AS (SELECT doc_id, CAST({pack} AS BIGINT) AS simhash FROM scnt),
+chunks AS (
+  SELECT doc_id, simhash, t.c AS chunk,
+         (simhash >> (15 * t.c)) & 32767 AS val
+  FROM sh, (SELECT unnest(range(4)) AS c) t),
+pb AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM chunks x JOIN chunks y ON x.chunk = y.chunk AND x.val = y.val
+  WHERE x.doc_id < y.doc_id
+    AND bit_count(xor(x.simhash, y.simhash)) <= 3),
+ca AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a FROM pa),
+cb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b FROM pb),
+cm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_both
+       FROM pa WHERE EXISTS (SELECT 1 FROM pb WHERE pb.a = pa.a AND pb.b = pa.b))
+SELECT n_a, n_b, n_both,
+       ROUND((n_a + 1) * (n_b + 1) / CAST(n_both + 1 AS DOUBLE) - 1.0, 6) AS n_est,
+       ROUND(n_a / ((n_a + 1) * (n_b + 1) / CAST(n_both + 1 AS DOUBLE) - 1.0), 6)
+         AS coverage_a,
+       ROUND(n_b / ((n_a + 1) * (n_b + 1) / CAST(n_both + 1 AS DOUBLE) - 1.0), 6)
+         AS coverage_b
+FROM ca CROSS JOIN cb CROSS JOIN cm
+"""
+
+
+SQL_DEDUP_COVERAGE = _dedup_coverage_sql()
+
+
 def q_cohort_ltv(spark, sf_dir):
     """Customer-cohort LTV accumulation by month offset
     (operators/events.py::cohort_ltv)."""
@@ -9159,6 +9225,7 @@ QUERIES = {
     "ks_drift": q_ks_drift,
     "brand_elasticity": q_brand_elasticity,
     "entry_exit": q_entry_exit,
+    "dedup_coverage": q_dedup_coverage,
     "cohort_ltv": q_cohort_ltv,
     "l_diversity": q_l_diversity,
     "class_balance": q_class_balance,
@@ -9396,6 +9463,7 @@ ORACLES = {
     "ks_drift": SQL_KS_DRIFT,
     "brand_elasticity": SQL_BRAND_ELASTICITY,
     "entry_exit": SQL_ENTRY_EXIT,
+    "dedup_coverage": SQL_DEDUP_COVERAGE,
     "cohort_ltv": SQL_COHORT_LTV,
     "l_diversity": SQL_L_DIVERSITY,
     "class_balance": SQL_CLASS_BALANCE,

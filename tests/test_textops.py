@@ -410,3 +410,34 @@ def test_embedding_near_dup_banded_beats_single_band(spark):
     assert set(banded) == set(truth)  # full recall here (seeded, deterministic)
     for k, c in banded.items():
         assert abs(c - truth[k]) < 1e-9  # exact in-place verify → precision 1
+
+
+def test_simhash_portable_pairs_detects_dup(spark):
+    from linkgraph.textops.dedup import simhash_portable_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely unrelated text about apples bananas pears kiwi"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.a, r.b): r.hamming for r in simhash_portable_pairs(docs).collect()}
+    assert got.get((1, 2)) == 0  # identical docs -> same simhash
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_chapman_estimate_partial_overlap(spark):
+    import pytest as _pt
+
+    from linkgraph.textops.dedup import chapman_estimate
+
+    pa = spark.createDataFrame([(1, 2), (3, 4), (5, 6)], "a long, b long")
+    pb = spark.createDataFrame([(3, 4), (7, 8)], "a long, b long")
+    r = chapman_estimate(pa, pb).collect()[0]
+    # (3+1)(2+1)/(1+1) - 1 = 5
+    assert (r.n_a, r.n_b, r.n_both) == (3, 2, 1)
+    assert r.n_est == _pt.approx(5.0)
+    assert r.coverage_a == _pt.approx(0.6)
+    assert r.coverage_b == _pt.approx(0.4)
