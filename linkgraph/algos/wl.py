@@ -109,3 +109,89 @@ def wl_class_sizes(graph: LinkGraph, rounds: int = 3) -> DataFrame:
         .groupBy("color")
         .agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
     )
+
+
+def wl_anonymity(graph: LinkGraph, rounds: int = 3, round_to: int = 6) -> DataFrame:
+    """Structural re-identification risk curve [Hay et al. VLDB'08
+    candidate-structure form]: after r rounds of 1-WL refinement, a
+    size-1 color class is a structurally UNIQUE vertex — an adversary
+    holding only the anonymized topology can re-identify it; how fast
+    frac_unique grows with r is the privacy cost of releasing the
+    graph (the graph-shaped sibling of k_anonymity / l_diversity).
+
+    Returns one row per round 0..rounds:
+    (round, n_classes, n_unique, frac_unique, max_class).
+
+    Runs ONE refinement chain (the wl_refine iteration, checkpointed
+    state) and takes a \\|classes\\|-row stats aggregate per round from
+    the same table the next round consumes — no from-scratch recompute
+    per round; the per-round stats land as bounded 1-row collects (the
+    graph_stats scalar convention) so unpersist of superseded state
+    stays safe.
+    """
+    spark = graph.spark
+    n = graph.num_vertices()
+
+    def stats(c: DataFrame, r: int):
+        sizes = c.groupBy("color").agg(F.count(F.lit(1)).alias("n"))
+        uniq = F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        return (
+            sizes.agg(
+                F.lit(r).cast("int").alias("round"),
+                F.count(F.lit(1)).cast("long").alias("n_classes"),
+                uniq.cast("long").alias("n_unique"),
+                F.round(uniq / F.sum("n").cast("double"), round_to).alias(
+                    "frac_unique"
+                ),
+                F.max("n").cast("long").alias("max_class"),
+            )
+            .collect()[0]
+        )
+
+    color = (
+        graph.degrees()
+        .select("vid", F.col("deg").cast("string").alias("color"))
+        .localCheckpoint(eager=True)
+    )
+    rows = [stats(color, 0)]
+    prev = None
+    with iteration_plan(spark):
+        for r in range(1, rounds + 1):
+            msgs = color.select(
+                F.col("vid").alias("src"), _hnum(F.col("color")).alias("h")
+            )
+            agg = (
+                graph.expand(msgs, est_rows=n)
+                .groupBy("dst")
+                .agg((F.sum("h") % F.lit(WL_P)).alias("s"))
+            )
+            new = (
+                color.alias("st")
+                .join(agg.alias("nb"), F.col("st.vid") == F.col("nb.dst"), "left")
+                .select(
+                    F.col("st.vid").alias("vid"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.col("st.color"),
+                            F.coalesce(
+                                F.col("nb.s").cast("decimal(38,0)"),
+                                F.lit(0).cast("decimal(38,0)"),
+                            ).cast("string"),
+                        )
+                    ).alias("color"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            new.count()
+            if prev is not None:
+                try:
+                    prev.unpersist()
+                except Exception:
+                    pass
+            prev, color = color, new
+            rows.append(stats(color, r))
+    return spark.createDataFrame(
+        rows,
+        "round int, n_classes long, n_unique long, frac_unique double, max_class long",
+    )

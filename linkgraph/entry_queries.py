@@ -8550,6 +8550,52 @@ FROM ca CROSS JOIN cb CROSS JOIN cm
 SQL_DEDUP_COVERAGE = _dedup_coverage_sql()
 
 
+def q_wl_anonymity(spark, sf_dir):
+    """Structural re-identification risk curve over WL rounds on the
+    co-purchase graph (algos/wl.py::wl_anonymity)."""
+    from linkgraph.algos.wl import wl_anonymity
+
+    return wl_anonymity(copurchase_graph(spark, sf_dir), rounds=WL_ROUNDS)
+
+
+def _wl_anon_sql(rounds: int) -> str:
+    P = (1 << 61) - 1
+    parts = [
+        "w0 AS MATERIALIZED (SELECT src AS vid, CAST(COUNT(*) AS VARCHAR)"
+        " AS color FROM e GROUP BY src)"
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f"""a{i} AS MATERIALIZED (
+  SELECT e.dst,
+         SUM(CAST('0x' || substr(md5(x.color), 1, 15) AS BIGINT)) % {P} AS s
+  FROM e JOIN w{i - 1} x ON x.vid = e.src GROUP BY e.dst)""")
+        parts.append(f"""w{i} AS MATERIALIZED (
+  SELECT w.vid, md5(w.color || '|' || CAST(COALESCE(a.s, 0) AS VARCHAR)) AS color
+  FROM w{i - 1} w LEFT JOIN a{i} a ON a.dst = w.vid)""")
+    arms = []
+    for i in range(rounds + 1):
+        parts.append(
+            f"s{i} AS (SELECT color, COUNT(*) AS n FROM w{i} GROUP BY color)"
+        )
+        arms.append(
+            f"SELECT CAST({i} AS INTEGER) AS round,"
+            f" CAST(COUNT(*) AS BIGINT) AS n_classes,"
+            f" CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,"
+            f" ROUND(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)"
+            f" / CAST(SUM(n) AS DOUBLE), 6) AS frac_unique,"
+            f" CAST(MAX(n) AS BIGINT) AS max_class FROM s{i}"
+        )
+    return (
+        f"WITH {_COPURCHASE_E},"
+        + ",".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(arms)
+    )
+
+
+SQL_WL_ANONYMITY = _wl_anon_sql(WL_ROUNDS)
+
+
 def q_cohort_ltv(spark, sf_dir):
     """Customer-cohort LTV accumulation by month offset
     (operators/events.py::cohort_ltv)."""
@@ -9226,6 +9272,7 @@ QUERIES = {
     "brand_elasticity": q_brand_elasticity,
     "entry_exit": q_entry_exit,
     "dedup_coverage": q_dedup_coverage,
+    "wl_anonymity": q_wl_anonymity,
     "cohort_ltv": q_cohort_ltv,
     "l_diversity": q_l_diversity,
     "class_balance": q_class_balance,
@@ -9464,6 +9511,7 @@ ORACLES = {
     "brand_elasticity": SQL_BRAND_ELASTICITY,
     "entry_exit": SQL_ENTRY_EXIT,
     "dedup_coverage": SQL_DEDUP_COVERAGE,
+    "wl_anonymity": SQL_WL_ANONYMITY,
     "cohort_ltv": SQL_COHORT_LTV,
     "l_diversity": SQL_L_DIVERSITY,
     "class_balance": SQL_CLASS_BALANCE,

@@ -91,3 +91,27 @@ def test_diameter_double_sweep_path_graph(spark):
     gs = LinkGraph.from_undirected(edges_df(spark, star), num_partitions=2)
     row = diameter_double_sweep(gs, max_levels=8).collect()[0]
     assert row.diameter_lb == 2
+
+
+def test_wl_anonymity_path_graph_curve(spark):
+    import pytest as _pt
+
+    from linkgraph.algos.wl import wl_anonymity
+    from linkgraph.graph import LinkGraph
+
+    # path 1-2-3-4-5: degree partition {ends}{middle} at round 0; WL
+    # separates by distance-to-end until the center is unique
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    g = LinkGraph.from_undirected(
+        spark.createDataFrame(pairs, "src long, dst long"), num_partitions=2
+    )
+    got = {r.round: r for r in wl_anonymity(g, rounds=2).collect()}
+    # round 0: colors by degree -> classes {1,5}, {2,3,4}
+    assert got[0].n_classes == 2 and got[0].n_unique == 0
+    assert got[0].max_class == 3
+    # round 1: {1,5} (deg1 next to deg2), {2,4} (deg2 seeing deg1+deg2),
+    # {3} (deg2 seeing two deg2) -> one unique vertex
+    assert got[1].n_classes == 3 and got[1].n_unique == 1
+    assert got[1].frac_unique == _pt.approx(0.2, abs=1e-6)
+    # round 2 refines no further on this graph (stable partition)
+    assert got[2].n_classes == 3 and got[2].n_unique == 1
