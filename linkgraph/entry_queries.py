@@ -8596,6 +8596,53 @@ def _wl_anon_sql(rounds: int) -> str:
 SQL_WL_ANONYMITY = _wl_anon_sql(WL_ROUNDS)
 
 
+def q_partition_audit(spark, sf_dir):
+    """Edge-cut vs vertex-cut replication/balance audit on the
+    co-purchase edge table (operators/layout.py::edge_partition_audit)."""
+    from linkgraph.operators.layout import edge_partition_audit
+
+    return edge_partition_audit(copurchase_graph(spark, sf_dir).edges, n_parts=16)
+
+
+_SQL_PART_H = (
+    "CAST('0x' || substr(md5(CAST({c} AS VARCHAR) || '#part'), 1, 15)"
+    " AS BIGINT)"
+)
+
+
+def _partition_audit_sql() -> str:
+    hp_src = f"({_SQL_PART_H.format(c='src')}) % 16"
+    h4_src = f"({_SQL_PART_H.format(c='src')}) % 4"
+    h4_dst = f"({_SQL_PART_H.format(c='dst')}) % 4"
+
+    def arm(tag: str, part: str) -> str:
+        return f"""
+t_{tag} AS (SELECT src, dst, {part} AS part FROM e),
+sz_{tag} AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS ne
+             FROM t_{tag} GROUP BY part),
+bal_{tag} AS (SELECT MAX(ne) / (SUM(ne) / 16.0) AS balance FROM sz_{tag}),
+v_{tag} AS (SELECT vid, CAST(COUNT(*) AS BIGINT) AS np FROM (
+    SELECT DISTINCT vid, part FROM (
+      SELECT src AS vid, part FROM t_{tag}
+      UNION ALL SELECT dst AS vid, part FROM t_{tag}))
+  GROUP BY vid),
+rf_{tag} AS (SELECT AVG(np) AS repl_factor FROM v_{tag})"""
+
+    return f"""
+WITH {_COPURCHASE_E},{arm("a", hp_src)},{arm("b", f"({h4_src}) * 4 + ({h4_dst})")}
+SELECT '1d_src_hash' AS strategy, CAST(16 AS BIGINT) AS n_parts,
+       ROUND(repl_factor, 6) AS repl_factor, ROUND(balance, 6) AS balance
+FROM rf_a CROSS JOIN bal_a
+UNION ALL
+SELECT '2d_grid' AS strategy, CAST(16 AS BIGINT) AS n_parts,
+       ROUND(repl_factor, 6) AS repl_factor, ROUND(balance, 6) AS balance
+FROM rf_b CROSS JOIN bal_b
+"""
+
+
+SQL_PARTITION_AUDIT = _partition_audit_sql()
+
+
 def q_cohort_ltv(spark, sf_dir):
     """Customer-cohort LTV accumulation by month offset
     (operators/events.py::cohort_ltv)."""
@@ -9273,6 +9320,7 @@ QUERIES = {
     "entry_exit": q_entry_exit,
     "dedup_coverage": q_dedup_coverage,
     "wl_anonymity": q_wl_anonymity,
+    "partition_audit": q_partition_audit,
     "cohort_ltv": q_cohort_ltv,
     "l_diversity": q_l_diversity,
     "class_balance": q_class_balance,
@@ -9512,6 +9560,7 @@ ORACLES = {
     "entry_exit": SQL_ENTRY_EXIT,
     "dedup_coverage": SQL_DEDUP_COVERAGE,
     "wl_anonymity": SQL_WL_ANONYMITY,
+    "partition_audit": SQL_PARTITION_AUDIT,
     "cohort_ltv": SQL_COHORT_LTV,
     "l_diversity": SQL_L_DIVERSITY,
     "class_balance": SQL_CLASS_BALANCE,

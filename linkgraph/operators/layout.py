@@ -95,3 +95,66 @@ def zorder_layout_report(
             "max_y",
         )
     )
+
+
+def edge_partition_audit(
+    edges: DataFrame, n_parts: int = 16, round_to: int = 6
+) -> DataFrame:
+    """Edge-cut vs vertex-cut partitioning audit [PowerGraph OSDI'12;
+    GraphX 2D]: for the same edge table, compare 1D src-hash
+    partitioning against the √p×√p 2D grid vertex-cut on the two
+    numbers that decide shuffle cost at cluster scale —
+
+      repl_factor: avg #partitions holding a copy of each vertex
+                   (1D grows with hub degree; the 2D grid caps it at
+                   2√p − 1 regardless of skew);
+      balance:     max partition edge count / mean (1.0 = perfect).
+
+    One row per strategy: (strategy, n_parts, repl_factor, balance).
+    Pure relational — each strategy is one projection to a partition id
+    plus two rollups (per-part sizes; per-vertex distinct-part counts);
+    portable-md5 hashing mirrors in the oracle.  `n_parts` must be a
+    perfect square so both strategies compare at the SAME p.
+    """
+    from linkgraph.textops.dedup import portable_hash60
+
+    k = int(n_parts**0.5)
+    if k * k != n_parts:
+        raise ValueError("n_parts must be a perfect square")
+
+    def h(col, mod):
+        return F.pmod(
+            portable_hash60(F.concat(F.col(col).cast("string"), F.lit("#part"))),
+            F.lit(mod),
+        )
+
+    def audit(tagged, strategy):
+        sizes = tagged.groupBy("part").agg(
+            F.count(F.lit(1)).cast("long").alias("ne")
+        )
+        bal = sizes.agg(
+            (
+                F.max("ne")
+                / (F.sum("ne") / F.lit(float(n_parts)))
+            ).alias("balance")
+        )
+        verts = (
+            tagged.select(F.col("src").alias("vid"), "part")
+            .union(tagged.select(F.col("dst").alias("vid"), "part"))
+            .distinct()
+            .groupBy("vid")
+            .agg(F.count(F.lit(1)).cast("long").alias("np"))
+        )
+        rf = verts.agg(F.avg("np").alias("repl_factor"))
+        return rf.crossJoin(F.broadcast(bal)).select(
+            F.lit(strategy).alias("strategy"),
+            F.lit(n_parts).cast("long").alias("n_parts"),
+            F.round("repl_factor", round_to).alias("repl_factor"),
+            F.round("balance", round_to).alias("balance"),
+        )
+
+    one_d = edges.select("src", "dst", h("src", n_parts).alias("part"))
+    two_d = edges.select(
+        "src", "dst", (h("src", k) * k + h("dst", k)).alias("part")
+    )
+    return audit(one_d, "1d_src_hash").unionByName(audit(two_d, "2d_grid"))

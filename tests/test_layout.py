@@ -36,3 +36,28 @@ def test_linear_sort_fails_second_dimension(spark):
         .collect()
     )
     assert all(r["yspan"] == 63 for r in lin)
+
+
+def test_edge_partition_audit_vertex_cut_caps_replication(spark):
+    from linkgraph.operators.layout import edge_partition_audit
+
+    # star: hub 0 with 40 leaves, symmetric closure — the worst case
+    # for 1D src-hash (the hub lands wherever any neighbor hashes)
+    pairs = [(0, i) for i in range(1, 41)] + [(i, 0) for i in range(1, 41)]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r.strategy: r for r in edge_partition_audit(e, n_parts=16).collect()}
+    # 2D grid replication is capped at 2*sqrt(p) - 1 = 7 per vertex
+    assert got["2d_grid"].repl_factor <= 7.0 + 1e-9
+    # the hub blows up 1D replication: vertex-cut must win on this graph
+    assert got["1d_src_hash"].repl_factor > got["2d_grid"].repl_factor
+    assert got["1d_src_hash"].n_parts == 16
+
+
+def test_edge_partition_audit_rejects_non_square(spark):
+    import pytest as _pt
+
+    from linkgraph.operators.layout import edge_partition_audit
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pt.raises(ValueError):
+        edge_partition_audit(e, n_parts=12)
