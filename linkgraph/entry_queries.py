@@ -8643,6 +8643,65 @@ FROM rf_b CROSS JOIN bal_b
 SQL_PARTITION_AUDIT = _partition_audit_sql()
 
 
+def q_lang_detector_prf(spark, sf_dir):
+    """Precision/recall/F1 of the stopword language detector against the
+    declared labels, binarized to en/other
+    (operators/profile.py::classifier_report)."""
+    from linkgraph.operators.profile import classifier_report
+    from linkgraph.textops.textstats import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = language_id(docs).select("doc_id", "lang_pred")
+    lab = (
+        docs.select(
+            "doc_id",
+            F.when(F.col("lang") == "en", "en").otherwise("other").alias("truth"),
+        )
+        .join(pred, "doc_id")
+        .select("truth", F.col("lang_pred").alias("pred"))
+    )
+    return classifier_report(lab)
+
+
+SQL_LANG_DETECTOR_PRF = f"""
+WITH tok AS (SELECT doc_id, lang, {_SQL_TOKENS} AS ts FROM documents),
+m AS (SELECT doc_id, lang, len(ts) AS nt,
+             len(list_filter(ts, x -> list_contains({_SQL_STOP}, x))) AS en
+      FROM tok),
+lab AS (
+  SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS truth,
+         CASE WHEN nt > 0 AND CAST(en AS DOUBLE) / nt >= 0.05
+              THEN 'en' ELSE 'other' END AS pred
+  FROM m),
+cells AS (SELECT truth, pred, CAST(COUNT(*) AS BIGINT) AS n
+          FROM lab GROUP BY 1, 2),
+nt AS (SELECT truth AS label, CAST(SUM(n) AS BIGINT) AS n_true
+       FROM cells GROUP BY truth),
+np AS (SELECT pred AS label, CAST(SUM(n) AS BIGINT) AS n_pred
+       FROM cells GROUP BY pred),
+tp AS (SELECT truth AS label, n AS tp FROM cells WHERE truth = pred),
+base AS (
+  SELECT COALESCE(nt.label, np.label) AS label,
+         COALESCE(n_true, 0) AS n_true,
+         COALESCE(n_pred, 0) AS n_pred,
+         COALESCE(tp, 0) AS tp
+  FROM nt FULL OUTER JOIN np ON np.label = nt.label
+  LEFT JOIN tp ON tp.label = COALESCE(nt.label, np.label)),
+pr AS (
+  SELECT label, n_true, n_pred, tp,
+         CASE WHEN n_pred > 0 THEN tp / CAST(n_pred AS DOUBLE) END AS p,
+         CASE WHEN n_true > 0 THEN tp / CAST(n_true AS DOUBLE) END AS r
+  FROM base)
+SELECT label, CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_pred AS BIGINT) AS n_pred, CAST(tp AS BIGINT) AS tp,
+       ROUND(p, 6) AS precision,
+       ROUND(r, 6) AS recall,
+       ROUND(CASE WHEN p IS NOT NULL AND r IS NOT NULL AND p + r > 0
+                  THEN 2.0 * p * r / (p + r) END, 6) AS f1
+FROM pr
+"""
+
+
 def q_cohort_ltv(spark, sf_dir):
     """Customer-cohort LTV accumulation by month offset
     (operators/events.py::cohort_ltv)."""
@@ -9321,6 +9380,7 @@ QUERIES = {
     "dedup_coverage": q_dedup_coverage,
     "wl_anonymity": q_wl_anonymity,
     "partition_audit": q_partition_audit,
+    "lang_detector_prf": q_lang_detector_prf,
     "cohort_ltv": q_cohort_ltv,
     "l_diversity": q_l_diversity,
     "class_balance": q_class_balance,
@@ -9561,6 +9621,7 @@ ORACLES = {
     "dedup_coverage": SQL_DEDUP_COVERAGE,
     "wl_anonymity": SQL_WL_ANONYMITY,
     "partition_audit": SQL_PARTITION_AUDIT,
+    "lang_detector_prf": SQL_LANG_DETECTOR_PRF,
     "cohort_ltv": SQL_COHORT_LTV,
     "l_diversity": SQL_L_DIVERSITY,
     "class_balance": SQL_CLASS_BALANCE,

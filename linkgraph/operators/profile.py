@@ -206,3 +206,57 @@ def grouped_ols(
         F.round(intercept, round_to).alias("intercept"),
         F.round(r2, round_to).alias("r2"),
     )
+
+
+def classifier_report(labeled: DataFrame, round_to: int = 6) -> DataFrame:
+    """Per-class precision / recall / F1 from (truth, pred) rows — the
+    eval table every labeling pipeline prints, relationally: ONE
+    confusion rollup, then the class axis is assembled from three
+    vocabulary-sized aggregates (row supports, column supports, and the
+    diagonal) full-outer-joined, so a class that appears only in truth
+    (recall 0) or only in predictions (precision 0) still gets its row.
+    Zero-denominator cells are NULL (undefined), never a divide-by-zero
+    on either engine; F1 is NULL unless both P and R exist and P+R > 0.
+    Returns (label, n_true, n_pred, tp, precision, recall, f1).
+    """
+    cells = labeled.groupBy("truth", "pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    nt = cells.groupBy(F.col("truth").alias("label")).agg(
+        F.sum("n").cast("long").alias("n_true")
+    )
+    npd = cells.groupBy(F.col("pred").alias("label")).agg(
+        F.sum("n").cast("long").alias("n_pred")
+    )
+    tp = cells.where(F.col("truth") == F.col("pred")).select(
+        F.col("truth").alias("label"), F.col("n").alias("tp")
+    )
+    base = (
+        nt.join(npd, "label", "full_outer")
+        .join(tp, "label", "left")
+        .select(
+            "label",
+            F.coalesce(F.col("n_true"), F.lit(0)).cast("long").alias("n_true"),
+            F.coalesce(F.col("n_pred"), F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce(F.col("tp"), F.lit(0)).cast("long").alias("tp"),
+        )
+    )
+    prec = F.when(
+        F.col("n_pred") > 0, F.col("tp") / F.col("n_pred").cast("double")
+    ).otherwise(F.lit(None).cast("double"))
+    rec = F.when(
+        F.col("n_true") > 0, F.col("tp") / F.col("n_true").cast("double")
+    ).otherwise(F.lit(None).cast("double"))
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & (prec + rec > 0),
+        2.0 * prec * rec / (prec + rec),
+    ).otherwise(F.lit(None).cast("double"))
+    return base.select(
+        "label",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.round(prec, round_to).alias("precision"),
+        F.round(rec, round_to).alias("recall"),
+        F.round(f1, round_to).alias("f1"),
+    )

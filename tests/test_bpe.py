@@ -123,3 +123,30 @@ def test_grouped_ols_exact_line_and_degenerate(spark):
     assert got["L"].r2 == _pt.approx(1.0, abs=1e-6)
     assert got["D"].slope is None and got["D"].r2 is None
     assert got["N"].n == 1 and got["N"].slope is None
+
+
+def test_classifier_report_hand_matrix(spark):
+    import pytest as _pt
+
+    from linkgraph.operators.profile import classifier_report
+
+    # truth: 4 a, 3 b, 1 c; preds: a->a x3, a->b x1, b->b x2, b->a x1,
+    # c->d x1 (class c never predicted, class d never true)
+    rows = (
+        [("a", "a")] * 3 + [("a", "b")]
+        + [("b", "b")] * 2 + [("b", "a")]
+        + [("c", "d")]
+    )
+    df = spark.createDataFrame(rows, "truth string, pred string")
+    got = {r.label: r for r in classifier_report(df).collect()}
+    assert got["a"].n_true == 4 and got["a"].n_pred == 4 and got["a"].tp == 3
+    assert got["a"].precision == _pt.approx(0.75)
+    assert got["a"].recall == _pt.approx(0.75)
+    assert got["a"].f1 == _pt.approx(0.75)
+    assert got["b"].precision == _pt.approx(2 / 3, abs=1e-6)
+    assert got["b"].recall == _pt.approx(2 / 3, abs=1e-6)
+    # c: never predicted -> precision NULL, recall 0, f1 NULL
+    assert got["c"].precision is None and got["c"].recall == 0.0
+    assert got["c"].f1 is None
+    # d: never true -> recall NULL, precision 0
+    assert got["d"].recall is None and got["d"].precision == 0.0
