@@ -8702,6 +8702,66 @@ FROM pr
 """
 
 
+RRF_LIST_K = 20
+RRF_K = 60
+
+
+def q_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of the BM25 and query-density rankers for
+    the fixed query (textops/retrieval.py::rrf_fuse)."""
+    from linkgraph.textops.retrieval import bm25_topk, query_density_topk, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    a = bm25_topk(
+        docs, list(BM25_TERMS), k1=BM25_K1, b=BM25_B, k=RRF_LIST_K
+    ).select("doc_id", "score")
+    b = query_density_topk(docs, list(BM25_TERMS), k=RRF_LIST_K)
+    return rrf_fuse(a, b, kconst=RRF_K, k=BM25_TOPK)
+
+
+SQL_RRF_FUSION = f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents),
+dl AS MATERIALIZED (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+       WHERE term IN ({_BM25_IN}) GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+idf AS (SELECT term,
+               ln(1.0 + (st.n_docs - df + 0.5) / (df + 0.5)) AS idf
+        FROM df CROSS JOIN st),
+sc AS (
+  SELECT tf.doc_id,
+         idf.idf * (tf.tf * ({BM25_K1} + 1))
+         / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / st.avgdl)) AS s
+  FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN idf ON idf.term = tf.term CROSS JOIN st),
+bm_list AS (
+  SELECT doc_id, ROUND(SUM(s), 6) AS score FROM sc GROUP BY doc_id
+  ORDER BY ROUND(SUM(s), 6) DESC, doc_id ASC LIMIT {RRF_LIST_K}),
+ra AS (SELECT doc_id,
+              ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS r_a
+       FROM bm_list),
+hit AS (SELECT doc_id, COUNT(*) AS h FROM tok
+        WHERE term IN ({_BM25_IN}) GROUP BY doc_id),
+dn_list AS (
+  SELECT hit.doc_id, ROUND(hit.h / CAST(dl.dl AS DOUBLE), 6) AS score
+  FROM hit JOIN dl ON dl.doc_id = hit.doc_id
+  ORDER BY score DESC, hit.doc_id ASC LIMIT {RRF_LIST_K}),
+rb AS (SELECT doc_id,
+              ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS r_b
+       FROM dn_list),
+fused AS (
+  SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id, r_a, r_b,
+         ROUND(COALESCE(1.0 / ({RRF_K}.0 + r_a), 0.0)
+               + COALESCE(1.0 / ({RRF_K}.0 + r_b), 0.0), 6) AS rrf
+  FROM ra FULL OUTER JOIN rb ON rb.doc_id = ra.doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(r_a AS BIGINT) AS r_a,
+       CAST(r_b AS BIGINT) AS r_b, rrf
+FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT {BM25_TOPK}
+"""
+
+
 def q_cohort_ltv(spark, sf_dir):
     """Customer-cohort LTV accumulation by month offset
     (operators/events.py::cohort_ltv)."""
@@ -9381,6 +9441,7 @@ QUERIES = {
     "wl_anonymity": q_wl_anonymity,
     "partition_audit": q_partition_audit,
     "lang_detector_prf": q_lang_detector_prf,
+    "rrf_fusion": q_rrf_fusion,
     "cohort_ltv": q_cohort_ltv,
     "l_diversity": q_l_diversity,
     "class_balance": q_class_balance,
@@ -9622,6 +9683,7 @@ ORACLES = {
     "wl_anonymity": SQL_WL_ANONYMITY,
     "partition_audit": SQL_PARTITION_AUDIT,
     "lang_detector_prf": SQL_LANG_DETECTOR_PRF,
+    "rrf_fusion": SQL_RRF_FUSION,
     "cohort_ltv": SQL_COHORT_LTV,
     "l_diversity": SQL_L_DIVERSITY,
     "class_balance": SQL_CLASS_BALANCE,

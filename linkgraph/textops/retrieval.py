@@ -144,3 +144,65 @@ def kwic_concordance(
             " ", F.slice("ts", start, end - start + 1)
         ).alias("context"),
     )
+
+
+def query_density_topk(
+    docs: DataFrame, terms: list[str], k: int = 15, round_to: int = 6
+) -> DataFrame:
+    """(doc_id, score): top-k docs by query-term DENSITY Σtf/dl — no
+    idf, no saturation; deliberately different biases from BM25 so the
+    two make a meaningful fusion pair.  Ties break on doc_id asc."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    toks = docs.select(
+        "doc_id", F.explode(normalized_tokens("text")).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    hit = (
+        toks.where(F.col("term").isin(list(terms)))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    sc = hit.join(dl, "doc_id").select(
+        "doc_id",
+        F.round(F.col("h") / F.col("dl").cast("double"), round_to).alias("score"),
+    )
+    return sc.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    kconst: int = 60,
+    k: int = 15,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion [Cormack-Clarke, SIGIR'09]: fuse two
+    bounded top-k lists (doc_id, score) by rrf = Σ 1/(K + rank), the
+    no-training rank combiner that reliably beats either input list.
+    A doc absent from one list contributes nothing for it (standard
+    practice).  Ranks come from no-partition row_number windows over
+    the ≤k-row input lists — bounded by construction, never corpus
+    scale; ranks are integers, so the rrf doubles are identical on
+    both engines.  Returns top-k (doc_id, r_a, r_b, rrf); ties break
+    on doc_id.
+    """
+    wa = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    ra = ranked_a.select("doc_id", "score").withColumn(
+        "r_a", F.row_number().over(wa)
+    ).select("doc_id", "r_a")
+    rb = ranked_b.select("doc_id", "score").withColumn(
+        "r_b", F.row_number().over(wa)
+    ).select("doc_id", "r_b")
+    kc = float(kconst)
+    fused = ra.join(rb, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_a",
+        "r_b",
+        F.round(
+            F.coalesce(1.0 / (F.lit(kc) + F.col("r_a")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(kc) + F.col("r_b")), F.lit(0.0)),
+            round_to,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(k)

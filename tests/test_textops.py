@@ -441,3 +441,23 @@ def test_chapman_estimate_partial_overlap(spark):
     assert r.n_est == _pt.approx(5.0)
     assert r.coverage_a == _pt.approx(0.6)
     assert r.coverage_b == _pt.approx(0.4)
+
+
+def test_rrf_fuse_hand_lists(spark):
+    import pytest as _pt
+
+    from linkgraph.textops.retrieval import rrf_fuse
+
+    # list A ranks 1,2,3; list B ranks 3,4 — doc 3 fuses ranks (3, 1)
+    a = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.7)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame([(3, 0.5), (4, 0.4)], "doc_id long, score double")
+    got = {r.doc_id: r for r in rrf_fuse(a, b, kconst=60, k=10).collect()}
+    assert got[3].r_a == 3 and got[3].r_b == 1
+    assert got[3].rrf == _pt.approx(1 / 63 + 1 / 61, abs=1e-6)
+    assert got[1].r_b is None
+    assert got[1].rrf == _pt.approx(1 / 61, abs=1e-6)
+    # doc in both lists outranks any single-list doc here
+    order = sorted(got.values(), key=lambda r: (-r.rrf, r.doc_id))
+    assert order[0].doc_id == 3
