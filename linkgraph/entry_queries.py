@@ -8988,10 +8988,14 @@ def q_returned_items(spark, sf_dir):
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.round(F.sum(rev), 2).alias("revenue"))
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    # top-20 via orderBy+limit -> TakeOrderedAndProject (a distributed
+    # per-partition heap + driver merge), NOT row_number over an
+    # unpartitioned Window (which funnels every per-customer row through
+    # ONE task at scale).  (revenue desc, c_custkey asc) is a strict
+    # total order (custkey unique), so the 20-row cut is identical.
     return (
-        per_cust.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 20)
+        per_cust.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
         .select(
             "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"),
             "n_name", "revenue",

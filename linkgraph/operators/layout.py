@@ -16,9 +16,12 @@ engine-portable and oracle-checkable bit for bit.
 At scale: the key is a pure projection (no shuffle); laying data out is
 `repartitionByRange(z).sortWithinPartitions(z)` + write, one range
 shuffle — the same cost as any sorted write.  `zorder_layout_report`
-models the written files with an ntile over the key (deterministic
-tie-break on the raw columns) and emits per-file min/max extents: the
-exact statistics a reader's pruning would use.
+models the written files with ntile semantics over the key
+(deterministic tie-break on the raw columns) computed via the two-phase
+range-partition + per-partition rank + broadcast-offset pattern
+(graph.py::_dense_ids) — never an unpartitioned window — and emits
+per-file min/max extents: the exact statistics a reader's pruning would
+use.
 """
 
 from __future__ import annotations
@@ -75,9 +78,54 @@ def zorder_layout_report(
         F.col(ycol).alias("y"),
         zorder_key(xq, yq, bits).alias("z"),
     )
-    w = Window.orderBy("z", "x", "y")
+    # file assignment = ntile(files) over the global (z, x, y) order, but
+    # computed WITHOUT an unpartitioned window (which funnels the whole
+    # table through one task): graph.py::_dense_ids' two-phase ranking —
+    # range-repartition on the order key, rank within each partition, add
+    # per-partition offsets (≤P driver-side counts), then apply ntile's
+    # bucket arithmetic to the global rank.  Identical output: ntile(k)
+    # over n rows gives the first (n mod k) tiles ceil(n/k) rows and the
+    # rest floor(n/k), in order.
+    from pyspark.storagelevel import StorageLevel
+
+    spark = df.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parts = (
+        keyed.repartitionByRange(
+            p, F.col("z").asc(), F.col("x").asc(), F.col("y").asc()
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = {
+        r["pid"]: r["n"]
+        for r in parts.groupBy("pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    n = acc
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(k), int(v)) for k, v in offsets.items()], "pid int, off long"
+        )
+    )
+    q, rem = divmod(n, files) if files else (0, 0)
+    cutoff = (q + 1) * rem  # rows 1..cutoff fall in the big (q+1)-row tiles
+    w = Window.partitionBy("pid").orderBy("z", "x", "y")
+    r1 = (F.row_number().over(w) + F.col("off")).alias("r")  # global 1-based rank
+    ranked = parts.join(off_df, "pid").select("x", "y", r1)
+    fid = F.when(
+        F.col("r") <= F.lit(cutoff),
+        F.expr(f"(r - 1) DIV {q + 1} + 1"),
+    ).otherwise(
+        # q == 0 implies cutoff == n, so this branch is unreachable then;
+        # max(q, 1) only keeps the expression well-formed
+        F.expr(f"{rem} + (r - 1 - {cutoff}) DIV {max(q, 1)} + 1")
+    )
     return (
-        keyed.withColumn("file_id", F.ntile(files).over(w))
+        ranked.withColumn("file_id", fid)
         .groupBy("file_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),

@@ -1025,9 +1025,10 @@ def heaps_fit(docs: DataFrame, text_col: str = "text", round_to: int = 6) -> Dat
       2. first-occurrence doc per word = min(doc_id) per term — the
          vocabulary table again;
       3. both collapse to PER-DOC checkpoint rows (cumulative tokens,
-         cumulative new vocab) via running sums over the DOC table —
-         the single-partition window is bounded by |docs| rows of two
-         longs (zipf_fit's vocab-rank argument), not the corpus;
+         cumulative new vocab) via running sums over the DOC table,
+         computed with packing.py's two-phase prefix sum (range
+         repartition + per-partition cumsum + broadcast offsets) — no
+         single-partition window anywhere, even over 10^9 docs;
       4. closed-form OLS on (ln t, ln V): exact integer sums until the
          final division + round.
     Docs whose running vocab is still 0 (possible only while every
@@ -1043,9 +1044,9 @@ def heaps_fit(docs: DataFrame, text_col: str = "text", round_to: int = 6) -> Dat
     first_doc = toks.groupBy("term").agg(F.min("doc_id").alias("doc_id"))
     new_vocab = first_doc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nv"))
     from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
 
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    chk = (
+    base = (
         docs.select("doc_id")
         .join(per_doc, "doc_id", "left")
         .join(new_vocab, "doc_id", "left")
@@ -1054,9 +1055,43 @@ def heaps_fit(docs: DataFrame, text_col: str = "text", round_to: int = 6) -> Dat
             F.coalesce("nt", F.lit(0)).alias("nt"),
             F.coalesce("nv", F.lit(0)).alias("nv"),
         )
+    )
+    # running sums WITHOUT a global single-partition window (|docs| rows
+    # through one task at 10^9 docs): packing.py's two-phase prefix sum —
+    # range-repartition on doc_id, per-partition cumulative window, then
+    # per-partition totals (≤P rows, collected) broadcast back as offsets.
+    spark = docs.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parts = (
+        base.repartitionByRange(p, F.col("doc_id").asc())
+        .withColumn("pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    totals = {
+        r["pid"]: (r["t"], r["v"])
+        for r in parts.groupBy("pid")
+        .agg(F.sum("nt").alias("t"), F.sum("nv").alias("v"))
+        .collect()
+    }
+    offsets, at, av = {}, 0, 0
+    for pid in sorted(totals):
+        offsets[pid] = (at, av)
+        at += totals[pid][0]
+        av += totals[pid][1]
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(k), int(t), int(v)) for k, (t, v) in offsets.items()],
+            "pid int, offt long, offv long",
+        )
+    )
+    w = Window.partitionBy("pid").orderBy(F.col("doc_id").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    chk = (
+        parts.join(off_df, "pid")
         .select(
-            F.sum("nt").over(w).alias("ct"),
-            F.sum("nv").over(w).alias("cv"),
+            (F.sum("nt").over(w) + F.col("offt")).alias("ct"),
+            (F.sum("nv").over(w) + F.col("offv")).alias("cv"),
         )
         .where((F.col("ct") > 0) & (F.col("cv") > 0))
     )

@@ -398,3 +398,126 @@ def test_epoch_shuffle_no_global_sort(spark):
     plan = _simple_plan(out)
     assert "SinglePartition" not in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_returned_items_topk_is_take_ordered(spark):
+    """Q10's top-20 must be a distributed TakeOrderedAndProject heap, not
+    a row_number over an unpartitioned Window (one task sorts every
+    per-customer aggregate at scale)."""
+    from linkgraph.entry_queries import q_returned_items
+
+    df = q_returned_items(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def _window_specs_all_partitioned(plan: str) -> bool:
+    specs = plan.split("windowspecdefinition(")[1:]
+    return bool(specs) and all(s.lstrip().startswith("pid") for s in specs)
+
+
+def test_zorder_report_two_phase_matches_ntile(spark):
+    """zorder_layout_report's two-phase rank+offset file assignment must
+    (a) carry no unpartitioned Window and (b) reproduce the naive global
+    ntile bit for bit."""
+    from pyspark.sql import Window
+
+    from linkgraph.operators.layout import (
+        quantize,
+        zorder_key,
+        zorder_layout_report,
+    )
+
+    rows = [(i, (i * 37) % 101, (i * 53) % 97) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    out = zorder_layout_report(df, "a", "b", files=16)
+    plan = _plan(out)
+    assert _window_specs_all_partitioned(plan)
+
+    # naive reference: global ntile over the full (z, x, y) order
+    bounds = df.agg(
+        F.min("a").alias("xmn"), F.max("a").alias("xmx"),
+        F.min("b").alias("ymn"), F.max("b").alias("ymx"),
+    ).first()
+    keyed = df.select(
+        F.col("a").alias("x"), F.col("b").alias("y"),
+        zorder_key(
+            quantize("a", bounds["xmn"], bounds["xmx"]),
+            quantize("b", bounds["ymn"], bounds["ymx"]),
+        ).alias("z"),
+    )
+    w = Window.orderBy("z", "x", "y")
+    ref = (
+        keyed.withColumn("file_id", F.ntile(16).over(w))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"), F.max("y").alias("max_y"),
+        )
+        .select(
+            F.col("file_id").cast("long").alias("file_id"),
+            "n_rows", "min_x", "max_x", "min_y", "max_y",
+        )
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_heaps_fit_two_phase_matches_global_window(spark):
+    """heaps_fit's two-phase prefix sum must carry no unpartitioned
+    Window and agree with the naive global cumulative window."""
+    from pyspark.sql import Window
+
+    from linkgraph.textops.textstats import TOKEN_RE, heaps_fit
+
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 40}" for j in range(1 + i % 9)))
+        for i in range(120)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = heaps_fit(docs)
+    plan = _plan(out)
+    assert _window_specs_all_partitioned(plan)
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+        ).alias("term"),
+    )
+    per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
+    new_vocab = (
+        toks.groupBy("term").agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("nv"))
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    chk = (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(new_vocab, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("nt", F.lit(0)).alias("nt"),
+            F.coalesce("nv", F.lit(0)).alias("nv"),
+        )
+        .select(F.sum("nt").over(w).alias("ct"), F.sum("nv").over(w).alias("cv"))
+        .where((F.col("ct") > 0) & (F.col("cv") > 0))
+    )
+    pts = chk.select(
+        "ct", "cv",
+        F.log(F.col("ct").cast("double")).alias("x"),
+        F.log(F.col("cv").cast("double")).alias("y"),
+    )
+    n = F.count(F.lit(1)).cast("double")
+    ref = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max("ct").cast("long").alias("total_tokens"),
+        F.max("cv").cast("long").alias("vocab"),
+        F.round(
+            (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+            / (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")),
+            6,
+        ).alias("heaps_beta"),
+    )
+    assert out.collect() == ref.collect()
