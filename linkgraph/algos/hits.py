@@ -16,10 +16,12 @@ Plan shape (the PR one-job-per-step discipline):
   round), the constructor builds a transpose LinkGraph once — the CSC to
   the forward table's CSR, the same pairing every matrix engine keeps for
   A·x vs Aᵀ·x — and both half-steps become co-partitioned expands;
-* each half-step is ONE Spark job: expand + left-join onto the vertex
-  set + lazy localCheckpoint, materialized by the Σx² norm aggregate
-  whose scalar then rides into the next half-step as a literal (the
-  normalization division never needs its own pass);
+* each half-step is ONE Spark job: expand + aggregate + lazy
+  localCheckpoint, materialized by the Σx² norm aggregate whose scalar
+  then rides into the next half-step as a literal (the normalization
+  division never needs its own pass).  Vertices receiving no mass stay
+  absent from the loop state (zero rows change neither the norm nor the
+  next expansion); the vertex set is attached once at the end;
 * runs under iteration_plan (AQE off, shuffled-hash) like every other
   iterative kernel here.
 
@@ -66,20 +68,22 @@ def hits(
 
     def half_step(g: LinkGraph, scores: DataFrame) -> DataFrame:
         """One normalized half-step: flow `scores` along g's edges, sum
-        per destination, keep zero rows for uncovered vertices."""
+        per destination.  Vertices receiving no mass are simply ABSENT
+        from the result — a zero score contributes nothing to the next
+        expansion nor to the L2 norm, so carrying explicit zero rows
+        through the loop (the old per-half-step |V|-row verts left-join)
+        was pure overhead; the full vertex set is re-attached once at the
+        end."""
         msgs = scores.select(F.col("vid").alias("src"), "x")
-        raw = g.expand(msgs, est_rows=n).groupBy("dst").agg(F.sum("x").alias("acc"))
-        out = (
-            verts.alias("v")
-            .join(raw.alias("r"), F.col("v.vid") == F.col("r.dst"), "left")
-            .select(
-                F.col("v.vid").alias("vid"),
-                F.coalesce(F.col("r.acc"), F.lit(0.0)).alias("x"),
-            )
+        raw = (
+            g.expand(msgs, est_rows=n)
+            .groupBy("dst")
+            .agg(F.sum("x").alias("x"))
+            .withColumnRenamed("dst", "vid")
             .localCheckpoint(eager=False)
         )
-        norm = math.sqrt(out.agg(F.sum(F.col("x") * F.col("x")).alias("s")).first()["s"])
-        return out.select("vid", (F.col("x") / F.lit(norm)).alias("x")), out
+        norm = math.sqrt(raw.agg(F.sum(F.col("x") * F.col("x")).alias("s")).first()["s"])
+        return raw.select("vid", (F.col("x") / F.lit(norm)).alias("x")), raw
 
     retained: list[DataFrame] = []
     with iteration_plan(spark):
@@ -94,15 +98,16 @@ def hits(
                     pass
             retained = [keep_a, keep_h]
 
-    hub_col = F.col("h.x")
-    auth_col = F.col("a.x")
+    hub_col = F.coalesce(F.col("h.x"), F.lit(0.0))
+    auth_col = F.coalesce(F.col("a.x"), F.lit(0.0))
     if round_to is not None:
         hub_col = F.round(hub_col, round_to)
         auth_col = F.round(auth_col, round_to)
     out = (
-        h.alias("h")
-        .join(a.alias("a"), F.col("h.vid") == F.col("a.vid"))
-        .select(F.col("h.vid").alias("vid"), hub_col.alias("hub"), auth_col.alias("auth"))
+        verts.alias("v")
+        .join(h.alias("h"), F.col("v.vid") == F.col("h.vid"), "left")
+        .join(a.alias("a"), F.col("v.vid") == F.col("a.vid"), "left")
+        .select(F.col("v.vid").alias("vid"), hub_col.alias("hub"), auth_col.alias("auth"))
     )
     if own_transpose:
         # materialize before releasing the transpose cache the plan reads

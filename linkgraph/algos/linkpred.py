@@ -62,26 +62,68 @@ def link_prediction(
     )
     ez = edges.join(zw, "src")  # co-partitioned on src; weight rides the edge row
     a, b = ez.alias("a"), ez.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.src") == F.col("b.src")) & (F.col("a.dst") < F.col("b.dst")),
-        )
-        .groupBy(F.col("a.dst").alias("u"), F.col("b.dst").alias("v"))
-        .agg(
-            F.count(F.lit(1)).alias("cn"),
-            F.round(F.sum(F.col("a.zw")), round_to).alias("aa"),
-        )
-        .where(F.col("cn") >= min_cn)
+    wedge_cond = (F.col("a.src") == F.col("b.src")) & (
+        F.col("a.dst") < F.col("b.dst")
     )
-    out = pairs.join(
-        edges, (pairs.u == edges.src) & (pairs.v == edges.dst), "left_anti"
-    ).select(
-        F.col("u").cast("long").alias("u"),
-        F.col("v").cast("long").alias("v"),
-        F.col("cn").cast("long").alias("cn"),
-        "aa",
-    )
+    # The (u, v) aggregate dominates this operator (measured: ~2/3 of the
+    # bench query is the final hash aggregate over ~|wedges| near-unique
+    # keys).  Pack the pair into ONE long key u*(max_vid+1)+v — a
+    # bijection for 0 <= vid <= max_vid — halving grouping-key bytes and
+    # hash/compare cost in both the aggregate and the left-anti
+    # edge-removal join (which becomes single-column).  Falls back to the
+    # two-column key when vids are too large to pack without overflow.
+    mv = graph.max_vid() + 1
+    if mv <= (1 << 31):
+        mvl = F.lit(int(mv))
+        wedges = a.join(b, wedge_cond).select(
+            (F.col("a.dst") * mvl + F.col("b.dst")).alias("uv"),
+            F.col("a.zw").alias("zw"),
+        )
+        # repartition-then-aggregate, deliberately SKIPPING the map-side
+        # partial aggregate: candidate pairs are near-unique (measured
+        # 120M wedges -> 87.4M distinct pairs at bench SF, reduction
+        # 1.37x), so map-side combine builds a multi-million-entry hash
+        # map per task, reduces almost nothing, spills, and THEN shuffles
+        # anyway.  An explicit uv-hash exchange first makes the map side
+        # a plain shuffle write and runs the one real aggregate on
+        # uv-clustered input.  4x shuffle.partitions keeps each task's
+        # hash map small enough to stay in memory (measured 32 -> 9.9s,
+        # 64 -> 7.0s, 128 -> 6.5s for the aggregate at 32 cores).
+        p_agg = 4 * int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        pairs = (
+            wedges.repartition(p_agg, "uv")
+            .groupBy("uv")
+            .agg(
+                F.count(F.lit(1)).alias("cn"),
+                F.round(F.sum("zw"), round_to).alias("aa"),
+            )
+            .where(F.col("cn") >= min_cn)
+        )
+        ekeys = edges.select((F.col("src") * mvl + F.col("dst")).alias("uv"))
+        out = pairs.join(ekeys, "uv", "left_anti").select(
+            F.expr(f"CAST(uv DIV {int(mv)} AS BIGINT)").alias("u"),
+            F.expr(f"CAST(uv % {int(mv)} AS BIGINT)").alias("v"),
+            F.col("cn").cast("long").alias("cn"),
+            "aa",
+        )
+    else:
+        pairs = (
+            a.join(b, wedge_cond)
+            .groupBy(F.col("a.dst").alias("u"), F.col("b.dst").alias("v"))
+            .agg(
+                F.count(F.lit(1)).alias("cn"),
+                F.round(F.sum(F.col("a.zw")), round_to).alias("aa"),
+            )
+            .where(F.col("cn") >= min_cn)
+        )
+        out = pairs.join(
+            edges, (pairs.u == edges.src) & (pairs.v == edges.dst), "left_anti"
+        ).select(
+            F.col("u").cast("long").alias("u"),
+            F.col("v").cast("long").alias("v"),
+            F.col("cn").cast("long").alias("cn"),
+            "aa",
+        )
     if topk is not None:
         out = out.orderBy(
             F.col("aa").desc(), F.col("cn").desc(), F.col("u").asc(), F.col("v").asc()
@@ -126,15 +168,35 @@ def vertex_similarity(
     )
     ez = edges.join(centers, "src")  # co-partitioned on src
     a, b = ez.alias("a"), ez.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.src") == F.col("b.src")) & (F.col("a.dst") < F.col("b.dst")),
-        )
-        .groupBy(F.col("a.dst").alias("u"), F.col("b.dst").alias("v"))
-        .agg(F.count(F.lit(1)).alias("cn"))
-        .where(F.col("cn") >= min_cn)
+    wedge_cond = (F.col("a.src") == F.col("b.src")) & (
+        F.col("a.dst") < F.col("b.dst")
     )
+    mv = graph.max_vid() + 1
+    if mv <= (1 << 31):
+        # packed single-long pair key + repartition-then-aggregate — the
+        # same two measured wins as link_prediction (see its comments)
+        mvl = F.lit(int(mv))
+        p_agg = 4 * int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        pairs = (
+            a.join(b, wedge_cond)
+            .select((F.col("a.dst") * mvl + F.col("b.dst")).alias("uv"))
+            .repartition(p_agg, "uv")
+            .groupBy("uv")
+            .agg(F.count(F.lit(1)).alias("cn"))
+            .where(F.col("cn") >= min_cn)
+            .select(
+                F.expr(f"CAST(uv DIV {int(mv)} AS BIGINT)").alias("u"),
+                F.expr(f"CAST(uv % {int(mv)} AS BIGINT)").alias("v"),
+                "cn",
+            )
+        )
+    else:
+        pairs = (
+            a.join(b, wedge_cond)
+            .groupBy(F.col("a.dst").alias("u"), F.col("b.dst").alias("v"))
+            .agg(F.count(F.lit(1)).alias("cn"))
+            .where(F.col("cn") >= min_cn)
+        )
     deg = graph.degrees()
     du = deg.select(F.col("vid").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("vid").alias("v"), F.col("deg").alias("dv"))

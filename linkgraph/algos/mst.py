@@ -53,12 +53,39 @@ def minimum_spanning_forest(
     symmetric.  Unique by the strict (w, u, v) total order; spanning
     forest: |result| = |V| − #components."""
     spark = edges.sparkSession
-    e = edges.select("src", "dst", "w").where(F.col("src") != F.col("dst"))
+    from pyspark.storagelevel import StorageLevel
+
+    # persist the (possibly expensive) weighted-edge derivation ONCE: the
+    # round loop joins e every round, and an unpersisted derivation (e.g.
+    # the lineitem self-join) would be recomputed from the source scan per
+    # round — measured as repeated derivation stages in the r6 profile.
+    # src-hash partitioning + cache mirrors the LinkGraph edge shape so
+    # the per-round csrc label join needs no e-side exchange.
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = (
+        edges.select("src", "dst", "w")
+        .where(F.col("src") != F.col("dst"))
+        .repartition(p, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     comp = (
         e.select(F.col("src").alias("vid"))
         .distinct()
         .select("vid", F.col("vid").alias("comp"))
         .localCheckpoint(eager=True)
+    )
+    n_vertices = comp.count()
+    from linkgraph.graph import broadcast_threshold
+
+    # byte-gated label broadcast (LinkGraph.expand's J1 rule): the comp
+    # table is ≤|V| rows of two longs and SHRINKS every round; when its
+    # estimated bytes clear autoBroadcastJoinThreshold, broadcasting both
+    # label joins keeps the cached edge table UNSHUFFLED all round
+    # (measured: the dst-side label join otherwise re-exchanges all |E|
+    # rows by dst every round).  Past the gate (10^9-vertex graphs) it
+    # falls back to the plain shuffle join exactly like expand.
+    bc_ok = 0 < broadcast_threshold(spark) and (
+        n_vertices * (16 + 12 * 2) < broadcast_threshold(spark)
     )
     forest_parts: list[DataFrame] = []
     n_rounds = rounds if rounds is not None else max_rounds
@@ -67,6 +94,8 @@ def minimum_spanning_forest(
         for _ in range(n_rounds):
             cs = comp.select(F.col("vid").alias("src"), F.col("comp").alias("csrc"))
             cd = comp.select(F.col("vid").alias("dst"), F.col("comp").alias("cdst"))
+            if bc_ok:
+                cs, cd = F.broadcast(cs), F.broadcast(cd)
             cross = (
                 e.join(cs, "src")
                 .join(cd, "dst")
@@ -107,6 +136,12 @@ def minimum_spanning_forest(
             "the no-cross-edges fixpoint — returned forest may be partial",
             stacklevel=2,
         )
+    try:
+        # every per-round proposal is eagerly checkpointed, so the result
+        # no longer reads e
+        e.unpersist()
+    except Exception:
+        pass
     if not forest_parts:
         return spark.createDataFrame([], "u long, v long, w long")
     out = forest_parts[0]

@@ -17,6 +17,28 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _spread_join_input(df: DataFrame, key: str) -> DataFrame:
+    """Spread the shared-key self-join's PROBE input over
+    `spark.sql.shuffle.partitions` partitions by full-row hash.
+
+    Why: these self-joins EXPLODE (quadratic per key), but their INPUT is
+    tiny after the distinct — AQE coalesces the pre-join stage by input
+    bytes (measured: the whole zipf-graph pair explosion ran on ONE task,
+    2.9s single-threaded, because the distinct key table compressed to
+    <1 MB).  An explicit-count repartition is never coalesced, so the
+    explosion gets full parallelism.  Hashing the FULL row (not just the
+    join key) matters twice: the key alone can have far fewer distinct
+    values than partitions (event_type ~5), and under a broadcast
+    self-join the probe side needs no key clustering — full-row hash
+    spreads even a single hub key's rows across every task
+    (deterministic, so retries are safe; guide §2.5).  In the
+    non-broadcast regime at cluster scale the planner adds its own
+    key exchange after this one — a LINEAR extra pass over the distinct
+    key table, noise next to the quadratic join it parallelizes."""
+    p = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(p, *[F.col(c) for c in df.columns])
+
+
 def stable_turn_order(transcripts: DataFrame) -> DataFrame:
     """Stable total order of turns within a conversation (BASELINE input_hint).
 
@@ -90,6 +112,7 @@ def shared_key_conv_edges(
     if hub_cap is not None:
         deg = ck.groupBy("k").agg(F.count("*").alias("n_convs"))
         ck = ck.join(F.broadcast(deg.where(F.col("n_convs") <= hub_cap)), "k", "left_semi")
+    ck = _spread_join_input(ck, "k")
     a, b = ck.alias("a"), ck.alias("b")
     return (
         a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.conv_id") < F.col("b.conv_id")))
@@ -107,6 +130,7 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     pk = lineitem.select(
         F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
     ).distinct()
+    pk = _spread_join_input(pk, "k")
     a, b = pk.alias("a"), pk.alias("b")
     return (
         a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.p") != F.col("b.p")))
@@ -126,6 +150,7 @@ def copurchase_weighted_edges(lineitem: DataFrame) -> DataFrame:
     pk = lineitem.select(
         F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
     ).distinct()
+    pk = _spread_join_input(pk, "k")
     a, b = pk.alias("a"), pk.alias("b")
     return (
         a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.p") != F.col("b.p")))
@@ -156,6 +181,7 @@ def cust_supp_edges(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
 def events_user_edges(events: DataFrame) -> DataFrame:
     """g_events_user: user—user edges sharing an event_type (skewed S7 analog)."""
     uk = events.select(F.col("event_type").alias("k"), F.col("user_id").alias("u")).distinct()
+    uk = _spread_join_input(uk, "k")
     a, b = uk.alias("a"), uk.alias("b")
     return (
         a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.u") != F.col("b.u")))

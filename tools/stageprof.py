@@ -21,7 +21,25 @@ def main():
     stages = {}  # sid -> {name, t0, t1, ntasks}
     stage_metrics = defaultdict(lambda: defaultdict(float))
 
-    with open(path) as f:
+    import io
+    import os
+
+    if os.path.isdir(path):
+        cands = sorted(
+            p
+            for p in (os.path.join(path, x) for x in os.listdir(path))
+            if "events" in os.path.basename(p)
+        )
+        path = cands[0]
+    if path.endswith(".zstd"):
+        import zstandard
+
+        fh = io.TextIOWrapper(
+            zstandard.ZstdDecompressor().stream_reader(open(path, "rb"))
+        )
+    else:
+        fh = open(path)
+    with fh as f:
         for line in f:
             try:
                 ev = json.loads(line)
