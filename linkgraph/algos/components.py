@@ -196,8 +196,11 @@ def connected_components_two_phase(
                 .agg(F.min("v").alias("mn"))
                 .select("u", F.least("mn", "u").alias("m"))
             )
+            # e is strictly child>parent (u > v) by construction, so the
+            # v>u half of sym is exactly reverse(e) — project it directly
+            # instead of re-scanning and filtering the 2|e|-row union
             e = (
-                sym.where(F.col("v") > F.col("u"))
+                e.select(F.col("v").alias("u"), F.col("u").alias("v"))
                 .join(mins, "u")
                 .where(F.col("v") != F.col("m"))
                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
@@ -216,7 +219,10 @@ def connected_components_two_phase(
                     smins.select(F.col("u"), F.col("m").alias("v"))
                 )  # center -> min
                 .distinct()
-                .localCheckpoint(eager=True)
+                # LAZY checkpoint materialized by the probe aggregate —
+                # one fused job per round instead of checkpoint + probe
+                # (safe: the loop runs AQE-off, the cc/pagerank pattern)
+                .localCheckpoint(eager=False)
             )
             sig = _probe(e)
             if prev_e is not None:

@@ -90,8 +90,29 @@ def _local_move_rounds(
     store: _Store,
 ) -> DataFrame:
     """Shared round loop for the base graph (LinkGraph.expand) and the
-    weighted quotient graphs (plain-join expand).  Returns (vid, label)."""
-    labels = labels.localCheckpoint(eager=True)
+    weighted quotient graphs (plain-join expand).  Returns (vid, label).
+
+    r6 plan surgery, both equivalence-preserving:
+      * deg rides IN the state (vid, label, deg) — deg is static per
+        vertex, so the two per-round |V|-row wdeg joins (community
+        totals, per-vertex gain rows) collapse into the state itself;
+      * the small per-round tables (state-as-dim, ct, best) are
+        byte-gated broadcasts (LinkGraph.expand's J1 rule): below the
+        session broadcast threshold the kv-sized table never re-shuffles
+        for its dimension joins; past the gate (10^9 vertices) the plain
+        shuffle joins return unchanged."""
+    from linkgraph.graph import broadcast_threshold
+
+    thresh = broadcast_threshold(spark)
+
+    def bc(df, est_rows, ncols):
+        if 0 < thresh and est_rows * (16 + 12 * ncols) < thresh:
+            return F.broadcast(df)
+        return df
+
+    labels = labels.join(wdeg, "vid").select(
+        "vid", "label", "deg"
+    ).localCheckpoint(eager=True)
     m_lit = F.lit(int(m_edges)).cast("long")
     prev = None
     with iteration_plan(spark):
@@ -113,11 +134,7 @@ def _local_move_rounds(
                 .agg(F.sum("w").alias("k"))
             )
             # dc: community degree totals (<= |C| rows, shrinking).
-            ct = (
-                labels.join(wdeg, "vid")
-                .groupBy("label")
-                .agg(F.sum("deg").alias("dc"))
-            )
+            ct = labels.groupBy("label").agg(F.sum("deg").alias("dc"))
             # One join chain, then ONE aggregate per vertex.  The gain of
             # moving v: a -> b decomposes as score(b) - base with
             #   score(c) = M*k_vc - d_v*dc_c          (candidate term)
@@ -126,13 +143,21 @@ def _local_move_rounds(
             # out of a single groupBy — no candidate/own self-join.
             rows = (
                 kv.join(
-                    labels.select(
-                        F.col("vid").alias("dst"), F.col("label").alias("a")
+                    bc(
+                        labels.select(
+                            F.col("vid").alias("dst"),
+                            F.col("label").alias("a"),
+                            "deg",
+                        ),
+                        n_vertices,
+                        3,
                     ),
                     "dst",
                 )
-                .join(wdeg.select(F.col("vid").alias("dst"), "deg"), "dst")
-                .join(ct.select(F.col("label").alias("l"), "dc"), "l")
+                .join(
+                    bc(ct.select(F.col("label").alias("l"), "dc"), n_vertices, 2),
+                    "l",
+                )
             )
             is_own = F.col("l") == F.col("a")
             score = m_lit * F.col("k") - F.col("deg") * F.col("dc")
@@ -147,7 +172,11 @@ def _local_move_rounds(
             # dc_a for vertices with no internal edge: join ct on a (the
             # community always exists in ct — v itself contributes deg).
             per_v = per_v.join(
-                ct.select(F.col("label").alias("a"), F.col("dc").alias("dca")),
+                bc(
+                    ct.select(F.col("label").alias("a"), F.col("dc").alias("dca")),
+                    n_vertices,
+                    2,
+                ),
                 "a",
             ).select(
                 "v",
@@ -163,7 +192,11 @@ def _local_move_rounds(
             ).select("v", "nb")
             upd = (
                 labels.alias("st")
-                .join(best.alias("bs"), F.col("st.vid") == F.col("bs.v"), "left")
+                .join(
+                    bc(best.alias("bs"), n_vertices, 2),
+                    F.col("st.vid") == F.col("bs.v"),
+                    "left",
+                )
                 .select(
                     F.col("st.vid").alias("vid"),
                     F.when(
@@ -173,6 +206,7 @@ def _local_move_rounds(
                     )
                     .otherwise(F.col("st.label"))
                     .alias("label"),
+                    F.col("st.deg").alias("deg"),
                     (
                         F.col("bs.nb").isNotNull()
                         & (_move_parity(r, F.col("st.vid")) == 0)
@@ -182,7 +216,7 @@ def _local_move_rounds(
                 .localCheckpoint(eager=False)
             )
             moved = int(upd.agg(F.sum("_moved")).first()[0] or 0)
-            nxt = upd.select("vid", "label")
+            nxt = upd.select("vid", "label", "deg")
             if r % SEVER_EVERY == 0:
                 # reset the leaf statistic to the real file size — see the
                 # module docstring's statistics-severance note
