@@ -30,7 +30,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from linkgraph.graph import LinkGraph, iteration_plan
+from linkgraph.graph import LinkGraph, broadcast_threshold, iteration_plan
+
+
+def _bc(df: DataFrame, est_rows: int, ncols: int, thresh: int):
+    """Byte-gated broadcast (LinkGraph.expand's J1 rule) driven by the
+    MEASURED per-level row counts the forward pass already tracks — a
+    dense middle level is Θ(|roots|·|V|) rows and must NOT broadcast."""
+    if 0 < thresh and est_rows * (16 + 12 * ncols) < thresh:
+        return F.broadcast(df)
+    return df
 
 
 def betweenness(
@@ -65,6 +74,8 @@ def betweenness(
     # like sssp.py's frontier_rows: a dense middle level is Θ(|roots|·|V|)
     # rows, and a hardcoded estimate would force-broadcast it (OOM at scale).
     level_rows = [len(roots)]
+    thresh = broadcast_threshold(spark)
+    state_rows = len(roots)
     with iteration_plan(spark):
         frontier = state
         for lvl in range(1, max_levels + 1):
@@ -76,7 +87,10 @@ def betweenness(
                 .groupBy("root", "dst")
                 .agg(F.sum("sigma").alias("sigma"))
             )
-            seen = state.select("root", "vid")
+            # anti-join against the accumulated state: byte-gated
+            # broadcast on the MEASURED state size so the fresh per-level
+            # aggregate never re-shuffles when the state is small
+            seen = _bc(state.select("root", "vid"), state_rows, 2, thresh)
             new = (
                 agg.join(
                     seen,
@@ -96,12 +110,14 @@ def betweenness(
                 break
             levels.append(new)
             level_rows.append(max(int(new_rows), 1))
+            state_rows += int(new_rows)
             state = state.union(new).localCheckpoint(eager=False)
             frontier = new
 
         deepest = len(levels) - 1
         # backward dependency accumulation; w-frame = (root, vid, sigma, delta)
         wl = levels[deepest].select("root", "vid", "sigma", F.lit(0.0).alias("delta"))
+        wl_rows = level_rows[deepest]
         parts = [wl.where(F.col("vid") != F.col("root"))]
         for lvl in range(deepest - 1, -1, -1):
             u = levels[lvl]
@@ -112,10 +128,14 @@ def betweenness(
                 F.col("sigma").alias("usigma"),
                 "dst",
             )
+            # the successor-side join against the (level-sized) w-frame is
+            # the backward pass's heavy hitter: without the gate it
+            # re-shuffles the Θ(level·deg) expansion every level
+            wlj = _bc(wl, wl_rows, 4, thresh)
             contrib = (
                 succ.join(
-                    wl,
-                    (succ.uroot == wl.root) & (succ.dst == wl.vid),
+                    wlj,
+                    (succ.uroot == wlj.root) & (succ.dst == wlj.vid),
                 )
                 .select(
                     "uroot",
@@ -127,6 +147,7 @@ def betweenness(
                 .groupBy("uroot", "uvid")
                 .agg(F.sum("term").alias("delta"))
             )
+            contrib = _bc(contrib, level_rows[lvl], 3, thresh)
             wl = (
                 u.join(
                     contrib,
@@ -142,6 +163,7 @@ def betweenness(
                 .localCheckpoint(eager=False)
             )
             wl.count()
+            wl_rows = level_rows[lvl]
             parts.append(wl.where(F.col("vid") != F.col("root")))
 
         out = parts[0]
@@ -197,6 +219,8 @@ def edge_betweenness(
     ).localCheckpoint(eager=True)
     levels = [state]
     level_rows = [len(roots)]
+    thresh = broadcast_threshold(spark)
+    state_rows = len(roots)
     with iteration_plan(spark):
         frontier = state
         for lvl in range(1, max_levels + 1):
@@ -206,7 +230,7 @@ def edge_betweenness(
                 .groupBy("root", "dst")
                 .agg(F.sum("sigma").alias("sigma"))
             )
-            seen = state.select("root", "vid")
+            seen = _bc(state.select("root", "vid"), state_rows, 2, thresh)
             new = (
                 agg.join(
                     seen,
@@ -226,12 +250,14 @@ def edge_betweenness(
                 break
             levels.append(new)
             level_rows.append(max(int(new_rows), 1))
+            state_rows += int(new_rows)
             state = state.union(new).localCheckpoint(eager=False)
             frontier = new
 
         # ---- backward pass: per-level edge terms + vertex delta
         deepest = len(levels) - 1
         wl = levels[deepest].select("root", "vid", "sigma", F.lit(0.0).alias("delta"))
+        wl_rows = level_rows[deepest]
         edge_parts: list[DataFrame] = []
         for lvl in range(deepest - 1, -1, -1):
             u = levels[lvl]
@@ -242,8 +268,9 @@ def edge_betweenness(
                 F.col("sigma").alias("usigma"),
                 "dst",
             )
+            wlj = _bc(wl, wl_rows, 4, thresh)
             terms = succ.join(
-                wl, (succ.uroot == wl.root) & (succ.dst == wl.vid)
+                wlj, (succ.uroot == wlj.root) & (succ.dst == wlj.vid)
             ).select(
                 "uroot",
                 "uvid",
@@ -259,7 +286,14 @@ def edge_betweenness(
             )
             wl = (
                 u.join(
-                    terms.groupBy("uroot", "uvid").agg(F.sum("term").alias("delta")),
+                    _bc(
+                        terms.groupBy("uroot", "uvid").agg(
+                            F.sum("term").alias("delta")
+                        ),
+                        level_rows[lvl],
+                        3,
+                        thresh,
+                    ),
                     (u.root == F.col("uroot")) & (u.vid == F.col("uvid")),
                     "left",
                 )
@@ -272,6 +306,7 @@ def edge_betweenness(
                 .localCheckpoint(eager=False)
             )
             wl.count()
+            wl_rows = level_rows[lvl]
 
         if not edge_parts:
             return spark.createDataFrame([], "u long, v long, ebc double")
