@@ -53,7 +53,14 @@ def connected_components(
 
     changed = None
     prev = None
-    from linkgraph.graph import iteration_plan
+    from linkgraph.graph import broadcast_threshold, iteration_plan
+
+    # the neighbor-min aggregate and the shortcut mapping are both ≤|V|
+    # rows of two longs: byte-gate broadcasts (J1 rule) so the
+    # checkpointed label state never re-shuffles per round; past the gate
+    # (10^9 vertices) the plain shuffle joins return unchanged
+    _thresh = broadcast_threshold(graph.spark)
+    _bc_ok = 0 < _thresh and n * (16 + 12 * 2) < _thresh
 
     with iteration_plan(graph.spark):
         for it in range(it0, max_iter):
@@ -61,6 +68,8 @@ def connected_components(
             nbr_min = graph.expand(labels, est_rows=n).groupBy("dst").agg(
                 F.min("c").alias("nc")
             )
+            if _bc_ok:
+                nbr_min = F.broadcast(nbr_min)
             new_comp = (
                 comp.alias("st")
                 .join(nbr_min.alias("nb"), F.col("st.vid") == F.col("nb.dst"), "left")
@@ -80,6 +89,8 @@ def connected_components(
                 mapping = comp.select(
                     F.col("vid").alias("comp"), F.col("comp").alias("cc")
                 )
+                if _bc_ok:
+                    mapping = F.broadcast(mapping)
                 new_comp = (
                     new_comp.alias("nc2")
                     .join(mapping.alias("mp"), "comp", "left")

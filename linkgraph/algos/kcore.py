@@ -38,6 +38,9 @@ def k_core(graph: LinkGraph, k: int, rounds: int | None = None) -> DataFrame:
         raise ValueError("k must be >= 0")
     spark = graph.spark
     edges = graph.edges.select("src", "dst")
+    from linkgraph.graph import broadcast_threshold
+
+    _thresh = broadcast_threshold(spark)
 
     with iteration_plan(spark):
         cur = edges
@@ -66,9 +69,17 @@ def k_core(graph: LinkGraph, k: int, rounds: int | None = None) -> DataFrame:
             if done or n == 0:
                 break
             prev_n = n
+            # byte-gated broadcast of the survivor list (J1 rule, driven
+            # by the MEASURED survivor count just collected): both
+            # semi-joins become map-side filters over the edge cache, so
+            # the shrinking edge set never re-shuffles round over round;
+            # past the gate the plain shuffle semi-joins return unchanged
+            kv = keep.select("vid")
+            if 0 < _thresh and n * (16 + 12) < _thresh:
+                kv = F.broadcast(kv)
             cur = (
-                cur.join(keep.select("vid"), cur.src == F.col("vid"), "left_semi")
-                .join(keep.select("vid"), cur.dst == F.col("vid"), "left_semi")
+                cur.join(kv, cur.src == F.col("vid"), "left_semi")
+                .join(kv, cur.dst == F.col("vid"), "left_semi")
             )
 
         if n == 0:

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from linkgraph.graph import LinkGraph
+from linkgraph.graph import LinkGraph, broadcast_threshold
 
 
 def pagerank(
@@ -183,6 +183,13 @@ def pagerank(
             contribs = graph.expand(msgs, est_rows=n).groupBy("dst").agg(
                 contrib.alias("acc")
             )
+            # the contribs table is ≤|V| rows of (dst, acc): byte-gate a
+            # broadcast for the state join (J1 rule) so the checkpointed
+            # state never re-shuffles per iteration; falls back to the
+            # shuffle join past the gate (10^9-vertex graphs)
+            thresh = broadcast_threshold(spark)
+            if 0 < thresh and n * (16 + 12 * 2) < thresh:
+                contribs = F.broadcast(contribs)
             if personalized:
                 # teleport AND dangling mass both return to the seed set
                 base_col = (
