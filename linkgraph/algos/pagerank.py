@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from linkgraph.graph import LinkGraph, broadcast_threshold
+from linkgraph.graph import LinkGraph
 
 
 def pagerank(
@@ -183,13 +183,12 @@ def pagerank(
             contribs = graph.expand(msgs, est_rows=n).groupBy("dst").agg(
                 contrib.alias("acc")
             )
-            # the contribs table is ≤|V| rows of (dst, acc): byte-gate a
-            # broadcast for the state join (J1 rule) so the checkpointed
-            # state never re-shuffles per iteration; falls back to the
-            # shuffle join past the gate (10^9-vertex graphs)
-            thresh = broadcast_threshold(spark)
-            if 0 < thresh and n * (16 + 12 * 2) < thresh:
-                contribs = F.broadcast(contribs)
+            # NOTE (r6): a byte-gated broadcast of contribs for the state
+            # join was A/B'd and measured ~10% SLOWER warm (4.6 s vs 4.1 s
+            # for pagerank10 at sf0.1/local[32]) — the join only moves two
+            # ≤|V|-row narrow tables, and the per-iteration broadcast
+            # build costs more than the two small exchanges it replaces.
+            # Kept as the shuffle join deliberately.
             if personalized:
                 # teleport AND dangling mass both return to the seed set
                 base_col = (

@@ -256,7 +256,6 @@ class LinkGraph:
             self._max_vid = None
             return
         p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-        shaped = edges.repartition(p, "src").sortWithinPartitions("src", "dst")
         if persist:
             if materialize is None:
                 # round-trip only when the input is a real derivation; a bare
@@ -280,7 +279,12 @@ class LinkGraph:
                 self._store = posixpath.join(
                     edge_store_root(spark), f"linkgraph_edges_{uuid.uuid4().hex}"
                 )
-                shaped.write.parquet(self._store)
+                # write the RAW derivation output: the read-back below
+                # repartitions+sorts into the cache anyway, so pre-shaping
+                # the store paid a second full |E| shuffle + sort per
+                # build for nothing (r6 profile) — the store only exists
+                # to truncate the logical plan to a parquet scan
+                edges.write.parquet(self._store)
                 src = spark.read.parquet(self._store)
             else:
                 # already a bare file scan (e.g. a pre-shaped edge table
@@ -299,7 +303,9 @@ class LinkGraph:
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
         else:
-            self.edges = shaped
+            self.edges = edges.repartition(p, "src").sortWithinPartitions(
+                "src", "dst"
+            )
         self._degrees = None
         self._vertices = None
         self._num_vertices = None
