@@ -36,6 +36,15 @@ def _oriented(graph: LinkGraph, by_degree: bool) -> DataFrame:
 def triangle_paths(graph: LinkGraph, by_degree: bool = False) -> DataFrame:
     """(a, b, c) triples forming triangles; unique per triangle."""
     e = _oriented(graph, by_degree)
+    if by_degree:
+        # the oriented table feeds all THREE join legs (e1, e2, closing);
+        # unpersisted, the degree-orientation (two broadcast joins + the
+        # fwd/rev union over |E|) was evaluated three times per plan
+        # (r6 profile).  One shared cache computes it once; the
+        # ContextCleaner reaps the block when the result is dropped.
+        from pyspark.storagelevel import StorageLevel
+
+        e = e.persist(StorageLevel.MEMORY_AND_DISK)
     e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     paths = e1.join(e2, "b")
@@ -114,14 +123,28 @@ def square_count(graph: LinkGraph) -> DataFrame:
     """
     edges = graph.edges.select("src", "dst")
     a, b = edges.alias("a"), edges.alias("b")
-    cn = (
-        a.join(
-            b,
-            (F.col("a.src") == F.col("b.src")) & (F.col("a.dst") < F.col("b.dst")),
-        )
-        .groupBy(F.col("a.dst").alias("u"), F.col("b.dst").alias("v"))
-        .agg(F.count(F.lit(1)).alias("cn"))
+    wedge_cond = (F.col("a.src") == F.col("b.src")) & (
+        F.col("a.dst") < F.col("b.dst")
     )
+    mv = graph.max_vid() + 1
+    if mv <= (1 << 31):
+        # packed single-long pair key + repartition-then-aggregate: the
+        # same two measured linkpred wins (near-unique pair keys make the
+        # map-side partial aggregate pure overhead; see linkpred.py)
+        p_agg = 4 * int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        cn = (
+            a.join(b, wedge_cond)
+            .select((F.col("a.dst") * F.lit(int(mv)) + F.col("b.dst")).alias("uv"))
+            .repartition(p_agg, "uv")
+            .groupBy("uv")
+            .agg(F.count(F.lit(1)).alias("cn"))
+        )
+    else:
+        cn = (
+            a.join(b, wedge_cond)
+            .groupBy(F.col("a.dst").alias("u"), F.col("b.dst").alias("v"))
+            .agg(F.count(F.lit(1)).alias("cn"))
+        )
     # all-integer: cn(cn-1) is even, the pair sum is even — two exact
     # integer DIVs, never a double (a 1e9-pair sum would exceed 2^53)
     return cn.select(
