@@ -190,6 +190,17 @@ def connected_components_two_phase(
         ).first()
         return int(row["n"] or 0), int(row["h"] or 0)
 
+    # per-round min tables are ≤|V| rows of two longs — byte-gate their
+    # broadcasts (J1 rule) so the edge set never re-shuffles for the
+    # re-point joins; past the gate the shuffle joins return unchanged
+    from linkgraph.graph import broadcast_threshold
+
+    _thresh = broadcast_threshold(spark)
+    _bc_ok = 0 < _thresh and graph.num_vertices() * (16 + 12 * 2) < _thresh
+
+    def _bc(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if _bc_ok else df
+
     prev_sig = _probe(e)
     converged = False
     prev_e = None
@@ -212,7 +223,7 @@ def connected_components_two_phase(
             # instead of re-scanning and filtering the 2|e|-row union
             e = (
                 e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-                .join(mins, "u")
+                .join(_bc(mins), "u")
                 .where(F.col("v") != F.col("m"))
                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
                 .distinct()
@@ -221,7 +232,7 @@ def connected_components_two_phase(
             # the center's min neighbor (edges are already child>parent)
             smins = e.groupBy("u").agg(F.min("v").alias("m"))
             e = (
-                e.join(smins, "u")
+                e.join(_bc(smins), "u")
                 .select(
                     F.col("v").alias("u"), F.col("m").alias("v")
                 )  # sibling -> min
