@@ -110,6 +110,7 @@ def _local_move_rounds(
             return F.broadcast(df)
         return df
 
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     labels = labels.join(wdeg, "vid").select(
         "vid", "label", "deg"
     ).localCheckpoint(eager=True)
@@ -127,9 +128,24 @@ def _local_move_rounds(
             # contribution to in_c is invariant under any move of v, but
             # leaving them in k_v,own would shift every gain by -M*w_self
             # and wrongly veto positive moves.
+            #
+            # ONE explicit exchange on dst instead of two planner ones:
+            # HashPartitioning(dst) satisfies both the (dst,l) clustering
+            # here and the (dst,a,deg) clustering of the per-vertex argmax
+            # below (hash-partitioning-on-a-subset rule), so neither
+            # aggregate re-shuffles.  Map-side partial aggregation is
+            # deliberately given up — (dst, l) pairs are near-unique while
+            # communities are still forming (the linkpred argument), so the
+            # partial agg compressed little and the round paid two full
+            # exchanges instead of this one.  Partition count derives from
+            # spark.sql.shuffle.partitions, never a core count; all-integer
+            # math keeps the result bit-identical under any grouping order
+            # (interleaved A/B at sf0.1: 11.0s -> 9.2s median, same checksum).
             kv = (
                 expand(msgs, n_vertices)
                 .where(F.col("src") != F.col("dst"))
+                .select("dst", "l", "w")
+                .repartition(nparts, "dst")
                 .groupBy("dst", "l")
                 .agg(F.sum("w").alias("k"))
             )
