@@ -51,11 +51,23 @@ def label_propagation(
     prev = None
     from linkgraph.graph import iteration_plan
 
+    nparts = int(graph.spark.conf.get("spark.sql.shuffle.partitions"))
     with iteration_plan(graph.spark):
         for it in range(it0, max_iter):
             msgs = labels.select(F.col("vid").alias("src"), F.col("label").alias("l"))
-            votes = graph.expand(msgs, est_rows=n).groupBy("dst", "l").agg(
-                F.count("*").alias("n")
+            # one explicit dst exchange feeds BOTH aggregates: the vote
+            # count clusters on (dst,l) and the argmax on (dst), and
+            # HashPartitioning(dst) satisfies both (subset rule) — the
+            # louvain round's measured pattern (11.0s -> 9.2s there).
+            # (dst,l) pairs are near-unique while labels are still
+            # distinct, so the forfeited map-side partial agg compressed
+            # little; counts are integers, so the result is bit-identical.
+            votes = (
+                graph.expand(msgs, est_rows=n)
+                .select("dst", "l")
+                .repartition(nparts, "dst")
+                .groupBy("dst", "l")
+                .agg(F.count("*").alias("n"))
             )
             # argmax(n, tie -> min l) as ONE hash aggregate: min over
             # struct(-n, l) orders by count desc then label asc.  The
