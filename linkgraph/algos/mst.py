@@ -118,13 +118,20 @@ def minimum_spanning_forest(
                     F.col("m.v").alias("v"),
                     F.col("m.cdst").alias("cdst"),
                 )
-                .localCheckpoint(eager=True)
+                # lazy: the count below materializes the checkpoint AND
+                # answers the convergence probe — one fused job where
+                # eager-checkpoint + isEmpty paid two
+                .localCheckpoint(eager=False)
             )
-            if prop.isEmpty():
+            if prop.count() == 0:
                 converged = True
                 break
             forest_parts.append(prop.select("u", "v", "w").distinct())
-            mapping = _contract_pseudoforest(prop)
+            mapping = _contract_pseudoforest(prop, bc_small=bc_ok)
+            if bc_ok:
+                # ≤|comps|-row mapping under the J1 byte gate: the |V|-row
+                # comp state never re-shuffles for the relabel join
+                mapping = F.broadcast(mapping)
             comp = (
                 comp.join(mapping, "comp", "left")
                 .select("vid", F.coalesce(F.col("nc"), F.col("comp")).alias("comp"))
@@ -152,14 +159,24 @@ def minimum_spanning_forest(
     )
 
 
-def _contract_pseudoforest(prop: DataFrame, max_jumps: int = 40) -> DataFrame:
+def _contract_pseudoforest(
+    prop: DataFrame, max_jumps: int = 40, bc_small: bool = False
+) -> DataFrame:
     """(comp, nc) mapping for the proposal functional graph: each
     component's parent is the target of its chosen edge; the one mutual
     pair per cluster is broken into a self-loop at min(pair); pointer
     jumping then converges every node to its cluster root.  Each jump is
-    ONE ≤|comps|-row self-join — no edge table, no aggregates."""
+    ONE ≤|comps|-row self-join — no edge table, no aggregates.
+
+    bc_small: the caller's J1 byte gate — when the component table fits
+    the broadcast threshold, the mutual-pair probe and every jump's hop
+    side broadcast, so these tiny per-round jobs carry zero exchanges
+    (they were pure scheduling overhead in the r6 stage profile); past
+    the gate the shuffle self-joins return unchanged."""
     f = prop.select("csrc", "cdst")
     back = f.select(F.col("csrc").alias("b"), F.col("cdst").alias("bt"))
+    if bc_small:
+        back = F.broadcast(back)
     p = (
         f.join(
             back, (f.cdst == back.b) & (F.col("bt") == f.csrc), "left"
@@ -177,6 +194,8 @@ def _contract_pseudoforest(prop: DataFrame, max_jumps: int = 40) -> DataFrame:
     )
     for _ in range(max_jumps):
         hop = p.select(F.col("c").alias("q"), F.col("p").alias("gp"))
+        if bc_small:
+            hop = F.broadcast(hop)
         np_ = (
             p.join(hop, p.p == hop.q, "left")
             .select("c", F.coalesce(F.col("gp"), F.col("p")).alias("np"), "p")
