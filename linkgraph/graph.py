@@ -319,13 +319,27 @@ class LinkGraph:
 
         distinct=False skips the dedup shuffle — pass it when `pairs` is
         already a strict canonical pair set (each undirected edge exactly
-        once, e.g. a `src < dst` derivation output): unioning such a set
-        with its reverse cannot create duplicates, and the extra |E|
-        exchange was measured as the single most expensive redundant stage
-        in the bench's build phase."""
-        sym = pairs.select("src", "dst").union(
-            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+        once, e.g. a `src < dst` derivation output): closing such a set
+        cannot create duplicates, and the extra |E| exchange was measured
+        as the single most expensive redundant stage in the bench's build
+        phase.
+
+        The closure emits both orientations from ONE scan (explode of a
+        two-struct array) instead of union(pairs, reverse(pairs)): the
+        union form evaluates `pairs` twice, and in the relabel build path
+        `pairs` is an UNCACHED join chain — the double evaluation re-ran
+        the dictionary joins per branch (measured in the r6 build_zipf
+        stage profile as a 64-task double scan)."""
+        sym = pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("src"), F.col("dst").alias("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
         kw.setdefault("symmetric", True)
         sym = sym.where(F.col("src") != F.col("dst"))
         if distinct:
