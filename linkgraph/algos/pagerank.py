@@ -320,7 +320,12 @@ def ppr_forward_push(
                     break
                 contrib = graph.expand(msgs, est_rows=n_push)
             else:
-                contrib = graph.expand(msgs)
+                # fixed-rounds mode has no count action to measure the
+                # frontier, but it is bounded by |V| — feed that bound to
+                # the J1 byte gate so small-state pushes broadcast instead
+                # of falling through to the shuffle join (the gate still
+                # degrades to shuffle past the threshold at scale)
+                contrib = graph.expand(msgs, est_rows=graph.num_vertices())
             inc = contrib.groupBy("dst").agg(F.sum("w").alias("c"))
             prev_state = state
             state = (
