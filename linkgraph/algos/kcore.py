@@ -84,7 +84,19 @@ def k_core(graph: LinkGraph, k: int, rounds: int | None = None) -> DataFrame:
 
         if n == 0:
             return spark.createDataFrame([], "vid long, core_deg long")
-        # final degrees within the induced subgraph of the survivors.
+        if rounds is None:
+            # at the fixpoint the final keep IS the answer: survivor sets
+            # are monotone decreasing, so a count-stable round is
+            # set-stable, which makes `cur` exactly the induced subgraph
+            # of the final survivors and keep.core_deg its degrees — the
+            # recompute below (two semi-joins + an aggregate over the
+            # ORIGINAL edge set) re-derived what the loop already holds.
+            return keep.select(
+                F.col("vid").cast("long").alias("vid"),
+                F.col("core_deg").cast("long").alias("core_deg"),
+            )
+        # fixed-rounds mode: keep.core_deg was counted over cur BEFORE this
+        # round's drops, so the induced degrees must be recomputed.
         # keep is already materialized (localCheckpoint + count) — no extra
         # persist, so nothing leaks past the call (round-3 advice pattern).
         survivors = keep.select("vid")
